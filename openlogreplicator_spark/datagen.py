@@ -161,17 +161,17 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
         [f"https://site{u % 50}.example/p/{u}" for u in url_idx], dtype=object
     )
 
-    # --- schema versions + extras (post-evolution column via extras map)
-    schema_ver = np.ones(n, dtype=np.int32)
-    extras_col: list[list[tuple[str, str]] | None] = [None] * n
+    # --- schema evolution plan: DDL is pinned to an EMISSION slot; version
+    # stamps + extras follow emission (physical log) order, mirroring a real
+    # redo log where the dictionary DDL always physically precedes dependent
+    # DML (reference: system transactions commit the dictionary change at
+    # their commit SCN before later records reference it, Transaction.cpp:201-208).
     ddl_rows: list[dict] = []
     if spec.with_ddl:
         for frac, action, col_name, new_name, new_type, ver in DDL_SCENARIO:
-            pos = int(n * frac)
-            schema_ver[pos:] = ver
             ddl_rows.append(
                 dict(
-                    logical=pos,
+                    slot=int(n * frac),
                     action=action,
                     col_name=col_name,
                     new_name=new_name,
@@ -179,10 +179,6 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
                     schema_ver=ver,
                 )
             )
-        for i in range(n):
-            if schema_ver[i] >= 2 and ops[i] != "d":
-                key = "http_status" if schema_ver[i] >= 4 else "fetch_status"
-                extras_col[i] = [(key, str(int(status_vals[i])))]
 
     # --- emission order: permute ~10% of rows within ±window (late-data fixture)
     order = np.arange(n)
@@ -196,7 +192,7 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
 
     cols: dict[str, list] = {k: [] for k in EVENTS_SCHEMA.names}
 
-    def emit_dml(logical: int, seq: int) -> None:
+    def emit_dml(logical: int, seq: int, cur_ver: int) -> None:
         cols["seq"].append(seq)
         cols["warc_ts"].append(int(warc_us[logical]))
         cols["op"].append(ops[logical])
@@ -205,8 +201,12 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
         cols["text"].append(text_col[logical])
         cols["lang"].append(lang_col[logical])
         cols["before"].append(before_col[logical])
-        cols["extras"].append(extras_col[logical])
-        cols["schema_ver"].append(int(schema_ver[logical]))
+        extras = None
+        if cur_ver >= 2 and ops[logical] != "d":
+            key = "http_status" if cur_ver >= 4 else "fetch_status"
+            extras = [(key, str(int(status_vals[logical])))]
+        cols["extras"].append(extras)
+        cols["schema_ver"].append(cur_ver)
         cols["rolled_back"].append(bool(rolled[logical]))
         for k in ("action", "col_name", "new_name", "new_type"):
             cols[k].append(None)
@@ -228,16 +228,18 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
         cols["new_name"].append(d["new_name"])
         cols["new_type"].append(d["new_type"])
 
-    ddl_by_logical: dict[int, list[dict]] = {}
+    ddl_by_slot: dict[int, list[dict]] = {}
     for d in ddl_rows:
-        ddl_by_logical.setdefault(d["logical"], []).append(d)
+        ddl_by_slot.setdefault(d["slot"], []).append(d)
     seq = 0
+    cur_ver = 1
     for s in range(n):
         logical = int(order[s])
-        for d in ddl_by_logical.get(s, ()):
+        for d in ddl_by_slot.get(s, ()):
             emit_ddl(d, seq, int(BASE_TS_US + s * 137_000_000))
+            cur_ver = d["schema_ver"]
             seq += 1
-        emit_dml(logical, seq)
+        emit_dml(logical, seq, cur_ver)
         seq += 1
 
     arrays = []

@@ -1,0 +1,89 @@
+"""Decode / filter stage — the Spark analogue of the reference's record parse
+(P3-P9) and append-time filters (P10-P12), SURVEY.md §2.2.
+
+The change log is already typed parquet (the redo-log analogue per
+BASELINE.json input_hint), so "decode" here is declarative projection —
+Catalyst pushes the filters into the scan (reference applies table/xid filters
+at transaction-append time before buffering, /root/reference/src/parser/
+Parser.cpp:650-692; here the same pruning is free via predicate pushdown).
+
+Evolved columns ride in the ``extras`` map under the column's *then-current*
+name (the reference's dictionary is versioned the same way — a column's
+identity is its internal id, its name is per-schema-version;
+src/metadata/Schema.cpp:727-930). ``project_dml`` resolves
+``extras[name_at(row_schema_ver)]`` → the current column name by field id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_text_udf
+from ..lake.table import LakeTable
+
+# events-log column → target-table field name for the base (v1) columns
+BASE_COLUMN_MAP = {
+    "url": "url",
+    "warc_ts": "warc_ts",
+    "seq": "_seq",
+    "op": "_op",
+    "html": "html",
+    "text": "text",
+    "lang": "lang",
+}
+
+EVENTS_DDL = (
+    "seq long, warc_ts timestamp, op string, url string, html binary, "
+    "text string, lang string, before map<string,binary>, "
+    "extras map<string,string>, schema_ver int, rolled_back boolean, "
+    "action string, col_name string, new_name string, new_type string"
+)
+
+
+def dml_events(df: DataFrame) -> DataFrame:
+    """Committed DML only: drop ddl control rows and rolled-back events
+    (partial rollback exclusion — reference Transaction.cpp:71-187)."""
+    return df.filter((F.col("op") != "ddl") & (~F.col("rolled_back")))
+
+
+def ddl_events(df: DataFrame) -> DataFrame:
+    """Schema-evolution control rows, in log order (SURVEY.md §2.9)."""
+    return df.filter(F.col("op") == "ddl").select(
+        "schema_ver", "action", "col_name", "new_name", "new_type", "warc_ts", "seq"
+    )
+
+
+def project_dml(
+    sub: DataFrame,
+    table: LakeTable,
+    row_schema_ver: int,
+    recompute_text: bool = False,
+) -> DataFrame:
+    """Project a single-schema-version DML sub-batch onto the table's CURRENT
+    schema (one typed column per field; evolved values pulled out of ``extras``
+    by the name the column had at ``row_schema_ver``).
+    """
+    base_ids = {f["id"] for f in table.schema_at(1)} if "1" in table.snap["schemas"] else set()
+    at_ver = (
+        {f["id"]: f["name"] for f in table.schema_at(row_schema_ver)}
+        if str(row_schema_ver) in table.snap["schemas"]
+        else {f["id"]: f["name"] for f in table.schema_at(1)}
+    )
+
+    cols: list[Column] = []
+    for f in table.current_schema():
+        fid, cur_name, typ = f["id"], f["name"], f["type"]
+        if fid in base_ids:
+            src = next(e for e, t in BASE_COLUMN_MAP.items() if t == cur_name)
+            c = F.col(src)
+            if cur_name == "text" and recompute_text:
+                c = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+            cols.append(c.cast(typ).alias(cur_name))
+        elif fid in at_ver:
+            cols.append(
+                F.element_at(F.col("extras"), at_ver[fid]).cast(typ).alias(cur_name)
+            )
+        else:  # column added after this sub-batch's schema version
+            cols.append(F.lit(None).cast(typ).alias(cur_name))
+    return sub.select(*cols)

@@ -1,0 +1,94 @@
+"""Last-writer-wins compaction per key (SURVEY.md §2.4 A3 / §2.5 W2).
+
+Reference semantics: within a transaction later pieces override earlier ones
+(/root/reference/src/parser/Transaction.cpp:416-429), and transactions emit in
+commit-SCN order exactly once (user-manual.adoc:116-131). At the table level
+this collapses to: the winning event per key is the max over the total order
+``(warc_ts, seq)`` — ``warc_ts`` is the SCN analogue, ``seq`` breaks ties the
+way (scn, subScn) sorting does (Parser.cpp:1352-1358).
+
+Three implementations, proven equivalent by tests/test_lww.py:
+
+* ``lww_compact``        — ``groupBy(key).agg(max_by(payload, order))``. This is
+  already a TWO-PHASE merge-apply: Catalyst plans partial hash aggregation
+  map-side (each input partition emits at most one candidate per key it saw)
+  before the shuffle, then final aggregation. Hot keys therefore cost O(#input
+  partitions) post-shuffle rows, not O(#events). The plan shows
+  ``HashAggregate(partial) → Exchange(hash(key)) → HashAggregate(final)``.
+* ``lww_compact_salted`` — the explicit salted variant from the north rule:
+  repartition on ``(key, salt)`` with ``salt = pmod(xxhash64(seq), n_salts)``,
+  phase-1 max per (key, salt), then phase-2 max per key. Equivalent because
+  max-by over a total order is associative and commutative; salting only
+  changes the reduction tree shape. Used when the aggregation buffer itself is
+  the bottleneck (e.g. heavier per-group state than max_by).
+* ``lww_compact_window`` — ``row_number() over (partition by key order by
+  order desc) = 1``. The readable spec, but a full sort per key partition and
+  NO partial aggregation — kept as the differential-testing oracle, not the
+  production path (it is exactly what a naive port would do; at 10^10 events a
+  hot key makes a single task sort ~5% of the stream).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_ORDER = ("warc_ts", "_seq")
+
+
+def _order_struct(order: Sequence[str]):
+    return F.struct(*[F.col(c) for c in order])
+
+
+def lww_compact(
+    df: DataFrame, key: str = "url", order: Sequence[str] = DEFAULT_ORDER
+) -> DataFrame:
+    """One row per key: the event with the greatest (order...) tuple."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(key)
+        .agg(F.max_by(payload, _order_struct(order)).alias("_w"))
+        .select("_w.*")
+    )
+
+
+def lww_compact_salted(
+    df: DataFrame,
+    key: str = "url",
+    order: Sequence[str] = DEFAULT_ORDER,
+    n_salts: int = 8,
+    salt_source: str = "_seq",
+) -> DataFrame:
+    """Explicit two-phase salted LWW (north_rule: 'salted repartition +
+    two-phase merge-apply'). Deterministic: the salt is a pure function of the
+    event (never rand()), so replays partition identically."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .repartition(F.col(key), F.col("_salt"))
+        .groupBy(key, "_salt")
+        .agg(
+            F.max_by(payload, _order_struct(order)).alias("_w"),
+            F.max(_order_struct(order)).alias("_ord"),
+        )
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(F.max_by(F.col("_w"), F.col("_ord")).alias("_w"))
+        .select("_w.*")
+    )
+
+
+def lww_compact_window(
+    df: DataFrame, key: str = "url", order: Sequence[str] = DEFAULT_ORDER
+) -> DataFrame:
+    """row_number()-based LWW — differential-testing oracle for the two above."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,102 @@
+"""MERGE-apply (SURVEY.md §2.3 J5): idempotent LWW upsert of a compacted batch
+into a LakeTable, bucket-pruned copy-on-write.
+
+The reference never merges into a database ("target is always a message
+system", documentation/introduction.adoc:81-86); this operator is the piece
+our engine adds, with Iceberg MERGE INTO semantics:
+
+    WHEN MATCHED AND s > t (by warc_ts, _seq) AND s._op = 'd' THEN DELETE
+    WHEN MATCHED AND s > t                      THEN UPDATE *
+    WHEN NOT MATCHED AND s._op != 'd'           THEN INSERT *
+
+implemented as union + max-by instead of a join — same result, strictly fewer
+shuffles, and idempotent under replay (re-merging an already-applied batch is
+a no-op because max-by is idempotent).
+
+Scale design:
+* target files are hash-bucketed on the key; only buckets the batch touches
+  are read and rewritten (partition pruning; untouched files carry over in the
+  new snapshot) — at 10^10 rows an epoch rewrites O(touched buckets), never
+  the full table.
+* deletes are kept as tombstone rows (``_op='d'``) so a LATE event older than
+  a delete cannot resurrect the key across epochs (T4: "late events older than
+  the current target row are no-ops"). User-facing reads filter tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lake.table import LakeTable
+from .lww import lww_compact
+
+
+def read_state(table: LakeTable) -> DataFrame:
+    """User-facing scan: live rows only (tombstones filtered, internal cols kept)."""
+    return table.read().filter(F.col("_op") != "d")
+
+
+def merge_into(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int = 0,
+    final: bool = True,
+    extra_summary: dict | None = None,
+) -> dict:
+    """Merge a compacted (one-row-per-key) batch; returns commit stats.
+
+    Exactly-once gate lives in the caller (pipeline) — this function is safe
+    to re-run regardless (idempotent by construction).
+    """
+    t0 = time.time()
+    key = table.key_col
+    b = batch.withColumn("_bucket", table.bucket_expr())
+    touched = sorted(r[0] for r in b.select("_bucket").distinct().collect())
+    summary = {
+        "op": "merge",
+        "epoch_id": int(epoch_id),
+        "final": bool(final),
+        **(extra_summary or {}),
+    }
+    if not touched:
+        table.commit_summary_only(summary)
+        return {"touched_buckets": 0, "files": 0, "rows": 0}
+
+    current = table.read(touched).withColumn("_bucket", table.bucket_expr())
+    merged = lww_compact(
+        current.unionByName(b), key=key, order=("warc_ts", "_seq")
+    )
+
+    absdir, rel = table.new_data_dir()
+    (
+        merged.repartition(max(1, min(len(touched), 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+
+    new_files, total_rows = [], 0
+    for root, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            ap = os.path.join(root, fn)
+            bucket = int(os.path.basename(root).split("=")[1])
+            rows = pq.ParquetFile(ap).metadata.num_rows
+            total_rows += rows
+            new_files.append(
+                {
+                    "path": os.path.relpath(ap, table.path),
+                    "bucket": bucket,
+                    "schema_ver": table.current_schema_ver,
+                    "rows": rows,
+                }
+            )
+    summary["merge_secs"] = round(time.time() - t0, 3)
+    summary["rows_written"] = total_rows
+    table.commit_files(new_files, touched, summary)
+    return {"touched_buckets": len(touched), "files": len(new_files), "rows": total_rows}

@@ -1,0 +1,6 @@
+"""Structured Streaming apply loop (SURVEY.md §2.8, §3.2): readStream over the
+change log, foreachBatch epochs (the LWN analogue), exactly-once via epoch-id
+commit-snapshot dedup, ordered mid-stream schema evolution, lineage metrics.
+"""
+
+from .pipeline import CdcPipeline, TARGET_BASE_FIELDS  # noqa: F401
