@@ -251,6 +251,184 @@ def generate_events(spec: GenSpec = GenSpec()) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=EVENTS_SCHEMA)
 
 
+def generate_events_fast(
+    seed: int = 42,
+    n_events: int = 4_000_000,
+    n_urls: int = 300_000,
+    n_pool: int = 30_000,
+    hot_share: float = 0.05,
+    rollback_share: float = 0.02,
+    with_ddl: bool = True,
+) -> pa.Table:
+    """Bench-scale generator: vectorized (numpy/Arrow) end to end, ~100×
+    faster than generate_events. HTML payloads are drawn from a deterministic
+    pool of n_pool distinct pages (content uniqueness doesn't affect CDC
+    semantics — LWW keys on url). Same schema as generate_events; `before`
+    is null (the engine never reads it). Deterministic in (seed, sizes).
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- content pool (python loop bounded by n_pool, not n_events)
+    pool_html: list[bytes] = []
+    pool_text: list[str] = []
+    n_words = rng.integers(8, 80, size=n_pool)
+    for i in range(n_pool):
+        h = _make_html(rng, int(n_words[i]))
+        pool_html.append(h)
+        pool_text.append(extract_text(h))
+    pool_html_arr = pa.array(pool_html, type=pa.binary())
+    pool_text_arr = pa.array(pool_text, type=pa.string())
+
+    # --- vectorized event columns
+    n = n_events
+    ranks = np.arange(1, n_urls + 1, dtype=np.float64)
+    p = 1.0 / ranks**0.8
+    p /= p.sum()
+    url_idx = rng.choice(n_urls, size=n, p=p)
+    url_idx[rng.random(n) < hot_share] = 0
+
+    jitter = rng.integers(-60_000_000, 60_000_000, size=n, dtype=np.int64)
+    warc_us = BASE_TS_US + np.arange(n, dtype=np.int64) * 1_370_000 + jitter
+
+    r = rng.random(n)
+    op_codes = np.where(r < 0.70, 1, np.where(r < 0.85, 2, 0))  # 1=u 2=d 0=c
+    first_slot = np.full(n_urls, -1, dtype=np.int64)
+    uniq, first_idx = np.unique(url_idx, return_index=True)
+    first_slot[uniq] = first_idx
+    op_codes[first_idx] = 0  # first touch per url is a create
+    ops = np.array(["c", "u", "d"], dtype=object)[op_codes]
+
+    rolled = rng.random(n) < rollback_share
+    pool_idx = rng.integers(0, n_pool, size=n)
+    delete_mask = op_codes == 2
+    # chunked take: a single binary array is limited to 2 GB of offsets
+    html_chunks, text_chunks = [], []
+    step = 1_000_000
+    for lo in range(0, n, step):
+        ti = pa.array(pool_idx[lo:lo + step], mask=delete_mask[lo:lo + step])
+        html_chunks.append(pool_html_arr.take(ti))  # null index -> null value
+        text_chunks.append(pool_text_arr.take(ti))
+    html_arr = pa.chunked_array(html_chunks)
+    text_arr = pa.chunked_array(text_chunks)
+
+    # per-url deterministic metadata (python loops bounded by n_urls)
+    url_strs = np.array(
+        [f"https://site{u % 50}.example/p/{u}" for u in range(n_urls)], dtype=object
+    )
+    lang_strs = np.array(
+        [LANGS[zlib.crc32(b"url%d" % u) % len(LANGS)] for u in range(n_urls)],
+        dtype=object,
+    )
+    urls = pa.array(url_strs[url_idx], type=pa.string())
+    langs = pa.array(lang_strs[url_idx], type=pa.string())
+
+    # --- schema versions by emission slot (ddl physically precedes its DML)
+    schema_ver = np.ones(n, dtype=np.int32)
+    ddl_slots: list[tuple[int, dict]] = []
+    if with_ddl:
+        for frac, action, col_name, new_name, new_type, ver in DDL_SCENARIO:
+            pos = int(n * frac)
+            schema_ver[pos:] = ver
+            ddl_slots.append(
+                (pos, dict(action=action, col_name=col_name, new_name=new_name,
+                           new_type=new_type, schema_ver=ver))
+            )
+
+    # extras map: one entry for ver>=2 non-delete rows
+    has_extra = (schema_ver >= 2) & (~delete_mask)
+    status = np.array(["200", "200", "200", "301", "404", "500"], dtype=object)[
+        rng.integers(0, 6, size=n)
+    ]
+    keys_np = np.where(schema_ver >= 4, "http_status", "fetch_status").astype(object)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(has_extra.astype(np.int32), out=offsets[1:])
+    extras_arr = pa.MapArray.from_arrays(
+        pa.array(offsets),
+        pa.array(keys_np[has_extra], type=pa.string()),
+        pa.array(status[has_extra], type=pa.string()),
+    ).cast(pa.map_(pa.string(), pa.string()))
+
+    dml = pa.table(
+        {
+            "warc_ts": pa.array(warc_us, type=pa.timestamp("us", tz="UTC")),
+            "op": pa.array(ops, type=pa.string()),
+            "url": urls,
+            "html": html_arr,
+            "text": text_arr,
+            "lang": langs,
+            "extras": extras_arr,
+            "schema_ver": pa.array(schema_ver),
+            "rolled_back": pa.array(rolled),
+        }
+    )
+
+    # --- splice ddl rows at their slots, then stamp seq = final position
+    pieces = []
+    prev = 0
+    for pos, d in ddl_slots:
+        pieces.append(dml.slice(prev, pos - prev))
+        pieces.append(
+            pa.table(
+                {
+                    "warc_ts": pa.array(
+                        [int(BASE_TS_US + pos * 1_370_000)],
+                        type=pa.timestamp("us", tz="UTC"),
+                    ),
+                    "op": pa.array(["ddl"]),
+                    "url": pa.array([None], type=pa.string()),
+                    "html": pa.array([None], type=pa.binary()),
+                    "text": pa.array([None], type=pa.string()),
+                    "lang": pa.array([None], type=pa.string()),
+                    "extras": pa.nulls(1, pa.map_(pa.string(), pa.string())),
+                    "schema_ver": pa.array([d["schema_ver"]], type=pa.int32()),
+                    "rolled_back": pa.array([False]),
+                    "action": pa.array([d["action"]]),
+                    "col_name": pa.array([d["col_name"]]),
+                    "new_name": pa.array([d["new_name"]], type=pa.string()),
+                    "new_type": pa.array([d["new_type"]], type=pa.string()),
+                }
+            )
+        )
+        prev = pos
+    pieces.append(dml.slice(prev))
+
+    null_str = lambda t: pa.nulls(t.num_rows, pa.string())  # noqa: E731
+    full_pieces = []
+    for t in pieces:
+        if "action" not in t.column_names:
+            t = (
+                t.append_column("action", null_str(t))
+                .append_column("col_name", null_str(t))
+                .append_column("new_name", null_str(t))
+                .append_column("new_type", null_str(t))
+            )
+        full_pieces.append(t)
+    out = pa.concat_tables(full_pieces)
+    total = out.num_rows
+    out = out.add_column(0, "seq", pa.array(np.arange(total, dtype=np.int64)))
+    out = out.add_column(
+        7, "before", pa.nulls(total, pa.map_(pa.string(), pa.binary()))
+    )
+    return out.select(EVENTS_SCHEMA.names).cast(EVENTS_SCHEMA)
+
+
+def write_events_fast(out_dir: str, n_files: int = 128, **kw) -> list[str]:
+    """write_events for bench scale: vectorized generator, n_files parquet."""
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_events_fast(**kw)
+    n = table.num_rows
+    paths = []
+    per = (n + n_files - 1) // n_files
+    for f in range(n_files):
+        lo, hi = f * per, min((f + 1) * per, n)
+        if lo >= hi:
+            break
+        path = os.path.join(out_dir, f"events-{f:05d}.parquet")
+        pq.write_table(table.slice(lo, hi - lo), path, compression="snappy")
+        paths.append(path)
+    return paths
+
+
 def write_events(out_dir: str, spec: GenSpec = GenSpec()) -> list[str]:
     """Write the stream as n_files parquet files split by seq range.
 

@@ -1,0 +1,96 @@
+"""Text-analysis column builders for web-text pipelines (SURVEY.md §2.7 +
+the training-data ops the engine adds beyond the reference: language-ID,
+quality scoring, token counting, fingerprinting).
+
+Everything here is a pure pyspark.sql.functions composition — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each builder has an exact
+ANSI-SQL twin used by the DuckDB oracle (queries.py), so the operators are
+cross-checked value-for-value, mirroring the reference's differential-oracle
+test strategy (Oracle LOGFILE dump diffing, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language for the n-gram-heuristic language identifier.
+# Counting uses the replace-trick ((len(s) - len(replace(s, m, ''))) / len(m))
+# — pure string ops with identical semantics in Spark SQL and DuckDB, so the
+# oracle can reproduce it exactly (no regex-flavor drift).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+    "pl": [" i ", " nie ", " się "],
+}
+
+
+def occurrence_count(col: Column, marker: str) -> Column:
+    """# occurrences of a literal substring, via the replace trick."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the reference counts fields the same way a
+    whitespace tokenizer does — bounded walk, Parser.cpp:101-287)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def padded(col: Column) -> Column:
+    """' ' || lower(text) || ' ' — so markers match at string edges."""
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    p = padded(col)
+    return {
+        lang: sum(occurrence_count(p, m) for m in markers).alias(f"score_{lang}")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(col: Column) -> Column:
+    """argmax over marker scores; deterministic tie-break by lang code order
+    (earliest code wins a tie); 'und' (undetermined) when every score is 0."""
+    scores = lang_scores(col)
+    candidates = [
+        F.struct(
+            scores[lang].alias("s"),
+            F.lit(-idx).alias("tie"),  # ties -> earliest lang code
+            F.lit(lang).alias("lang"),
+        )
+        for idx, lang in enumerate(sorted(LANG_MARKERS))
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def punct_count(col: Column) -> Column:
+    return sum(occurrence_count(col, ch) for ch in [".", ",", "!", "?"]).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0..1 quality heuristic: token-length band + punct ratio.
+    Mirrors common web-text quality filters (length / punctuation ratios)."""
+    toks = token_count(col)
+    punct = punct_count(col)
+    len_ok = F.when((toks >= 10) & (toks <= 5000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ratio = punct / F.greatest(toks, F.lit(1))
+    punct_ok = F.when((punct_ratio > 0.001) & (punct_ratio < 0.5), F.lit(0.5)).otherwise(
+        F.lit(0.0)
+    )
+    return (len_ok + punct_ok).cast("double")
+
+
+def normalized_fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 over lowercased, whitespace-collapsed text.
+    md5 (not xxhash64) so the DuckDB oracle reproduces it bit-for-bit."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))

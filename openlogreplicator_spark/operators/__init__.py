@@ -4,5 +4,6 @@ predicate pushdown, partial aggregation, and AQE skew handling for free.
 """
 
 from .decode import dml_events, ddl_events, project_dml  # noqa: F401
-from .lww import lww_compact, lww_compact_salted, lww_compact_window  # noqa: F401
+from .lww import (lww_compact, lww_compact_salted,  # noqa: F401
+    lww_compact_semijoin, lww_compact_window)  # noqa: F401
 from .merge import merge_into  # noqa: F401

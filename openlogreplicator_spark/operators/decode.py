@@ -55,21 +55,22 @@ def ddl_events(df: DataFrame) -> DataFrame:
 
 
 def project_dml(
-    sub: DataFrame,
+    dml: DataFrame,
     table: LakeTable,
-    row_schema_ver: int,
     recompute_text: bool = False,
 ) -> DataFrame:
-    """Project a single-schema-version DML sub-batch onto the table's CURRENT
-    schema (one typed column per field; evolved values pulled out of ``extras``
-    by the name the column had at ``row_schema_ver``).
+    """Project DML (possibly spanning several log schema versions) onto the
+    table's CURRENT schema in ONE pass.
+
+    Evolved columns are resolved per row: a CASE over the row's ``schema_ver``
+    picks the name the column had at that version (``extras[name_at_ver]``)
+    and casts to the current (possibly widened) type. This is the columnar
+    form of the reference's versioned-dictionary lookup — a column's identity
+    is its field id, its name is per-schema-version (Schema.cpp:727-930) —
+    and lets an epoch merge once instead of once per version.
     """
     base_ids = {f["id"] for f in table.schema_at(1)} if "1" in table.snap["schemas"] else set()
-    at_ver = (
-        {f["id"]: f["name"] for f in table.schema_at(row_schema_ver)}
-        if str(row_schema_ver) in table.snap["schemas"]
-        else {f["id"]: f["name"] for f in table.schema_at(1)}
-    )
+    vers = sorted(int(v) for v in table.snap["schemas"])
 
     cols: list[Column] = []
     for f in table.current_schema():
@@ -80,10 +81,20 @@ def project_dml(
             if cur_name == "text" and recompute_text:
                 c = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
             cols.append(c.cast(typ).alias(cur_name))
-        elif fid in at_ver:
-            cols.append(
-                F.element_at(F.col("extras"), at_ver[fid]).cast(typ).alias(cur_name)
-            )
-        else:  # column added after this sub-batch's schema version
-            cols.append(F.lit(None).cast(typ).alias(cur_name))
-    return sub.select(*cols)
+            continue
+        # evolved column: name under each log schema version it existed in
+        name_by_ver = {
+            v: nm
+            for v in vers
+            for nm in [
+                next((g["name"] for g in table.schema_at(v) if g["id"] == fid), None)
+            ]
+            if nm is not None
+        }
+        expr = F.lit(None).cast(typ)
+        for v, nm in sorted(name_by_ver.items()):
+            expr = F.when(
+                F.col("schema_ver") == v, F.element_at(F.col("extras"), nm).cast(typ)
+            ).otherwise(expr)
+        cols.append(expr.alias(cur_name))
+    return dml.select(*cols)

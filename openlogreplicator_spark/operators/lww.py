@@ -66,9 +66,11 @@ def lww_compact_salted(
     event (never rand()), so replays partition identically."""
     payload = F.struct(*[F.col(c) for c in df.columns])
     salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts)).cast("int")
+    # phase 1's groupBy plans its own Exchange on (key, salt) — that IS the
+    # salted repartition (an explicit .repartition() first would only add a
+    # second, redundant shuffle of the full input).
     phase1 = (
         df.withColumn("_salt", salt)
-        .repartition(F.col(key), F.col("_salt"))
         .groupBy(key, "_salt")
         .agg(
             F.max_by(payload, _order_struct(order)).alias("_w"),
@@ -79,6 +81,56 @@ def lww_compact_salted(
         phase1.groupBy(key)
         .agg(F.max_by(F.col("_w"), F.col("_ord")).alias("_w"))
         .select("_w.*")
+    )
+
+
+def lww_compact_semijoin(
+    df: DataFrame,
+    key: str = "url",
+    order: Sequence[str] = DEFAULT_ORDER,
+    mode: str = "hash",
+) -> DataFrame:
+    """Wide-payload LWW: find each key's winning order tuple on NARROW columns
+    only (key + order — a few bytes/row), then semi-join the winners back to
+    the payload. The payload is never shuffled — for web-page rows (html ≈
+    KBs) this removes the dominant shuffle of the max_by/window forms.
+
+    mode="hash" (default, the scale path): broadcast only
+    ``xxhash64(key, order)`` of each winner — 8 bytes/winner, so tens of
+    millions of per-epoch winners broadcast in ~100 MB and the driver-side
+    hash-table build stays cheap. A 64-bit collision could let a LOSER row
+    through the semi-join, so an exact ``max_by`` compaction runs on the
+    (winner-sized) survivor set — the true winner always survives the
+    semi-join, so the post-compaction is exact regardless of collisions, and
+    it only shuffles winner-sized data.
+
+    mode="full": broadcast the full (key, order) winner rows — exact join,
+    no post-compaction; cheaper when the winner set is small.
+
+    Both are equivalent to lww_compact (tests/test_lww.py): the order tuple
+    is unique per event (seq is globally unique).
+    """
+    ord_col = _order_struct(order)
+    winners = df.groupBy(key).agg(F.max(ord_col).alias("_lww_ord"))
+    if mode == "hash":
+        win_h = F.broadcast(
+            winners.select(
+                F.xxhash64(F.col(key), F.col("_lww_ord")).alias("_lww_h")
+            )
+        )
+        probe_h = F.xxhash64(F.col(key), ord_col)
+        candidates = df.join(win_h, probe_h == F.col("_lww_h"), "leftsemi")
+        return lww_compact(candidates, key=key, order=order)
+    winners = F.broadcast(
+        winners.select(F.col(key).alias("_lww_key"), "_lww_ord")
+    )
+    return (
+        df.join(
+            winners,
+            (F.col(key) == F.col("_lww_key")) & (ord_col == F.col("_lww_ord")),
+            "inner",
+        )
+        .drop("_lww_key", "_lww_ord")
     )
 
 

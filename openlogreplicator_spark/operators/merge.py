@@ -55,29 +55,40 @@ def merge_into(
     """
     t0 = time.time()
     key = table.key_col
-    b = batch.withColumn("_bucket", table.bucket_expr())
-    touched = sorted(r[0] for r in b.select("_bucket").distinct().collect())
+    # persist: the compacted batch feeds two actions (bucket discovery +
+    # write); without it the whole decode→LWW DAG runs twice per epoch.
     summary = {
         "op": "merge",
         "epoch_id": int(epoch_id),
         "final": bool(final),
         **(extra_summary or {}),
     }
-    if not touched:
-        table.commit_summary_only(summary)
-        return {"touched_buckets": 0, "files": 0, "rows": 0}
-
-    current = table.read(touched).withColumn("_bucket", table.bucket_expr())
-    merged = lww_compact(
-        current.unionByName(b), key=key, order=("warc_ts", "_seq")
-    )
+    b = batch.withColumn("_bucket", table.bucket_expr())
+    if not table.snap["files"]:
+        # Empty target (first epoch / batch replay): no carry-over to prune,
+        # so skip the bucket-discovery job entirely — the replaced-bucket set
+        # is derivable from the files the write produces.
+        merged, touched = b, None
+    else:
+        b = b.persist()  # feeds two actions: bucket discovery + the write
+        touched = sorted(r[0] for r in b.select("_bucket").distinct().collect())
+        if not touched:
+            b.unpersist()
+            table.commit_summary_only(summary)
+            return {"touched_buckets": 0, "files": 0, "rows": 0}
+        current = table.read(touched).withColumn("_bucket", table.bucket_expr())
+        merged = lww_compact(
+            current.unionByName(b), key=key, order=("warc_ts", "_seq")
+        )
 
     absdir, rel = table.new_data_dir()
     (
-        merged.repartition(max(1, min(len(touched), 64)), "_bucket")
+        merged.repartition(max(1, min(table.n_buckets, 64)), "_bucket")
         .write.partitionBy("_bucket")
         .parquet(absdir)
     )
+    if touched is not None:
+        b.unpersist()
 
     new_files, total_rows = [], 0
     for root, _dirs, files in os.walk(absdir):
@@ -96,6 +107,8 @@ def merge_into(
                     "rows": rows,
                 }
             )
+    if touched is None:
+        touched = sorted({f["bucket"] for f in new_files})
     summary["merge_secs"] = round(time.time() - t0, 3)
     summary["rows_written"] = total_rows
     table.commit_files(new_files, touched, summary)

@@ -1,0 +1,629 @@
+"""Query catalog: every driver-visible operator, as (Spark impl, DuckDB oracle).
+
+Each entry maps a SURVEY.md §2 operator (or one of the training-data ops the
+engine adds — dedup / similarity / text analysis) onto the driver's test
+tables (region nation customer supplier part orders lineitem events documents
+embeddings). The Spark implementation is DataFrame-first; the oracle is ANSI
+SQL executable by DuckDB on the same parquet — the differential-oracle test
+strategy the reference uses against Oracle's own LOGFILE dumps (SURVEY.md §5).
+
+Conventions (driver compare is column-name + value-hash based):
+* every computed column is aliased identically on both sides;
+* floating aggregates are rounded (2-6 dp) AFTER aggregation so FP
+  summation-order differences between engines cannot flip the hash;
+* integer sums are cast to BIGINT (DuckDB sums INTEGER into HUGEINT);
+* cross-engine hashing uses md5 only (xxhash64 has no DuckDB twin).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import similarity as S
+from .functions import text as TXT
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# =========================================================================
+# CDC operators over the driver's `events` table
+# (event_id long, ts timestamp, user_id long, event_type string,
+#  value double, props string)
+# =========================================================================
+
+
+@register(
+    "cdc_lww_latest",
+    """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def cdc_lww_latest(spark, sf_dir):
+    """A3/W2 last-writer-wins snapshot per key — the engine's core compaction
+    (two-phase partial+final max_by; see operators/lww.py). Key = user_id,
+    order = (ts, event_id), the (scn, subScn) analogue."""
+    ev = T(spark, sf_dir, "events")
+    payload = F.struct("ts", "event_id", "event_type", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(payload, F.struct("ts", "event_id")).alias("w"))
+        .select("user_id", "w.ts", "w.event_id", "w.event_type", "w.value")
+    )
+
+
+@register(
+    "cdc_op_counts",
+    """
+    SELECT event_type, count(*) AS n_events, min(ts) AS first_ts,
+           max(ts) AS last_ts, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_op_counts(spark, sf_dir):
+    """P4 opcode-dispatch accounting / A5 throughput counters per op type."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "cdc_hourly_throughput",
+    """
+    SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def cdc_hourly_throughput(spark, sf_dir):
+    """T6 tumbling-window metrics (LWN-per-time-slice analogue)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "cdc_sessions",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events)
+    SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def cdc_sessions(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min idle gap) — the transaction
+    begin/commit lifecycle analogue (A1) as a window computation."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+        .cast("int")
+    )
+    return (
+        ev.withColumn("brk", F.coalesce(brk, F.lit(0)))
+        .groupBy("user_id")
+        .agg(
+            (F.sum("brk") + 1).cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "cdc_changed_values",
+    """
+    SELECT user_id, event_id, ts, event_type, value, prev_value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             lag(value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events)
+    WHERE prev_value IS NOT NULL AND value <> prev_value
+    """,
+)
+def cdc_changed_values(spark, sf_dir):
+    """Unchanged-value suppression (reference drops unchanged columns from
+    updates, Builder.cpp:1367-1398): emit only events whose value differs
+    from the previous event of the same (key, op type)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value")))
+        .select("user_id", "event_id", "ts", "event_type", "value", "prev_value")
+    )
+
+
+@register(
+    "cdc_watermark",
+    """
+    SELECT min(ts) AS low_watermark, max(ts) AS high_watermark,
+           count(*) AS n_events, count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def cdc_watermark(spark, sf_dir):
+    """A4 min-watermark over the open-event set (restart low-watermark,
+    reference TransactionBuffer checkpoint; Metadata.cpp:338-350)."""
+    return T(spark, sf_dir, "events").agg(
+        F.min("ts").alias("low_watermark"),
+        F.max("ts").alias("high_watermark"),
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# =========================================================================
+# Relational coverage (joins / aggs / windows / sorts / anti-joins)
+# =========================================================================
+
+
+@register(
+    "tpch_q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Partial+final aggregation with a pushed-down scan filter (P10's
+    Catalyst-free-lunch: predicate reaches the parquet reader)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """J2-style dictionary-lookup join chain: fact joins small dims — the
+    dims are broadcast (reference resolves obj→table via an in-memory hash
+    map; broadcast hash join is the distributed form)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn AS order_rank FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    """W2-style ranked emission per key with deterministic tie-break."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("order_rank", F.row_number().over(w))
+        .filter(F.col("order_rank") <= 3)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "order_rank")
+    )
+
+
+@register(
+    "customers_without_big_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+)
+def customers_without_big_orders(spark, sf_dir):
+    """Anti-join — the skip-list filters (P11/P12) as a distributed op:
+    customers with no order above 300k (non-empty at every sf)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "top100_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def top100_orders(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort materialization)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "part_type_stats",
+    """
+    SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price,
+           max(p_size) AS max_size
+    FROM part GROUP BY p_type
+    """,
+)
+def part_type_stats(spark, sf_dir):
+    """Column-pruned scan + agg (ReadSchema should list 3 columns only)."""
+    return (
+        T(spark, sf_dir, "part")
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+# =========================================================================
+# Training-data ops: documents (dedup / text analysis)
+# =========================================================================
+
+
+@register(
+    "docs_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def docs_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash; keep the smallest doc_id per group."""
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "docs_token_stats_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\\s+')) END), 4)
+             AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_token_stats_by_lang(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", TXT.token_count(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "docs_quality",
+    """
+    WITH q AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', ''))) AS n_punct
+      FROM documents)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_punct AS BIGINT) AS n_punct,
+           (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN n_punct * 1.0 / greatest(n_tokens, 1) > 0.001
+                    AND n_punct * 1.0 / greatest(n_tokens, 1) < 0.5
+                   THEN 0.5 ELSE 0.0 END) AS quality
+    FROM q
+    """,
+)
+def docs_quality(spark, sf_dir):
+    """Quality scoring (length band + punctuation ratio) — web-text filter."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TXT.token_count(F.col("text")).alias("n_tokens"),
+        TXT.punct_count(F.col("text")).alias("n_punct"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    def score(lang):
+        ms = TXT.LANG_MARKERS[lang]
+        terms = " + ".join(
+            f"CAST((length(p) - length(replace(p, '{m}', ''))) / {len(m)} AS BIGINT)"
+            for m in ms
+        )
+        return f"({terms})"
+
+    codes = sorted(TXT.LANG_MARKERS)  # tie-break: earliest code wins
+    cascade = []
+    for i, c in enumerate(codes):
+        others = [f"s_{c} >= s_{o}" for o in codes[i + 1:]]
+        cond = " AND ".join(others) if others else "TRUE"
+        cascade.append(f"WHEN {cond} THEN '{c}'")
+    scores = ", ".join(f"{score(c)} AS s_{c}" for c in codes)
+    gr = ", ".join(f"s_{c}" for c in codes)
+    return f"""
+    WITH p AS (SELECT lang, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT lang, {scores} FROM p)
+    SELECT lang, CASE WHEN greatest({gr}) <= 0 THEN 'und'
+                 {' '.join(cascade)} END AS predicted_lang,
+           count(*) AS n_docs
+    FROM s GROUP BY 1, 2
+    """
+
+
+@register("docs_langid_confusion", _langid_sql())
+def docs_langid_confusion(spark, sf_dir):
+    """n-gram-heuristic language ID vs the labeled lang (confusion counts)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", TXT.predicted_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "docs_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (case/whitespace-insensitive md5)."""
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", TXT.normalized_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "docs_minhash_near_dup",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) > 0),
+    sig AS (
+      SELECT doc_id,
+             min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig)
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.doc_id < r.doc_id
+    """,
+)
+def docs_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
+    No O(n²) pair enumeration — pairs only form inside a band bucket."""
+    d = T(spark, sf_dir, "documents")
+    return S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=4, band_size=2)
+
+
+# =========================================================================
+# Training-data ops: embeddings (similarity search)
+# =========================================================================
+
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END"
+    " + 2 * CASE WHEN embedding[3] > embedding[4] THEN 1 ELSE 0 END"
+    " + 4 * CASE WHEN embedding[5] > embedding[6] THEN 1 ELSE 0 END"
+    " + 8 * CASE WHEN embedding[7] > embedding[8] THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, vec_id,
+           round(CAST(list_cosine_similarity(qvec, embedding) AS DOUBLE), 4) AS cosine
+    FROM q, embeddings
+    WHERE vec_id <> query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id) <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exact ANN baseline); query set broadcast."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
+          FROM b WHERE vec_id < 3)
+    SELECT query_id, vec_id,
+           round(CAST(list_cosine_similarity(qvec, embedding) AS DOUBLE), 4) AS cosine
+    FROM q JOIN b USING (bucket)
+    WHERE vec_id <> query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id) <= 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Bucketed ANN (sign-projection LSH): equi-join on bucket, search only
+    the query's bucket — the 100 TB path (no corpus broadcast, no n² pairs)."""
+    emb = T(spark, sf_dir, "embeddings")
+    out = S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+@register(
+    "ann_lsh_bucket_stats",
+    f"""
+    SELECT bucket, count(*) AS n_vectors
+    FROM (SELECT {_BUCKET_SQL} AS bucket FROM embeddings)
+    GROUP BY bucket
+    """,
+)
+def ann_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket histogram — skew check for the bucketed ANN path."""
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        emb.select(S.sign_projection_bucket(F.col("embedding"), [(1, 2), (3, 4), (5, 6), (7, 8)]))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@register(
+    "emb_centroid_by_label",
+    """
+    WITH e AS (SELECT label, unnest(embedding) AS val,
+                      unnest(generate_series(1, len(embedding))) AS pos
+               FROM embeddings)
+    SELECT label, pos, round(avg(CAST(val AS DOUBLE)), 4) AS centroid
+    FROM e GROUP BY label, pos
+    """,
+)
+def emb_centroid_by_label(spark, sf_dir):
+    """Per-label centroid — partial-aggregated, no collect to driver."""
+    emb = T(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).cast("long").alias("pos"),
+                F.col("val").cast("double").alias("val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+    )
+
+
+# =========================================================================
+# Engine-native queries (no SQL oracle → driver rows-only check)
+# =========================================================================
+
+
+@register("engine_replay_state")
+def engine_replay_state(spark, sf_dir):
+    """Flagship CDC path end-to-end on a deterministic synthesized change log
+    (seed 42): decode → salted LWW → bucketed MERGE → final state. Golden
+    equivalence vs the pandas replayer is asserted in tests; here the driver
+    checks rows+schema stability."""
+    from .datagen import GenSpec, write_events
+    from .streaming.pipeline import CdcPipeline
+
+    d = tempfile.mkdtemp(prefix="olr_replay_")
+    ev = os.path.join(d, "events")
+    write_events(ev, GenSpec(seed=42, n_events=2000, n_urls=200, n_files=4))
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_batch_replay()
+    state = p.target_state()
+    return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+
+
+@register("docs_simhash_near_dup")
+def docs_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) with 16-bit-chunk blocking —
+    pigeonhole guarantees no candidate is missed; no all-pairs join.
+    Bit-twiddling signature via Arrow-batched pandas UDF (no SQL twin)."""
+    d = T(spark, sf_dir, "documents")
+    return S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)

@@ -12,11 +12,12 @@ and per epoch (apply_epoch):
 
     exactly-once gate (T2, reference isNewData Metadata.cpp:592-603)
     → split ddl / dml (P4), drop rolled-back (A2, Transaction.cpp:71-187)
-    → per schema_ver ascending:                   # §2.9 ordered evolution
-         apply DDL (LakeTable.evolve — metadata only)
-         project to current schema (P3-P9 decode)
-         salted two-phase LWW compaction (A3)
-         merge_into target (J5, idempotent)
+    → replay DDL rows in (warc_ts, seq) order     # §2.9 ordered evolution
+      (LakeTable.evolve — metadata only)
+    → project ALL dml in one pass (P3-P9 decode; per-row schema_ver resolves
+      the versioned column name, so one merge per epoch, not one per version)
+    → salted two-phase LWW compaction (A3)
+    → merge_into target (J5, idempotent)
     → lineage/metrics side table append (A5, Parser.cpp:1482-1512 counters)
 
 Restart/resume (§3.3): the checkpointLocation replays the last uncommitted
@@ -35,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
 from ..operators.decode import EVENTS_DDL, ddl_events, dml_events, project_dml
-from ..operators.lww import lww_compact, lww_compact_salted
+from ..operators.lww import lww_compact, lww_compact_salted, lww_compact_semijoin
 from ..operators.merge import merge_into, read_state
 
 # Target-table base schema (log schema_ver = 1). _seq/_op are engine columns:
@@ -61,7 +62,7 @@ class CdcPipeline:
         metrics_path: str | None = None,
         n_buckets: int = 16,
         n_salts: int = 8,
-        use_salted_lww: bool = True,
+        lww_strategy: str = "semijoin",
         recompute_text: bool = False,
     ):
         self.spark = spark
@@ -71,7 +72,7 @@ class CdcPipeline:
         self.metrics_path = metrics_path
         self.n_buckets = n_buckets
         self.n_salts = n_salts
-        self.use_salted_lww = use_salted_lww
+        self.lww_strategy = lww_strategy
         self.recompute_text = recompute_text
 
     # ------------------------------------------------------------ lifecycle
@@ -99,50 +100,47 @@ class CdcPipeline:
         if int(epoch_id) < last_epoch or (int(epoch_id) == last_epoch and finalized):
             return  # T2: already confirmed — exactly-once re-delivery suppression
 
+        # 1) schema evolution first: DDL rows are few (pushed-down filter);
+        #    replaying them in (warc_ts, seq) order updates the dictionary
+        #    exactly as the reference's system transactions do (§2.9). DML is
+        #    then projected in ONE pass — each row's extras are resolved by
+        #    the name its schema_ver used (decode.project_dml), so a single
+        #    LWW + MERGE per epoch suffices (final state identical to the
+        #    per-version ordered split, because LWW is a total-order max).
         ddl_rows = sorted(
             ddl_events(batch_df).collect(), key=lambda r: (r["warc_ts"], r["seq"])
         )
-        dml = dml_events(batch_df)
-        dml_vers = [r[0] for r in dml.select("schema_ver").distinct().collect()]
-        vers = sorted(set(dml_vers) | {r["schema_ver"] for r in ddl_rows})
-        if not vers:
-            table.commit_summary_only(
-                {"op": "merge", "epoch_id": int(epoch_id), "final": True}
-            )
-            return
-
-        stats = []
-        for i, ver in enumerate(vers):
-            for d in ddl_rows:
-                if d["schema_ver"] == ver and ver > table.current_schema_ver:
-                    table.evolve(
-                        d["action"], d["col_name"], d["new_name"], d["new_type"],
-                        to_ver=ver,
-                    )
-            if ver not in dml_vers:
-                if i == len(vers) - 1:  # still finalize the epoch
-                    table.commit_summary_only(
-                        {"op": "merge", "epoch_id": int(epoch_id), "final": True}
-                    )
-                continue
-            sub = project_dml(
-                dml.filter(F.col("schema_ver") == ver), table, ver,
-                recompute_text=self.recompute_text,
-            )
-            compacted = (
-                lww_compact_salted(sub, "url", n_salts=self.n_salts)
-                if self.use_salted_lww
-                else lww_compact(sub, "url")
-            )
-            stats.append(
-                merge_into(
-                    table,
-                    compacted,
-                    epoch_id=int(epoch_id),
-                    final=(i == len(vers) - 1),
-                    extra_summary={"schema_ver": ver},
+        for d in ddl_rows:
+            if d["schema_ver"] > table.current_schema_ver:
+                table.evolve(
+                    d["action"], d["col_name"], d["new_name"], d["new_type"],
+                    to_ver=d["schema_ver"],
                 )
+
+        dml = project_dml(
+            dml_events(batch_df), table, recompute_text=self.recompute_text
+        )
+        # LWW strategy (all equivalent, tests/test_lww.py):
+        #  * semijoin (default): winners found on narrow columns, payload
+        #    never shuffled — best for wide web-page rows; hot keys collapse
+        #    map-side in the narrow partial agg.
+        #  * salted: explicit two-phase salted repartition (north-rule form) —
+        #    use when the winner set is too large to broadcast.
+        #  * maxby: single partial+final max_by shuffle of the full payload.
+        compacted = {
+            "semijoin": lambda: lww_compact_semijoin(dml, "url"),
+            "salted": lambda: lww_compact_salted(dml, "url", n_salts=self.n_salts),
+            "maxby": lambda: lww_compact(dml, "url"),
+        }[self.lww_strategy]()
+        stats = [
+            merge_into(
+                table,
+                compacted,
+                epoch_id=int(epoch_id),
+                final=True,
+                extra_summary={"schema_ver": table.current_schema_ver},
             )
+        ]
         if self.metrics_path:
             self._write_metrics(batch_df, int(epoch_id), time.time() - t0, stats)
 

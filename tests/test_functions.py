@@ -1,0 +1,133 @@
+"""Unit tests for the text-analysis and similarity function layers."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.functions import similarity as S
+from openlogreplicator_spark.functions import text as TXT
+
+DOCS = [
+    (1, "The cat and the dog walked over the bridge."),
+    (2, "The cat and the dog walked over the bridge."),  # exact dup of 1
+    (3, "The cat and the dog walked over the old bridge."),  # near dup of 1
+    (4, "Der Hund und die Katze liefen über der Brücke und der Straße."),
+    (5, "completely different text about spark engines and shuffles, ok?"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string").cache()
+
+
+def test_token_count(spark, docs_df):
+    out = {r["doc_id"]: r["n"] for r in
+           docs_df.select("doc_id", TXT.token_count(F.col("text")).alias("n")).collect()}
+    assert out[1] == 9
+    assert out[6] == 0
+    assert out[5] == 9
+
+
+def test_occurrence_count_matches_python(spark, docs_df):
+    out = {r["doc_id"]: r["n"] for r in docs_df.select(
+        "doc_id", TXT.occurrence_count(TXT.padded(F.col("text")), " the ").alias("n")
+    ).collect()}
+    for doc_id, text in DOCS:
+        padded = f" {text.lower()} "
+        assert out[doc_id] == padded.count(" the "), (doc_id, text)
+
+
+def test_predicted_lang(spark, docs_df):
+    out = {r["doc_id"]: r["p"] for r in
+           docs_df.select("doc_id", TXT.predicted_lang(F.col("text")).alias("p")).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+    assert out[6] == "und"
+
+
+def test_quality_score_range(spark, docs_df):
+    vals = [r["q"] for r in
+            docs_df.select(TXT.quality_score(F.col("text")).alias("q")).collect()]
+    assert all(v in (0.0, 0.5, 1.0) for v in vals)
+
+
+def test_fingerprint_normalizes_case_and_ws(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "hello  world  ")],
+        "doc_id int, text string",
+    )
+    fps = [r["f"] for r in
+           df.select(TXT.normalized_fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_minhash_exact_dups_always_pair(spark, docs_df):
+    pairs = {(r["a"], r["b"]) for r in
+             S.minhash_candidate_pairs(docs_df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # identical token sets share every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup likely shares a band
+
+
+def test_jaccard_values(spark, docs_df):
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 5)], "a int, b int")
+    out = {(r["a"], r["b"]): r["jaccard"] for r in
+           S.jaccard_pairs(docs_df, cand, "doc_id", "text").collect()}
+    assert out[(1, 2)] == 1.0
+    assert 0.5 < out[(1, 3)] < 1.0
+    assert out.get((1, 5), 0.0) < 0.2
+
+
+def test_simhash_matches_reference_impl(spark, docs_df):
+    rows = S.with_simhash(docs_df, "text").collect()
+    got = {r["doc_id"]: r["simhash"] for r in rows}
+    # identical texts -> identical signatures
+    assert got[1] == got[2]
+    # python reference for doc 5 (independent re-implementation)
+    toks = set(DOCS[4][1].lower().split())
+    votes = [0] * 64
+    for tk in toks:
+        h = int.from_bytes(hashlib.md5(tk.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    sig = sum(1 << b for b in range(64) if votes[b] > 0)
+    sig = sig - (1 << 64) if sig >= (1 << 63) else sig
+    assert got[5] == sig
+
+
+def test_simhash_near_dup_blocking(spark, docs_df):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             S.simhash_near_dup_pairs(docs_df, "doc_id", "text", max_hamming=10).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 5) not in pairs
+
+
+def test_cosine_known_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0]), (3, [1.0, 0.0], [1.0, 1.0])],
+        "id int, a array<double>, b array<double>",
+    )
+    out = {r["id"]: r["c"] for r in
+           df.select("id", S.cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(out[1]) < 1e-12
+    assert abs(out[2] - 1.0) < 1e-12
+    assert abs(out[3] - 0.7071067811865475) < 1e-12
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>")
+    out = S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 2), k=3).toPandas()
+    assert (out.groupby("query_id").size() <= 3).all()
+    # every result shares the query's bucket
+    b = emb.withColumn("bucket", S.sign_projection_bucket(F.col("embedding"),
+                                                          [(1, 2), (3, 4), (5, 6), (7, 8)])).toPandas()
+    buckets = dict(zip(b["vec_id"], b["bucket"]))
+    for _, r in out.iterrows():
+        assert buckets[r["vec_id"]] == buckets[r["query_id"]]
