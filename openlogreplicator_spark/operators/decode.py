@@ -41,6 +41,60 @@ EVENTS_DDL = (
 )
 
 
+def schemaless_projection(df: DataFrame) -> DataFrame:
+    """Schemaless mode (reference REDO_FLAGS_SCHEMALESS, Ctx.h:74;
+    user-manual.adoc:829-850): when no dictionary is registered for a table,
+    values are emitted as an opaque column->bytes map instead of typed
+    columns. Keys keep their log names; extras merge in under their
+    per-version names. LWW compaction works unchanged on the map payload."""
+    payload = F.map_filter(
+        F.map_concat(
+            F.create_map(
+                F.lit("html"), F.col("html"),
+                F.lit("text"), F.col("text").cast("binary"),
+                F.lit("lang"), F.col("lang").cast("binary"),
+            ),
+            F.transform_values(
+                F.coalesce(
+                    F.col("extras"),
+                    F.from_json(F.lit("{}"), "map<string,string>"),
+                ),
+                lambda _k, v: v.cast("binary"),
+            ),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    return df.select(
+        F.col("url"),
+        F.col("warc_ts"),
+        F.col("seq").alias("_seq"),
+        F.col("op").alias("_op"),
+        payload.alias("payload"),
+    )
+
+
+def apply_log_filters(
+    df: DataFrame,
+    url_rlike: str | None = None,
+    skip_urls: list[str] | None = None,
+    min_schema_ver: int | None = None,
+) -> DataFrame:
+    """Append-time filters (P10-P12): table-regex tracking (reference
+    Schema.cpp:2092-2116), skip-lists (OpenLogReplicator.cpp:709-725), and
+    container filtering (Parser.cpp:816-818 — schema_ver stands in for
+    conId). DDL control rows always pass. Catalyst pushes the url predicates
+    into the parquet scan."""
+    keep = F.col("op") == "ddl"
+    data = F.lit(True)
+    if url_rlike is not None:
+        data = data & F.col("url").rlike(url_rlike)
+    if skip_urls:
+        data = data & ~F.col("url").isin(list(skip_urls))
+    if min_schema_ver is not None:
+        data = data & (F.col("schema_ver") >= min_schema_ver)
+    return df.filter(keep | data)
+
+
 def dml_events(df: DataFrame) -> DataFrame:
     """Committed DML only: drop ddl control rows and rolled-back events
     (partial rollback exclusion — reference Transaction.cpp:71-187)."""

@@ -1,0 +1,91 @@
+"""Change-message builders + sink framing.
+
+The reference frames each committed transaction as a JSON document
+{scn, tm, xid, payload:[{op, schema:{owner,table}, rid, after/before}]}
+(/root/reference/src/builder/BuilderJson.cpp:837-997; format documented in
+documentation/user-manual/user-manual.adoc:266-355) and hands it to a Writer
+(file / kafka / zeromq / network, src/OpenLogReplicator.cpp:762-869).
+
+Spark-first mapping: message build is `to_json(struct(...))` — JVM-side,
+whole-stage-codegen'd, zero Python (the reference notes its JSON builder is
+~2.5x faster than protobuf; to_json is the same in-place spirit). Sinks:
+
+* file   — DataFrameWriter with `maxRecordsPerFile` (the analogue of the
+           reference's max-file-size rotation, OpenLogReplicator.cpp:780-794).
+* kafka  — Spark's kafka sink takes a (key, value[, topic]) frame;
+           `kafka_frame` produces exactly that so
+           `.write.format("kafka")` works wherever the kafka connector jar is
+           present (not shipped in this sandbox — the frame itself is tested).
+* zeromq/network — reference-only transports; a Kafka/file sink covers the
+           delivery semantics Spark guarantees (per-epoch atomicity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_json_messages(
+    events: DataFrame,
+    owner: str = "CC",
+    table: str = "PAGES",
+) -> DataFrame:
+    """One JSON change message per committed DML event, reference shape:
+
+    {"scn": <warc_ts micros>, "tm": <warc_ts iso>, "seq": <seq>,
+     "payload": [{"op": "c|u|d", "schema": {"owner": ..., "table": ...},
+                  "rid": <url>, "after": {...}}]}
+
+    op codes match BuilderJson ('c'reate/'u'pdate/'d'elete,
+    BuilderJson.cpp:864,904,945); before-images ride under "before" for
+    'u'/'d' when present.
+    """
+    after = F.struct(
+        F.col("url"), F.col("text"), F.col("lang"),
+        F.element_at(F.col("extras"), "http_status").alias("http_status"),
+        F.element_at(F.col("extras"), "fetch_status").alias("fetch_status"),
+    )
+    payload_entry = F.struct(
+        F.col("op").alias("op"),
+        F.struct(F.lit(owner).alias("owner"), F.lit(table).alias("table")).alias("schema"),
+        F.col("url").alias("rid"),
+        F.when(F.col("op") != "d", after).alias("after"),
+        F.when(F.col("op").isin("u", "d"), F.transform_values(
+            F.col("before"), lambda _k, v: v.cast("string")
+        )).alias("before"),
+    )
+    doc = F.struct(
+        F.unix_micros(F.col("warc_ts")).alias("scn"),
+        F.date_format(F.col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("tm"),
+        F.col("seq").alias("seq"),
+        F.array(payload_entry).alias("payload"),
+    )
+    return events.filter(F.col("op").isin("c", "u", "d")).select(
+        F.col("seq"),
+        F.col("url"),
+        F.to_json(doc, {"ignoreNullFields": "true"}).alias("message"),
+    )
+
+
+def write_file_sink(
+    messages: DataFrame, path: str, max_records_per_file: int = 100_000
+) -> None:
+    """WriterFile analogue: newline-delimited JSON with size-based rotation."""
+    (
+        messages.select("message")
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .text(path)
+    )
+
+
+def kafka_frame(messages: DataFrame, topic: str) -> DataFrame:
+    """Frame messages for Spark's kafka sink: key = url (per-key ordering in
+    a partition — the reference's exactly-once confirm protocol maps to
+    Kafka idempotent producer + per-epoch batches), value = JSON bytes."""
+    return messages.select(
+        F.col("url").cast("binary").alias("key"),
+        F.col("message").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )

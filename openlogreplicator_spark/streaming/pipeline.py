@@ -35,7 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from ..operators.decode import EVENTS_DDL, ddl_events, dml_events, project_dml
+from ..operators.decode import (
+    EVENTS_DDL,
+    apply_log_filters,
+    ddl_events,
+    dml_events,
+    project_dml,
+)
 from ..operators.lww import lww_compact, lww_compact_salted, lww_compact_semijoin
 from ..operators.merge import merge_into, read_state
 
@@ -64,6 +70,9 @@ class CdcPipeline:
         n_salts: int = 8,
         lww_strategy: str = "semijoin",
         recompute_text: bool = False,
+        filter_config_path: str | None = None,
+        max_html_bytes: int | None = None,
+        dead_letter_path: str | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -74,6 +83,20 @@ class CdcPipeline:
         self.n_salts = n_salts
         self.lww_strategy = lww_strategy
         self.recompute_text = recompute_text
+        self.filter_config_path = filter_config_path
+        self.max_html_bytes = max_html_bytes
+        self.dead_letter_path = dead_letter_path
+
+    def _load_filter_config(self) -> dict:
+        """T8 online config reload (reference watches the config file mtime
+        and updates the table-filter list live, Checkpoint.cpp:59-218):
+        re-read the JSON filter spec at every epoch — no restart needed."""
+        if not self.filter_config_path or not os.path.exists(self.filter_config_path):
+            return {}
+        import json
+
+        with open(self.filter_config_path) as f:
+            return json.load(f)
 
     # ------------------------------------------------------------ lifecycle
     def ensure_table(self) -> LakeTable:
@@ -107,6 +130,28 @@ class CdcPipeline:
         #    the name its schema_ver used (decode.project_dml), so a single
         #    LWW + MERGE per epoch suffices (final state identical to the
         #    per-version ordered split, because LWW is a total-order max).
+        cfg = self._load_filter_config()
+        if cfg:
+            batch_df = apply_log_filters(
+                batch_df,
+                url_rlike=cfg.get("url_rlike"),
+                skip_urls=cfg.get("skip_urls"),
+                min_schema_ver=cfg.get("min_schema_ver"),
+            )
+        if self.max_html_bytes is not None:
+            # M6 oversized-payload policy: the reference DROPS transactions
+            # over transaction-max-mb (Parser.cpp:683-692); we route them to
+            # a dead-letter table instead so nothing is silently lost.
+            oversized = F.length(F.col("html")) > self.max_html_bytes
+            if self.dead_letter_path:
+                (
+                    batch_df.filter(oversized)
+                    .withColumn("epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("append")
+                    .parquet(self.dead_letter_path)
+                )
+            batch_df = batch_df.filter(~F.coalesce(oversized, F.lit(False)))
+
         ddl_rows = sorted(
             ddl_events(batch_df).collect(), key=lambda r: (r["warc_ts"], r["seq"])
         )

@@ -1,0 +1,98 @@
+"""Oracle on-disk-format decoders (SURVEY.md §2.7 F1/F3/F6/F7/F10): verified
+against hand-computed encodings from the public format documentation."""
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.functions.decoders import (
+    decode_oracle_date,
+    decode_oracle_double,
+    decode_oracle_number,
+    encode_oracle_double,
+    oracle_date_udf,
+    oracle_double_udf,
+    oracle_number_udf,
+    rowid_expr,
+    xid_expr,
+)
+
+NUMBER_VECTORS = [
+    (b"\x80", Decimal(0)),
+    (b"\xc1\x02", Decimal(1)),            # 1 = 0.01 * 100^1, digit 1 -> 2
+    (b"\xc2\x02\x18", Decimal(123)),      # 1,23 -> digits 2, 24
+    (b"\xc2\x64", Decimal(9900)),         # digit 99 -> 100
+    (b"\xc1\x0b", Decimal(10)),
+    (b"\xc0\x33", Decimal("0.5")),        # 50 * 100^-1
+    (b"\x3e\x64\x66", Decimal(-1)),       # negative 1: ~0xc1, 101-1=100, 0x66
+    (b"\x3d\x64\x4e\x66", Decimal(-123)), # ~0xc2, digits 101-1, 101-23
+]
+
+
+def test_number_python_vectors():
+    for raw, want in NUMBER_VECTORS:
+        assert decode_oracle_number(raw) == want, raw.hex()
+
+
+def test_date_python():
+    # 2014-06-30 12:34:56 -> bytes(120, 114, 6, 30, 13, 35, 57)
+    assert decode_oracle_date(bytes([120, 114, 6, 30, 13, 35, 57])) == dt.datetime(
+        2014, 6, 30, 12, 34, 56
+    )
+    assert decode_oracle_date(None) is None
+
+
+@pytest.mark.parametrize("v", [0.0, 1.5, -1.5, 3.14159, -2.75e10, 1e-300])
+def test_double_roundtrip(v):
+    assert decode_oracle_double(encode_oracle_double(v)) == v
+
+
+def test_double_order_preserving():
+    # Oracle's trick exists so that memcmp order == numeric order
+    vals = [-2.5, -1.0, 0.0, 0.5, 3.25]
+    encs = [encode_oracle_double(v) for v in vals]
+    assert encs == sorted(encs)
+
+
+def test_udfs_on_spark(spark):
+    rows = [
+        (1, b"\xc2\x02\x18", bytes([120, 114, 6, 30, 13, 35, 57]),
+         encode_oracle_double(3.5)),
+        (2, b"\x3e\x64\x66", None, encode_oracle_double(-0.25)),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, num binary, dte binary, dbl binary")
+    got = {
+        r["id"]: (r["n"], r["d"], r["f"])
+        for r in df.select(
+            "id",
+            oracle_number_udf("num").alias("n"),
+            oracle_date_udf("dte").alias("d"),
+            oracle_double_udf("dbl").alias("f"),
+        ).collect()
+    }
+    assert got[1] == ("123", dt.datetime(2014, 6, 30, 12, 34, 56), 3.5)
+    assert got[2][0] == "-1" and got[2][2] == -0.25
+    assert got[3] == (None, None, None)
+
+
+def test_rowid_and_xid_exprs(spark):
+    df = spark.createDataFrame(
+        [(92, 4, (1 << 22) | 0x81, 7, 5, 11, 0x1234)],
+        "data_obj long, afn long, dba long, slot long, usn long, slt long, sqn long",
+    )
+    out = df.select(
+        rowid_expr(F.col("data_obj"), F.col("afn"), F.col("dba"), F.col("slot")).alias("rid"),
+        xid_expr(F.col("usn"), F.col("slt"), F.col("sqn")).alias("xid"),
+    ).collect()[0]
+    # independent python rendering of the same fields
+    b64 = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+    def enc(v, w):
+        return "".join(b64[(v >> (6 * i)) & 0x3F] for i in range(w - 1, -1, -1))
+
+    assert out["rid"] == enc(92, 6) + enc(4, 3) + enc(((1 << 22) | 0x81) & 0x3FFFFF, 6) + enc(7, 3)
+    assert len(out["rid"]) == 18
+    assert out["xid"] == "0x0005.00b.00001234"

@@ -1,0 +1,91 @@
+"""Physical-plan quality gates (SURVEY.md §4): predicate pushdown reaches the
+parquet scan, projections prune columns, small dims broadcast, global top-k
+avoids a full sort, and the LWW semijoin never shuffles the wide payload.
+These assertions are the '.explain and iterate' loop frozen into tests."""
+
+import os
+
+import pytest
+
+from openlogreplicator_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "part.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_filter_pushdown(spark):
+    df = QUERIES["tpch_q1_pricing"](spark, SF_DIR)
+    f = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in f, f
+
+
+def test_column_pruning(spark):
+    df = QUERIES["part_type_stats"](spark, SF_DIR)
+    f = formatted(df)
+    scan = f[f.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema:"): scan.index("\n", scan.index("ReadSchema:"))]
+    assert "p_type" in read_schema and "p_retailprice" in read_schema
+    assert "p_name" not in read_schema and "p_brand" not in read_schema, read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_top_k_avoids_global_sort(spark):
+    df = QUERIES["top100_orders"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_lww_catalog_is_two_phase(spark):
+    p = plan_of(QUERIES["cdc_lww_latest"](spark, SF_DIR))
+    n_aggs = p.count("HashAggregate") + p.count("ObjectHashAggregate") + p.count("SortAggregate")
+    assert "max_by" in p and n_aggs >= 2, p
+
+
+def test_semijoin_lww_payload_not_shuffled(spark, events_dir):
+    """The wide (html) side must reach the join via scan, not an Exchange —
+    the whole point of the semijoin strategy."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL, dml_events
+    from openlogreplicator_spark.operators.lww import lww_compact_semijoin
+
+    df = dml_events(
+        spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    ).withColumnRenamed("seq", "_seq")
+    out = lww_compact_semijoin(df, "url")
+    p = plan_of(out)
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p
+    # exactly the narrow winner agg exchanges; count total exchanges is small
+    join_idx = p.index("BroadcastHashJoin")
+    probe_side = p[join_idx:]
+    assert "Scan parquet" in probe_side  # payload flows scan->join directly
+
+
+def test_events_scan_prunes_for_ddl_collect(spark, events_dir):
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL, ddl_events
+
+    df = ddl_events(spark.read.schema(EVENTS_DDL).parquet(events_dir))
+    f = formatted(df)
+    assert "PushedFilters: [IsNotNull(op), EqualTo(op,ddl)]" in f, f
+    scan = f[f.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
+    assert "html" not in rs and "text" not in rs, rs

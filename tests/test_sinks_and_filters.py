@@ -1,0 +1,136 @@
+"""Output builders (F12), schemaless mode, append-time filters + online
+config reload (P10-P12/T8), dead-letter routing (M6), and streaming
+watermarked windows (T1/T6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.operators.decode import (
+    EVENTS_DDL,
+    apply_log_filters,
+    schemaless_projection,
+)
+from openlogreplicator_spark.operators.lww import lww_compact
+from openlogreplicator_spark.sinks.builders import (
+    build_json_messages,
+    kafka_frame,
+    write_file_sink,
+)
+from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+
+@pytest.fixture(scope="module")
+def events_df(spark, events_dir):
+    return spark.read.schema(EVENTS_DDL).parquet(events_dir).cache()
+
+
+def test_json_messages_shape(spark, events_df):
+    msgs = build_json_messages(events_df.limit(500))
+    rows = msgs.collect()
+    assert rows and all(r["message"] for r in rows)
+    doc = json.loads(rows[0]["message"])
+    assert set(doc) <= {"scn", "tm", "seq", "payload"}
+    p = doc["payload"][0]
+    assert p["op"] in ("c", "u", "d")
+    assert p["schema"] == {"owner": "CC", "table": "PAGES"}
+    if p["op"] != "d":
+        assert "after" in p and p["after"]["url"] == p["rid"]
+    # scn == warc_ts in micros (the LSN mapping)
+    src = events_df.filter(F.col("seq") == doc["seq"]).collect()[0]
+    assert doc["scn"] == int(src["warc_ts"].timestamp() * 1_000_000)
+
+
+def test_file_sink_rotation(spark, events_df, tmp_path):
+    msgs = build_json_messages(events_df.limit(1000)).coalesce(1)
+    out = str(tmp_path / "sink")
+    write_file_sink(msgs, out, max_records_per_file=200)
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(files) >= 5  # 1000 rows / 200 per file
+    total = spark.read.text(out).count()
+    assert total == msgs.count()
+
+
+def test_kafka_frame_schema(spark, events_df):
+    fr = kafka_frame(build_json_messages(events_df.limit(10)), topic="cc.pages")
+    assert dict(fr.dtypes) == {"key": "binary", "value": "binary", "topic": "string"}
+    r = fr.collect()[0]
+    assert json.loads(bytes(r["value"]).decode())["payload"]
+
+
+def test_schemaless_projection_and_lww(spark, events_df):
+    sl = schemaless_projection(events_df.filter(F.col("op") != "ddl"))
+    assert dict(sl.dtypes)["payload"] == "map<string,binary>"
+    row = sl.filter(F.col("_op") == "c").first()
+    keys = set(row["payload"].keys())
+    assert "html" in keys and "text" in keys
+    # LWW compaction works unchanged over the opaque payload
+    compacted = lww_compact(sl, "url", ("warc_ts", "_seq"))
+    assert compacted.groupBy("url").count().filter("count > 1").count() == 0
+
+
+def test_apply_log_filters(spark, events_df):
+    some_urls = [r["url"] for r in
+                 events_df.filter(F.col("url").isNotNull()).select("url").distinct().limit(3).collect()]
+    out = apply_log_filters(events_df, url_rlike=r"^https://site1\d\.example/.*",
+                            skip_urls=some_urls)
+    kept = out.filter(F.col("op") != "ddl").select("url").distinct().collect()
+    assert kept
+    for r in kept:
+        assert r["url"].startswith("https://site1")
+        assert r["url"] not in some_urls
+    # ddl control rows always survive filtering
+    assert out.filter(F.col("op") == "ddl").count() == \
+        events_df.filter(F.col("op") == "ddl").count()
+
+
+def test_online_filter_reload_and_dead_letter(spark, events_dir, tmp_path):
+    cfg_path = str(tmp_path / "filters.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"url_rlike": "^https://site[0-4]\\d?\\.example/.*"}, f)
+    p = CdcPipeline(
+        spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+        filter_config_path=cfg_path,
+        max_html_bytes=900,
+        dead_letter_path=str(tmp_path / "dead"),
+    )
+    p.run_batch_replay()
+    state = p.target_state().toPandas()
+    assert len(state) > 0
+    assert all(u.startswith("https://site") for u in state["url"])
+    # everything merged respected the filter
+    import re
+    pat = re.compile(r"^https://site[0-4]\d?\.example/.*")
+    assert all(pat.match(u) for u in state["url"])
+    # oversized html routed to dead letter, not merged
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() > 0
+    assert dead.filter(F.length("html") <= 900).count() == 0
+    assert (state["html"].map(lambda b: len(bytes(b))) <= 900).all()
+
+
+def test_streaming_windowed_metrics(spark, events_dir, tmp_path):
+    from openlogreplicator_spark.streaming.metrics import windowed_event_counts
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(events_dir)
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM win_metrics").toPandas()
+    # watermark closes all but the trailing window(s) in availableNow mode
+    assert len(got) > 0
+    assert set(got["op"]) <= {"c", "u", "d", "ddl"}
+    assert (got["n_events"] > 0).all()
