@@ -35,6 +35,15 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# sign-projection LSH bucket, shared by the embedding queries (1-indexed
+# list access matches DuckDB)
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END"
+    " + 2 * CASE WHEN embedding[3] > embedding[4] THEN 1 ELSE 0 END"
+    " + 4 * CASE WHEN embedding[5] > embedding[6] THEN 1 ELSE 0 END"
+    " + 8 * CASE WHEN embedding[7] > embedding[8] THEN 1 ELSE 0 END)"
+)
+
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
@@ -191,6 +200,109 @@ def cdc_watermark(spark, sf_dir):
         F.max("ts").alias("high_watermark"),
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "cdc_rollup_type_day",
+    """
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n_events
+    FROM events GROUP BY ROLLUP(event_type, day)
+    """,
+)
+def cdc_rollup_type_day(spark, sf_dir):
+    """A6 grouping-set aggregation: per-(type, day) counts with subtotals and
+    a grand total via ROLLUP — built-in, partial-aggregated."""
+    return (
+        T(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+@register(
+    "cdc_click_no_purchase_days",
+    """
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def cdc_click_no_purchase_days(spark, sf_dir):
+    """§2.6 set ops: (user, day) pairs that clicked but never purchased —
+    EXCEPT distinct, the skip-set reconciliation pattern
+    (reference Metadata.cpp:403-448 checkpoint-set intersection)."""
+    ev = T(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
+
+
+@register(
+    "cdc_props_stats",
+    """
+    SELECT event_type,
+           round(avg(CAST(props->>'k' AS INTEGER)), 4) AS avg_k,
+           CAST(max(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS max_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_props_stats(spark, sf_dir):
+    """Semi-structured payload decode (the JSON-payload parse path, F8/F12):
+    extract props.k JVM-side with get_json_object — no Python."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).cast("long").alias("max_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "emb_near_dup_pairs",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+               FROM embeddings WHERE vec_id < 500)
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4)
+             AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4)
+          >= 0.3
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
+    pairs (never all-pairs) scored exactly, thresholded — the embedding-based
+    dedup path of a training-data pipeline."""
+    from .functions.similarity import cosine, sign_projection_bucket
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id", "embedding",
+            sign_projection_bucket(F.col("embedding"), [(1, 2), (3, 4), (5, 6), (7, 8)]),
+        )
+    )
+    left = emb.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    right = emb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
     )
 
 
@@ -505,12 +617,6 @@ def docs_minhash_near_dup(spark, sf_dir):
 # Training-data ops: embeddings (similarity search)
 # =========================================================================
 
-_BUCKET_SQL = (
-    "(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END"
-    " + 2 * CASE WHEN embedding[3] > embedding[4] THEN 1 ELSE 0 END"
-    " + 4 * CASE WHEN embedding[5] > embedding[6] THEN 1 ELSE 0 END"
-    " + 8 * CASE WHEN embedding[7] > embedding[8] THEN 1 ELSE 0 END)"
-)
 
 
 @register(

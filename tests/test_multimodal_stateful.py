@@ -1,0 +1,102 @@
+"""Multimodal mapInPandas plumbing + the stateful streaming suppressor."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.multimodal import (
+    MEDIA_DDL,
+    extract_media_features,
+    fake_payload,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", fake_payload("image", 640, 480, 1, 0, b"img-one-bytes"), None),
+        (2, "image", fake_payload("image", 32, 32, 1, 0, b"img-two"), None),
+        (3, "audio", fake_payload("audio", 0, 0, 1, 44100, b"pcm" * 50), None),
+        (4, "video", fake_payload("video", 1280, 720, 8, 0, b"frame" * 64), None),
+        (5, "image", b"\x89PNG not really", None),  # non-FAKE payload
+        (6, "image", fake_payload("image", 640, 480, 1, 0, b"img-one-bytes"), None),
+    ]
+    return spark.createDataFrame(rows, MEDIA_DDL).cache()
+
+
+def test_feature_extraction_schema_and_determinism(media_df):
+    feats = extract_media_features(media_df).toPandas().set_index("media_id")
+    assert feats.loc[1, "width"] == 640 and feats.loc[1, "height"] == 480
+    assert feats.loc[3, "sample_rate"] == 44100
+    assert all(len(e) == 16 for e in feats["embedding"])
+    # identical payloads -> identical sha + embedding (exact-dup detection)
+    assert feats.loc[1, "content_sha"] == feats.loc[6, "content_sha"]
+    assert list(feats.loc[1, "embedding"]) == list(feats.loc[6, "embedding"])
+    # unknown container: plumbing still yields a row (decode stubbed to zeros)
+    assert feats.loc[5, "width"] == 0 and feats.loc[5, "n_bytes"] > 0
+    # unit-norm embeddings feed the ANN operators directly
+    import numpy as np
+
+    assert abs(np.linalg.norm(np.array(feats.loc[2, "embedding"])) - 1.0) < 1e-5
+
+
+def test_feature_extraction_partition_invariance(media_df):
+    a = extract_media_features(media_df).toPandas().sort_values("media_id")
+    b = extract_media_features(media_df.repartition(7)).toPandas().sort_values("media_id")
+    assert list(a["content_sha"]) == list(b["content_sha"])
+
+
+def test_frame_sampling(media_df):
+    frames = sample_frames(media_df, every_nth=2).toPandas()
+    assert set(frames["media_id"]) == {4}
+    assert list(frames["frame_idx"]) == [0, 2, 4, 6]  # every 2nd of 8
+    assert (frames["frame_bytes"] > 0).all()
+
+
+def test_stateful_suppressor_cross_epoch(spark, events_dir, events_pdf, tmp_path):
+    """Events at-or-below a key's stored high-watermark are suppressed across
+    micro-batches; survivors still contain every LWW winner."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.streaming.stateful import suppress_stale_events
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+        .filter((F.col("op") != "ddl") & (~F.col("rolled_back")))
+        .select("url", "warc_ts", "seq", "op", "html", "text", "lang", "schema_ver")
+    )
+    out = suppress_stale_events(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("suppressed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM suppressed").toPandas()
+
+    dml = events_pdf[(events_pdf["op"] != "ddl") & (~events_pdf["rolled_back"])]
+    assert 0 < len(got) < len(dml)  # something suppressed, something kept
+    # survivors per url are strictly increasing in (warc_ts, seq) within each
+    # epoch boundary; final winner always survives:
+    winners = (
+        dml.sort_values(["warc_ts", "seq"], kind="stable").groupby("url").tail(1)
+    )
+    got_keys = set(zip(got["url"], got["seq"]))
+    for _, w in winners.iterrows():
+        assert (w["url"], w["seq"]) in got_keys
+    # no row is emitted twice
+    assert len(got_keys) == len(got)
+    # LWW over the survivors equals LWW over the full stream (suppression
+    # only removes rows that could never win)
+    surv = dml.merge(got[["url", "seq"]], on=["url", "seq"])
+    surv_winners = (
+        surv.sort_values(["warc_ts", "seq"], kind="stable").groupby("url").tail(1)
+    )
+    a = winners.sort_values("url")[["url", "seq"]].reset_index(drop=True)
+    b = surv_winners.sort_values("url")[["url", "seq"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
