@@ -65,6 +65,38 @@ def _number_batch(s: pd.Series) -> pd.Series:
 oracle_number_udf = pandas_udf(_number_batch, StringType())
 
 
+def encode_oracle_number(v) -> bytes:
+    """Inverse of decode_oracle_number (property-test fixture generator).
+    Any finite Decimal is exactly representable (base 100 = 10²)."""
+    v = Decimal(v)
+    if v == 0:
+        return b"\x80"
+    sign = 1 if v > 0 else -1
+    a = abs(v)
+    # smallest e with a < 100^e  (i.e. 100^(e-1) <= a < 100^e)
+    e = a.adjusted() // 2 + 1
+    while a >= Decimal(100) ** e:
+        e += 1
+    while a < Decimal(100) ** (e - 1):
+        e -= 1
+    digits = []
+    rem = a
+    k = e - 1
+    while rem != 0 and len(digits) < 20:
+        d = int(rem / (Decimal(100) ** k))
+        digits.append(d)
+        rem -= Decimal(d) * (Decimal(100) ** k)
+        k -= 1
+    while digits and digits[-1] == 0:
+        digits.pop()
+    if sign > 0:
+        return bytes([0xC0 + e] + [d + 1 for d in digits])
+    out = [(~(0xC0 + e)) & 0xFF] + [101 - d for d in digits]
+    if len(out) < 21:
+        out.append(0x66)
+    return bytes(out)
+
+
 # ------------------------------------------------------------------- DATE
 
 

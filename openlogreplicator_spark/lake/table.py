@@ -88,12 +88,23 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, path: str) -> "LakeTable":
-        cur = os.path.join(path, "_snapshots", "_current")
-        with open(cur) as f:
-            version = int(f.read().strip())
+    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+        """Load the current snapshot, or a historical one (time travel — the
+        Iceberg `VERSION AS OF` analogue; the reference's as-of-SCN dictionary
+        read, ReplicatorOnline.cpp:184, is the same idea)."""
+        if version is None:
+            cur = os.path.join(path, "_snapshots", "_current")
+            with open(cur) as f:
+                version = int(f.read().strip())
         with open(os.path.join(path, "_snapshots", f"v{version:08d}.json")) as f:
             return LakeTable(spark, path, json.load(f))
+
+    def versions(self) -> list[int]:
+        sdir = os.path.join(self.path, "_snapshots")
+        return sorted(
+            int(f[1:9]) for f in os.listdir(sdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     @staticmethod
     def exists(path: str) -> bool:
@@ -230,6 +241,41 @@ class LakeTable:
         snap = self._next_snap(summary=summary)
         self._write_snapshot(snap)
         self.snap = snap
+
+    # ----------------------------------------------------------- maintenance
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """GC old snapshots + data files referenced by no retained snapshot.
+
+        Mirrors the reference's checkpoint GC: keep the last N checkpoint
+        files, never delete the newest schema-bearing one
+        (Metadata.cpp:505-554). The current snapshot and every schema version
+        it references are always retained (schemas travel inside snapshots
+        here, so retaining the snapshot retains its schema history).
+        """
+        vers = self.versions()
+        keep = set(vers[-keep_last:]) | {self.snap["version"]}
+        retained_paths: set[str] = set()
+        sdir = os.path.join(self.path, "_snapshots")
+        removed_snaps, removed_files = 0, 0
+        for v in vers:
+            if v in keep:
+                with open(os.path.join(sdir, f"v{v:08d}.json")) as f:
+                    retained_paths.update(e["path"] for e in json.load(f)["files"])
+        for v in vers:
+            if v not in keep:
+                os.remove(os.path.join(sdir, f"v{v:08d}.json"))
+                removed_snaps += 1
+        data_root = os.path.join(self.path, "data")
+        for root, _dirs, files in os.walk(data_root):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(root, fn), self.path)
+                if fn.endswith(".parquet") and rel not in retained_paths:
+                    os.remove(os.path.join(root, fn))
+                    removed_files += 1
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            if root != data_root and not dirs and not files:
+                os.rmdir(root)
+        return {"snapshots_removed": removed_snaps, "data_files_removed": removed_files}
 
     # ------------------------------------------------------------- internal
     def _next_snap(self, summary: dict[str, Any]) -> dict:

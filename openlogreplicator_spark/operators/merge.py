@@ -41,6 +41,49 @@ def read_state(table: LakeTable) -> DataFrame:
     return table.read().filter(F.col("_op") != "d")
 
 
+def purge_tombstones(table: LakeTable, older_than) -> dict:
+    """Maintenance: drop delete tombstones with warc_ts < older_than.
+
+    Safe once the event-time watermark guarantees no event older than the
+    cutoff can still arrive (T4) — after that, a tombstone can no longer be
+    needed to block a late resurrect. Only buckets that actually contain
+    expired tombstones are rewritten (bucket-pruned, like merge)."""
+    full = table.read().withColumn("_bucket", table.bucket_expr())
+    expired = (F.col("_op") == "d") & (F.col("warc_ts") < F.lit(older_than))
+    dirty = [
+        r[0]
+        for r in full.filter(expired).select("_bucket").distinct().collect()
+    ]
+    if not dirty:
+        table.commit_summary_only({"op": "purge_tombstones", "buckets": 0})
+        return {"buckets_rewritten": 0, "rows": 0}
+    kept = table.read(dirty).withColumn("_bucket", table.bucket_expr()).filter(~expired)
+    absdir, _rel = table.new_data_dir()
+    kept.repartition(max(1, min(len(dirty), 64)), "_bucket").write.partitionBy(
+        "_bucket"
+    ).parquet(absdir)
+    new_files, rows = [], 0
+    for root, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            ap = os.path.join(root, fn)
+            n = pq.ParquetFile(ap).metadata.num_rows
+            rows += n
+            new_files.append(
+                {
+                    "path": os.path.relpath(ap, table.path),
+                    "bucket": int(os.path.basename(root).split("=")[1]),
+                    "schema_ver": table.current_schema_ver,
+                    "rows": n,
+                }
+            )
+    table.commit_files(
+        new_files, dirty, {"op": "purge_tombstones", "buckets": len(dirty)}
+    )
+    return {"buckets_rewritten": len(dirty), "rows": rows}
+
+
 def merge_into(
     table: LakeTable,
     batch: DataFrame,

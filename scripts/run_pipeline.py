@@ -1,0 +1,76 @@
+"""spark-submit entry point for the CDC apply job (north_rule deployment
+shape: `spark-submit --py-files olr_spark.zip scripts/run_pipeline.py ...`).
+
+Build the zip with:  python scripts/run_pipeline.py --make-pyfiles olr_spark.zip
+Run locally (the driver/cluster master comes from spark-submit):
+
+    spark-submit --master local[8] \
+      --py-files olr_spark.zip scripts/run_pipeline.py \
+      --events /path/events --table /path/target --checkpoint /path/ckpt \
+      [--streaming] [--metrics /path/metrics] [--filters /path/filters.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zipfile
+
+
+def make_pyfiles(out: str) -> None:
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(pkg_root, "openlogreplicator_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    ap = os.path.join(root, fn)
+                    z.write(ap, os.path.relpath(ap, pkg_root))
+    print(f"wrote {out}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-pyfiles", metavar="ZIP")
+    ap.add_argument("--events")
+    ap.add_argument("--table")
+    ap.add_argument("--checkpoint")
+    ap.add_argument("--metrics")
+    ap.add_argument("--filters")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--max-files-per-trigger", type=int, default=32)
+    args = ap.parse_args()
+
+    if args.make_pyfiles:
+        make_pyfiles(args.make_pyfiles)
+        return
+    if not (args.events and args.table and args.checkpoint):
+        ap.error("--events, --table and --checkpoint are required")
+
+    # Under spark-submit the session already exists; standalone runs build one.
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("olr-cdc-apply").getOrCreate()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    p = CdcPipeline(
+        spark,
+        args.events,
+        args.table,
+        args.checkpoint,
+        metrics_path=args.metrics,
+        n_buckets=args.n_buckets,
+        filter_config_path=args.filters,
+    )
+    if args.streaming:
+        p.run_available_now(max_files_per_trigger=args.max_files_per_trigger)
+    else:
+        p.run_batch_replay()
+    print(f"final state rows: {p.target_state().count()}")
+
+
+if __name__ == "__main__":
+    main()

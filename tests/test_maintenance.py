@@ -1,0 +1,105 @@
+"""Table maintenance: time travel, snapshot GC (reference checkpoint GC,
+Metadata.cpp:505-554), tombstone purge; plus NUMBER encode/decode property
+tests (hypothesis)."""
+
+import glob
+import os
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openlogreplicator_spark.functions.decoders import (
+    decode_oracle_number,
+    encode_oracle_number,
+)
+from openlogreplicator_spark.lake.table import LakeTable
+from openlogreplicator_spark.operators.merge import purge_tombstones
+from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+
+@given(
+    st.decimals(
+        min_value=Decimal("-1e20"), max_value=Decimal("1e20"),
+        allow_nan=False, allow_infinity=False, places=6,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_oracle_number_roundtrip_property(v):
+    assert decode_oracle_number(encode_oracle_number(v)) == v.normalize() or \
+        decode_oracle_number(encode_oracle_number(v)) == v
+
+
+def test_known_number_encodings():
+    assert encode_oracle_number(Decimal(1)) == b"\xc1\x02"
+    assert encode_oracle_number(Decimal(123)) == b"\xc2\x02\x18"
+    assert encode_oracle_number(Decimal(-1)) == b"\x3e\x64\x66"
+    assert encode_oracle_number(Decimal(0)) == b"\x80"
+
+
+@pytest.fixture()
+def replayed(spark, events_dir, tmp_path):
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    p.run_available_now(max_files_per_trigger=2)  # several snapshots
+    return p
+
+
+def test_time_travel(spark, replayed):
+    t = LakeTable.load(spark, replayed.table_path)
+    vers = t.versions()
+    assert len(vers) >= 3
+    old = LakeTable.load(spark, replayed.table_path, version=vers[len(vers) // 2])
+    n_old = old.read().filter(F.col("_op") != "d").count()
+    n_new = t.read().filter(F.col("_op") != "d").count()
+    assert 0 < n_old <= n_new  # historical state readable, smaller-or-equal
+
+
+def test_expire_snapshots(spark, replayed):
+    t = LakeTable.load(spark, replayed.table_path)
+    before_files = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                                 recursive=True))
+    state_before = t.read().filter(F.col("_op") != "d").count()
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["snapshots_removed"] > 0
+    assert stats["data_files_removed"] > 0
+    t2 = LakeTable.load(spark, t.path)
+    assert len(t2.versions()) <= 3
+    # current state fully intact after GC
+    assert t2.read().filter(F.col("_op") != "d").count() == state_before
+    after_files = len(glob.glob(os.path.join(t.path, "data", "**", "*.parquet"),
+                                recursive=True))
+    assert after_files < before_files
+
+
+def test_purge_tombstones(spark, replayed):
+    t = LakeTable.load(spark, replayed.table_path)
+    tombs = t.read().filter(F.col("_op") == "d")
+    n_tombs = tombs.count()
+    assert n_tombs > 0, "fixture must produce deletions"
+    cutoff = tombs.agg(F.max("warc_ts")).collect()[0][0]
+    live_before = t.read().filter(F.col("_op") != "d").count()
+    import datetime as dt
+
+    stats = purge_tombstones(t, cutoff + dt.timedelta(seconds=1))
+    assert stats["buckets_rewritten"] > 0
+    t2 = LakeTable.load(spark, t.path)
+    assert t2.read().filter(F.col("_op") == "d").count() == 0
+    assert t2.read().filter(F.col("_op") != "d").count() == live_before
+
+
+def test_pyfiles_zip_builds(tmp_path):
+    import subprocess
+    import sys
+    import zipfile
+
+    out = str(tmp_path / "olr.zip")
+    r = subprocess.run(
+        [sys.executable, "scripts/run_pipeline.py", "--make-pyfiles", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    names = zipfile.ZipFile(out).namelist()
+    assert "openlogreplicator_spark/streaming/pipeline.py" in names
+    assert "openlogreplicator_spark/lake/table.py" in names
