@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, StringType, TimestampType
+from pyspark.sql.types import DoubleType, LongType, StringType, TimestampType
 
 # ----------------------------------------------------------------- NUMBER
 
@@ -148,6 +148,108 @@ def encode_oracle_double(v: float) -> bytes:
         return bytes(x ^ 0xFF for x in raw)
     raw[0] |= 0x80  # positive -> flip sign bit
     return bytes(raw)
+
+
+# ------------------------------------------------- charset decode (F2)
+
+
+def charset_decode(col: Column, charset: str = "UTF-8") -> Column:
+    """F2: charset → UTF-8 string. The reference carries a 6400-LoC charset
+    subsystem (src/locales/*) because it decodes raw column bytes; Spark's
+    built-in `decode` covers the Java charset set JVM-side (UTF-8/16/32,
+    ISO-8859-x, windows-125x, ...). Multi-chunk continuation (the reference's
+    prevChars overlap for split multibyte sequences, Builder.h:1022-1045) is
+    unnecessary here: a DataFrame value is always a complete byte string."""
+    return F.decode(col, charset)
+
+
+# --------------------------------------------- intervals (F5) + TSTZ (F4)
+
+
+def decode_interval_ym(b: bytes | None) -> tuple[int, int] | None:
+    """5-byte INTERVAL YEAR TO MONTH: years+0x80000000 (4B BE), months+60."""
+    if b is None or len(b) != 5:
+        return None
+    years = struct.unpack(">I", b[:4])[0] - (1 << 31)
+    months = b[4] - 60
+    return years, months
+
+
+def decode_interval_ds(b: bytes | None) -> tuple[int, int, int, int, int] | None:
+    """11-byte INTERVAL DAY TO SECOND: days+2^31 (4B), h+60, m+60, s+60,
+    nanos+2^31 (4B)."""
+    if b is None or len(b) != 11:
+        return None
+    days = struct.unpack(">I", b[:4])[0] - (1 << 31)
+    h, m, s = b[4] - 60, b[5] - 60, b[6] - 60
+    nanos = struct.unpack(">I", b[7:11])[0] - (1 << 31)
+    return days, h, m, s, nanos
+
+
+def _interval_ym_batch(s: pd.Series) -> pd.Series:
+    def conv(b):
+        t = decode_interval_ym(bytes(b)) if b is not None else None
+        return None if t is None else t[0] * 12 + t[1]
+
+    return s.map(conv)
+
+
+# months since zero — cast to YearMonthIntervalType downstream via
+# make_ym_interval; kept LongType here (Arrow has no YM interval)
+interval_ym_months_udf = pandas_udf(_interval_ym_batch, LongType())
+
+
+def _interval_ds_micros_batch(s: pd.Series) -> pd.Series:
+    def conv(b):
+        t = decode_interval_ds(bytes(b)) if b is not None else None
+        if t is None:
+            return None
+        days, h, m, sec, nanos = t
+        return ((days * 86400 + h * 3600 + m * 60 + sec) * 1_000_000
+                + nanos // 1000)
+
+    return s.map(conv)
+
+
+interval_ds_micros_udf = pandas_udf(_interval_ds_micros_batch, LongType())
+
+
+def interval_ym_col(raw: Column) -> Column:
+    """F5: raw bytes → YearMonthIntervalType via make_ym_interval."""
+    months = interval_ym_months_udf(raw)
+    return F.make_ym_interval(
+        (months / 12).cast("int"), F.pmod(months, F.lit(12)).cast("int")
+    )
+
+
+def interval_ds_col(raw: Column) -> Column:
+    """F5: raw bytes → DayTimeIntervalType via make_dt_interval."""
+    us = interval_ds_micros_udf(raw)
+    return F.make_dt_interval(
+        F.floor(us / F.lit(86_400_000_000)).cast("int"),
+        F.lit(0), F.lit(0),
+        (F.pmod(us, F.lit(86_400_000_000)) / 1_000_000).cast("double"),
+    )
+
+
+def decode_tstz(b: bytes | None, tz_names: dict[int, str] | None = None):
+    """F4: 13-byte TIMESTAMP WITH TIME ZONE: 7-byte UTC date + 4-byte nanos +
+    2 tz bytes (either fixed offset h+20/m+60, or a tz-region id when byte 11
+    has the 0x80 flag). Returns (utc_datetime, tz_string)."""
+    if b is None or len(b) < 13:
+        return None
+    base = decode_oracle_date(b[:7])
+    if base is None:
+        return None
+    nanos = struct.unpack(">I", b[7:11])[0]
+    base = base.replace(microsecond=nanos // 1000)
+    if b[11] & 0x80:  # region id
+        rid = ((b[11] & 0x7F) << 8) | b[12]
+        tz = (tz_names or {}).get(rid, f"tz#{rid}")
+    else:
+        oh, om = b[11] - 20, b[12] - 60
+        tz = f"{'+' if oh >= 0 else '-'}{abs(oh):02d}:{abs(om):02d}"
+    return base, tz
 
 
 # ------------------------------------------------------- ROWID / XID text

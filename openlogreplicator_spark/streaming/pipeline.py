@@ -31,7 +31,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
@@ -192,21 +192,32 @@ class CdcPipeline:
     def _write_metrics(
         self, batch_df: DataFrame, epoch_id: int, secs: float, stats: list[dict]
     ) -> None:
-        """A5 lineage side table: per-input-partition counts + epoch throughput."""
+        """A5 lineage side table (schema per FIXTURES.md §5): per-input-
+        partition event counts + epoch-level apply/dedup/wall numbers."""
+        applied = sum(s.get("rows", 0) for s in stats)
         per_part = (
             batch_df.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
-                F.count("*").alias("events"),
+                F.count("*").alias("events_in"),
                 F.min("warc_ts").alias("min_warc_ts"),
                 F.max("warc_ts").alias("max_warc_ts"),
-                F.sum(F.when(F.col("op") == "ddl", 1).otherwise(0)).alias("ddl_events"),
-                F.sum(F.when(F.col("rolled_back"), 1).otherwise(0)).alias("rolled_back"),
+                F.sum(F.when(F.col("op") == "ddl", 1).otherwise(0))
+                .cast("int").alias("ddl_applied"),
+                F.sum(F.when(F.col("rolled_back"), 1).otherwise(0))
+                .alias("rolled_back_excluded"),
             )
-            .withColumn("epoch_id", F.lit(epoch_id))
-            .withColumn("epoch_secs", F.lit(round(secs, 3)))
+            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+            .withColumn("events_applied", F.lit(applied).cast("long"))
             .withColumn(
-                "rows_merged", F.lit(sum(s.get("rows", 0) for s in stats))
+                "events_deduped",
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.sum("events_in").over(Window.partitionBy("epoch_id"))
+                    - F.lit(applied),
+                ),
             )
+            .withColumn("wall_ms", F.lit(int(secs * 1000)).cast("long"))
+            .withColumn("committed_at", F.current_timestamp())
         )
         per_part.write.mode("append").parquet(self.metrics_path)
 

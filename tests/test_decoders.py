@@ -96,3 +96,61 @@ def test_rowid_and_xid_exprs(spark):
     assert out["rid"] == enc(92, 6) + enc(4, 3) + enc(((1 << 22) | 0x81) & 0x3FFFFF, 6) + enc(7, 3)
     assert len(out["rid"]) == 18
     assert out["xid"] == "0x0005.00b.00001234"
+
+
+def test_interval_decoders(spark):
+    import struct as _s
+
+    from openlogreplicator_spark.functions.decoders import (
+        decode_interval_ds,
+        decode_interval_ym,
+        interval_ds_col,
+        interval_ym_col,
+    )
+
+    ym = _s.pack(">I", (1 << 31) + 3) + bytes([60 + 7])      # 3 years 7 months
+    ds = _s.pack(">I", (1 << 31) + 2) + bytes([60 + 5, 60 + 30, 60 + 15]) + _s.pack(
+        ">I", (1 << 31) + 500_000_000
+    )  # 2d 5h30m15.5s
+    assert decode_interval_ym(ym) == (3, 7)
+    assert decode_interval_ds(ds) == (2, 5, 30, 15, 500_000_000)
+
+    df = spark.createDataFrame([(ym, ds)], "ym binary, ds binary")
+    row = df.select(
+        interval_ym_col(F.col("ym")).cast("string").alias("ymi"),
+        interval_ds_col(F.col("ds")).alias("dsi"),
+    ).collect()[0]
+    # YearMonthIntervalType can't round-trip to Python; assert the rendering
+    assert row["ymi"] == "INTERVAL '3-7' YEAR TO MONTH"
+    import datetime as dt
+
+    assert row["dsi"] == dt.timedelta(days=2, hours=5, minutes=30, seconds=15.5)
+
+
+def test_tstz_decoder():
+    import struct as _s
+
+    from openlogreplicator_spark.functions.decoders import decode_tstz
+
+    date7 = bytes([120, 114, 6, 30, 13, 35, 57])  # 2014-06-30 12:34:56 UTC
+    nanos = _s.pack(">I", 123_000_000)
+    fixed = date7 + nanos + bytes([20 + 2, 60 + 30])          # +02:30
+    region = date7 + nanos + bytes([0x80 | 0x01, 0x44])       # region id 0x144
+    got_f = decode_tstz(fixed)
+    assert got_f[1] == "+02:30" and got_f[0].microsecond == 123_000
+    got_r = decode_tstz(region, {0x144: "Europe/Warsaw"})
+    assert got_r[1] == "Europe/Warsaw"
+
+
+def test_charset_decode(spark):
+    from openlogreplicator_spark.functions.decoders import charset_decode
+
+    df = spark.createDataFrame(
+        [("café".encode("iso-8859-1"), "über".encode("utf-16-le"))],
+        "latin binary, utf16 binary",
+    )
+    row = df.select(
+        charset_decode(F.col("latin"), "ISO-8859-1").alias("a"),
+        charset_decode(F.col("utf16"), "UTF-16LE").alias("b"),
+    ).collect()[0]
+    assert row["a"] == "café" and row["b"] == "über"

@@ -70,7 +70,9 @@ def test_streaming_replay_matches_golden(spark, events_dir, events_pdf, pipe_dir
     m = spark.read.parquet(pipe_dirs["metrics"]).toPandas()
     n_files = len(glob.glob(os.path.join(events_dir, "*.parquet")))
     assert m["epoch_id"].nunique() == n_files
-    assert m["events"].sum() == len(events_pdf)
+    assert m["events_in"].sum() == len(events_pdf)
+    assert (m["events_applied"] > 0).all() and (m["wall_ms"] > 0).all()
+    assert {"events_deduped", "ddl_applied", "committed_at", "partition_id"} <= set(m.columns)
 
 
 def test_resume_from_checkpoint_is_bit_exact(spark, events_dir, events_pdf,
