@@ -134,6 +134,27 @@ def lww_compact_semijoin(
     )
 
 
+def lww_compact_grouped_pandas(
+    df: DataFrame, key: str = "url", order: Sequence[str] = DEFAULT_ORDER
+) -> DataFrame:
+    """applyInPandas grouped-map LWW (SURVEY.md §2.10's per-key fallback
+    surface): one Arrow batch per key group, winner picked in pandas.
+    Functionally identical to the others; use only when the per-group logic
+    outgrows what max_by can express (e.g. multi-row merge of partial
+    images, the reference's row-piece chaining J3) — for plain LWW the
+    JVM-side forms are strictly faster."""
+    import pandas as pd
+
+    cols = list(df.columns)
+    order_cols = list(order)
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = pdf.sort_values(order_cols, kind="stable").tail(1)
+        return w[cols]
+
+    return df.groupBy(key).applyInPandas(pick, df.schema)
+
+
 def lww_compact_window(
     df: DataFrame, key: str = "url", order: Sequence[str] = DEFAULT_ORDER
 ) -> DataFrame:

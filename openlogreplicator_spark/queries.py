@@ -85,6 +85,28 @@ def cdc_lww_latest(spark, sf_dir):
 
 
 @register(
+    "cdc_lww_latest_semijoin",
+    """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def cdc_lww_latest_semijoin(spark, sf_dir):
+    """Same LWW snapshot via the wide-payload semijoin strategy (narrow
+    winner agg + hash broadcast + exact post-compaction) — shares
+    cdc_lww_latest's oracle, proving the optimized plan is value-identical."""
+    from .operators.lww import lww_compact_semijoin
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return lww_compact_semijoin(ev, key="user_id", order=("ts", "event_id"))
+
+
+@register(
     "cdc_op_counts",
     """
     SELECT event_type, count(*) AS n_events, min(ts) AS first_ts,

@@ -25,14 +25,18 @@ def _key(df):
     return pdf[["url", "warc_ts", "_seq", "op", "text"]]
 
 
-def test_four_impls_agree(dml_df):
+def test_five_impls_agree(dml_df):
+    from openlogreplicator_spark.operators.lww import lww_compact_grouped_pandas
+
     a = _key(lww_compact(dml_df, "url", ("warc_ts", "_seq")))
     b = _key(lww_compact_salted(dml_df, "url", ("warc_ts", "_seq"), n_salts=8))
     c = _key(lww_compact_window(dml_df, "url", ("warc_ts", "_seq")))
     d = _key(lww_compact_semijoin(dml_df, "url", ("warc_ts", "_seq")))
+    e = _key(lww_compact_grouped_pandas(dml_df, "url", ("warc_ts", "_seq")))
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
     pd.testing.assert_frame_equal(a, d)
+    pd.testing.assert_frame_equal(a, e)
 
 
 @pytest.mark.parametrize("n_salts", [1, 3, 32])
