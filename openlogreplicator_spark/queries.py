@@ -29,6 +29,10 @@ from .functions import text as TXT
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # UTC session tz: epoch-based expressions (unix_timestamp in
+    # cdc_sessions) must agree with the tz-naive DuckDB oracle even if the
+    # harness session runs in a non-UTC zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
