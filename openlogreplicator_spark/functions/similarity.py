@@ -213,6 +213,94 @@ def brute_force_topk(
     )
 
 
+# ---------------------------------------------------------------- IVF ANN
+
+
+def _centroid_literal(c: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def _scored_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """array<struct<d,cid>> of (negated cosine, cell id) — cast to a named
+    struct type (F.array normalizes away field aliases otherwise)."""
+    return F.array(*[
+        F.struct((-cosine(vec, _centroid_literal(c))).alias("d"),
+                 F.lit(i).alias("cid")).cast("struct<d:double,cid:int>")
+        for i, c in enumerate(centroids)
+    ])
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over centroid cosine distances, as one expression (centroids
+    are driver-side constants — k×dim literals, no join)."""
+    return F.array_min(_scored_cells(vec, centroids))["cid"]
+
+
+def kmeans_fit(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 8, iters: int = 4,
+) -> list[list[float]]:
+    """Deterministic mini k-means (IVF coarse quantizer): init = the k
+    vectors with smallest md5(id) (seedless, replay-stable), then Lloyd
+    iterations as DataFrame jobs — only the k×dim centroid matrix ever
+    reaches the driver, the corpus never moves."""
+    init = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+    for _ in range(iters):
+        assigned = emb.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            F.posexplode(vec_col).alias("pos", "val"),
+        )
+        rows = (
+            assigned.groupBy("cid", "pos")
+            .agg(F.avg("val").alias("v"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("vs"))
+            .collect()
+        )
+        new = {r["cid"]: [float(p["v"]) for p in r["vs"]] for r in rows}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: score only vectors whose cell is among the query's nprobe
+    nearest cells — an equi-join on cell id, no corpus broadcast, no n²."""
+    probe_cells = F.slice(
+        F.array_sort(_scored_cells(F.col(vec_col), centroids)), 1, nprobe
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.transform(probe_cells, lambda s: s["cid"])).alias("cid"),
+    )
+    indexed = emb.select(
+        id_col, vec_col, _nearest_centroid(F.col(vec_col), centroids).alias("cid")
+    )
+    scored = (
+        indexed.join(q, "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, cosine(F.col("qvec"), F.col(vec_col)).alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def sign_projection_bucket(vec: Column, dim_pairs: list[tuple[int, int]]) -> Column:
     """Deterministic LSH bucket id: sign bits of coordinate-difference
     projections (element_at is 1-indexed, matching DuckDB list indexing)."""

@@ -734,6 +734,21 @@ def emb_centroid_by_label(spark, sf_dir):
 # =========================================================================
 
 
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the scale path beside LSH): deterministic mini-k-means coarse
+    quantizer fit as DataFrame jobs (only the k×dim centroid matrix touches
+    the driver), then top-k search probing the nprobe nearest cells — an
+    iterative algorithm, hence no SQL oracle (rows-only check)."""
+    from .functions.similarity import ivf_topk, kmeans_fit
+
+    emb = T(spark, sf_dir, "embeddings").cache()
+    cents = kmeans_fit(emb, k=8, iters=3)
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=5, nprobe=2)
+    emb.unpersist()
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 @register("engine_replay_state")
 def engine_replay_state(spark, sf_dir):
     """Flagship CDC path end-to-end on a deterministic synthesized change log

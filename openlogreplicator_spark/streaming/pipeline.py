@@ -138,19 +138,23 @@ class CdcPipeline:
                 skip_urls=cfg.get("skip_urls"),
                 min_schema_ver=cfg.get("min_schema_ver"),
             )
+        # M6 malformed/oversized-event policy: the reference DROPS oversized
+        # transactions (transaction-max-mb, Parser.cpp:683-692) and throws on
+        # malformed vectors (bounds checks, RedoLogRecord.h:121-161); we
+        # route both to a dead-letter table so nothing is silently lost.
+        bad = (F.col("op") != "ddl") & (
+            F.col("url").isNull() | F.col("warc_ts").isNull() | F.col("op").isNull()
+        )
         if self.max_html_bytes is not None:
-            # M6 oversized-payload policy: the reference DROPS transactions
-            # over transaction-max-mb (Parser.cpp:683-692); we route them to
-            # a dead-letter table instead so nothing is silently lost.
-            oversized = F.length(F.col("html")) > self.max_html_bytes
-            if self.dead_letter_path:
-                (
-                    batch_df.filter(oversized)
-                    .withColumn("epoch_id", F.lit(int(epoch_id)))
-                    .write.mode("append")
-                    .parquet(self.dead_letter_path)
-                )
-            batch_df = batch_df.filter(~F.coalesce(oversized, F.lit(False)))
+            bad = bad | (F.length(F.col("html")) > self.max_html_bytes)
+        if self.dead_letter_path:
+            (
+                batch_df.filter(bad)
+                .withColumn("epoch_id", F.lit(int(epoch_id)))
+                .write.mode("append")
+                .parquet(self.dead_letter_path)
+            )
+        batch_df = batch_df.filter(~F.coalesce(bad, F.lit(False)))
 
         ddl_rows = sorted(
             ddl_events(batch_df).collect(), key=lambda r: (r["warc_ts"], r["seq"])
@@ -222,14 +226,23 @@ class CdcPipeline:
         per_part.write.mode("append").parquet(self.metrics_path)
 
     # -------------------------------------------------------------- runners
-    def run_available_now(self, max_files_per_trigger: int = 1) -> None:
+    def run_available_now(
+        self,
+        max_files_per_trigger: int = 1,
+        max_bytes_per_trigger: str | None = None,
+    ) -> None:
         """Streaming replay: one micro-batch per trigger unit, resumable from
-        the checkpoint. Processes everything currently in the log, then stops."""
-        stream = (
-            self.spark.readStream.schema(EVENTS_DDL)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(self.events_path)
-        )
+        the checkpoint. Processes everything currently in the log, then stops.
+
+        max_bytes_per_trigger caps epoch size by bytes (the reference's
+        memory-envelope knob, memory-max-mb / read-buffer-max-mb,
+        OpenLogReplicator.cpp:218-249 — backpressure instead of OOM)."""
+        reader = self.spark.readStream.schema(EVENTS_DDL)
+        if max_bytes_per_trigger is not None:
+            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+        else:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(self.events_path)
         q = (
             stream.writeStream.foreachBatch(self.apply_epoch)
             .option("checkpointLocation", self.checkpoint_path)

@@ -131,3 +131,34 @@ def test_lsh_topk_subset_of_bucket(spark):
     buckets = dict(zip(b["vec_id"], b["bucket"]))
     for _, r in out.iterrows():
         assert buckets[r["vec_id"]] == buckets[r["query_id"]]
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # clustered data so IVF cells are meaningful
+    centers = rng.standard_normal((4, 12)) * 3
+    vecs = []
+    for i in range(400):
+        c = centers[i % 4]
+        v = c + rng.standard_normal(12) * 0.3
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<double>").cache()
+    cents = S.kmeans_fit(emb, k=4, iters=3)
+    assert len(cents) == 4 and all(len(c) == 12 for c in cents)
+    # determinism: same input -> same centroids, regardless of partitioning
+    cents2 = S.kmeans_fit(emb.repartition(9), k=4, iters=3)
+    for a, b in zip(cents, cents2):
+        assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=2).toPandas()
+    brute = S.brute_force_topk(emb, queries, k=5).toPandas()
+    # recall@5 against brute force should be high on clustered data
+    hits = 0
+    for qid in range(5):
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        want = set(brute[brute["query_id"] == qid]["vec_id"])
+        hits += len(got & want)
+    assert hits / 25 >= 0.8, hits

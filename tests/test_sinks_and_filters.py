@@ -134,3 +134,36 @@ def test_streaming_windowed_metrics(spark, events_dir, tmp_path):
     assert len(got) > 0
     assert set(got["op"]) <= {"c", "u", "d", "ddl"}
     assert (got["n_events"] > 0).all()
+
+
+def test_malformed_events_routed_to_dead_letter(spark, tmp_path):
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
+
+    rows = [
+        (0, "2020-01-01 00:00:00", "c", "ok1", None, "t", "en", None, None,
+         1, False, None, None, None, None),
+        (1, "2020-01-01 00:01:00", "u", None, None, "t", "en", None, None,
+         1, False, None, None, None, None),   # null url -> malformed
+        (2, None, "c", "ok2", None, "t", "en", None, None,
+         1, False, None, None, None, None),   # null warc_ts -> malformed
+    ]
+    df = spark.createDataFrame(
+        rows, DDL.replace("warc_ts timestamp", "warc_ts string")
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    p = CdcPipeline(spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+                    dead_letter_path=str(tmp_path / "dead"))
+    p.apply_epoch(df, 0)
+    state = {r["url"] for r in p.target_state().collect()}
+    assert state == {"ok1"}
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 2
+
+
+def test_max_bytes_per_trigger(spark, events_dir, tmp_path):
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    p.run_available_now(max_bytes_per_trigger=str(1024 * 1024))
+    from openlogreplicator_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t.last_epoch()[0] >= 1  # several byte-capped epochs
+    assert p.target_state().count() > 0
