@@ -94,8 +94,10 @@ def membw_probe() -> dict:
     return out
 
 
-def cdc_subprocess(cores: int, events_dir: str, streaming: bool = False) -> dict:
-    """Run the CDC apply in an isolated process: warmup + min of N_REPEATS."""
+def cdc_subprocess(cores: int, events_dir: str, streaming: bool = False,
+                   n_repeats: int | None = None, warmup: int = 1) -> dict:
+    """Run the CDC apply in an isolated process: warmup + min of n_repeats."""
+    n_repeats = N_REPEATS if n_repeats is None else n_repeats
     code = f"""
 import sys, time, tempfile, json, shutil
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
@@ -105,7 +107,7 @@ spark = build_session(app_name="olr-bench-{cores}", cores={cores},
                       shuffle_partitions={4 * cores})
 times = []
 rows = 0
-for rep in range({1 + N_REPEATS}):
+for rep in range({warmup + n_repeats}):
     work = tempfile.mkdtemp(dir={scratch_base()!r}, prefix="olr_bench_run_")
     p = CdcPipeline(spark, {events_dir!r}, work + "/t", work + "/c",
                     n_buckets=64)
@@ -115,7 +117,7 @@ for rep in range({1 + N_REPEATS}):
     else:
         p.run_batch_replay()
     secs = time.time() - t0
-    if rep > 0:  # rep 0 = JIT warmup
+    if rep >= {warmup}:  # leading reps = JIT warmup
         times.append(secs)
     rows = p.target_state().count() if rep == 0 else rows
     shutil.rmtree(work, ignore_errors=True)
@@ -157,7 +159,7 @@ def main() -> None:
     lo = cdc_subprocess(SCALE_LO, events_dir)
     hi = cdc_subprocess(SCALE_HI, events_dir)
     peak = cdc_subprocess(CPUS, events_dir) if CPUS not in (SCALE_LO, SCALE_HI) else hi
-    stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True)
+    stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True, n_repeats=1, warmup=0)
 
     eff = None
     if "events_per_sec" in lo and "events_per_sec" in hi:
