@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from .lww import lww_compact
+from .lww import lww_compact, lww_compact_semijoin
 
 
 def read_state(table: LakeTable) -> DataFrame:
@@ -120,7 +120,11 @@ def merge_into(
             table.commit_summary_only(summary)
             return {"touched_buckets": 0, "files": 0, "rows": 0}
         current = table.read(touched).withColumn("_bucket", table.bucket_expr())
-        merged = lww_compact(
+        # reconcile with the semijoin LWW: winners are found on a
+        # column-pruned narrow scan of (key, warc_ts, _seq) over both sides,
+        # so the wide stored payload is never shuffled — steady-state epochs
+        # otherwise re-shuffle the whole touched-bucket contents every merge.
+        merged = lww_compact_semijoin(
             current.unionByName(b), key=key, order=("warc_ts", "_seq")
         )
 

@@ -18,6 +18,10 @@ whole-stage-codegen'd, zero Python (the reference notes its JSON builder is
            present (not shipped in this sandbox — the frame itself is tested).
 * zeromq/network — reference-only transports; a Kafka/file sink covers the
            delivery semantics Spark guarantees (per-epoch atomicity).
+* protobuf — the reference's second format (its own tests found JSON ~2.5x
+           faster to build, user-manual.adoc:213-217); Spark's `to_protobuf`
+           slots into `build_*_messages` wherever the spark-protobuf jar is
+           deployed — not shipped in this sandbox, so JSON is the format.
 """
 
 from __future__ import annotations
