@@ -222,10 +222,14 @@ class LakeTable:
         replaced_buckets: Iterable[int],
         summary: dict[str, Any],
         schema_ver: int | None = None,
+        extra: dict[str, Any] | None = None,
     ) -> None:
-        """Commit: carry over untouched buckets' files, swap in new ones.
+        """Commit: carry over untouched buckets' files, swap in new ones
+        (empty ``replaced_buckets`` = pure append, the merge-on-read path).
 
         ``new_files`` entries: {"path": rel, "bucket": int, "schema_ver": v, "rows": n}.
+        ``extra`` merges top-level keys into the snapshot (e.g. the
+        needs_read_compaction flag).
         """
         replaced = set(replaced_buckets)
         snap = self._next_snap(summary=summary)
@@ -234,6 +238,8 @@ class LakeTable:
         ] + list(new_files)
         if schema_ver is not None:
             assert str(schema_ver) in snap["schemas"]
+        for k, v in (extra or {}).items():
+            snap[k] = v
         self._write_snapshot(snap)
         self.snap = snap
 

@@ -37,8 +37,14 @@ from .lww import lww_compact, lww_compact_semijoin
 
 
 def read_state(table: LakeTable) -> DataFrame:
-    """User-facing scan: live rows only (tombstones filtered, internal cols kept)."""
-    return table.read().filter(F.col("_op") != "d")
+    """User-facing scan: live rows only (tombstones filtered, internal cols
+    kept). On a merge-on-read table (uncompacted appended deltas), winners
+    are resolved at read time — same LWW total order, so state is identical
+    to the copy-on-write path."""
+    df = table.read()
+    if table.snap.get("needs_read_compaction"):
+        df = lww_compact_semijoin(df, key=table.key_col, order=("warc_ts", "_seq"))
+    return df.filter(F.col("_op") != "d")
 
 
 def purge_tombstones(table: LakeTable, older_than) -> dict:
@@ -82,6 +88,96 @@ def purge_tombstones(table: LakeTable, older_than) -> dict:
         new_files, dirty, {"op": "purge_tombstones", "buckets": len(dirty)}
     )
     return {"buckets_rewritten": len(dirty), "rows": rows}
+
+
+def merge_append(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int = 0,
+    final: bool = True,
+    extra_summary: dict | None = None,
+) -> dict:
+    """Merge-on-read upsert (Iceberg MoR analogue): append the compacted
+    batch as per-bucket delta files WITHOUT reading or rewriting the current
+    data — epoch cost is O(batch), not O(touched-bucket contents). Readers
+    resolve LWW across deltas (read_state); ``compact_table`` collapses
+    deltas back to one file per bucket. Use for high-frequency epochs where
+    copy-on-write write amplification dominates (each file still carries the
+    schema_ver it was written under, so evolution semantics are unchanged)."""
+    t0 = time.time()
+    b = batch.withColumn("_bucket", table.bucket_expr())
+    absdir, _rel = table.new_data_dir()
+    (
+        b.repartition(max(1, min(table.n_buckets, 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = [], 0
+    for root, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            ap = os.path.join(root, fn)
+            n = pq.ParquetFile(ap).metadata.num_rows
+            rows += n
+            new_files.append(
+                {
+                    "path": os.path.relpath(ap, table.path),
+                    "bucket": int(os.path.basename(root).split("=")[1]),
+                    "schema_ver": table.current_schema_ver,
+                    "rows": n,
+                }
+            )
+    summary = {
+        "op": "merge_append",
+        "epoch_id": int(epoch_id),
+        "final": bool(final),
+        "merge_secs": round(time.time() - t0, 3),
+        "rows_written": rows,
+        **(extra_summary or {}),
+    }
+    table.commit_files(
+        new_files, replaced_buckets=[], summary=summary,
+        extra={"needs_read_compaction": True},
+    )
+    return {"touched_buckets": len({f['bucket'] for f in new_files}),
+            "files": len(new_files), "rows": rows}
+
+
+def compact_table(table: LakeTable) -> dict:
+    """Collapse merge-on-read deltas: LWW per bucket, rewrite every bucket to
+    a single file, clear the read-compaction flag. The maintenance half of
+    merge_append (run on a cadence, like the reference's checkpoint GC)."""
+    full = table.read().withColumn("_bucket", table.bucket_expr())
+    merged = lww_compact_semijoin(full, key=table.key_col, order=("warc_ts", "_seq"))
+    absdir, _rel = table.new_data_dir()
+    (
+        merged.repartition(max(1, min(table.n_buckets, 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = [], 0
+    for root, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            ap = os.path.join(root, fn)
+            n = pq.ParquetFile(ap).metadata.num_rows
+            rows += n
+            new_files.append(
+                {
+                    "path": os.path.relpath(ap, table.path),
+                    "bucket": int(os.path.basename(root).split("=")[1]),
+                    "schema_ver": table.current_schema_ver,
+                    "rows": n,
+                }
+            )
+    all_buckets = {f["bucket"] for f in table.snap["files"]}
+    table.commit_files(
+        new_files, all_buckets, {"op": "compact", "rows": rows},
+        extra={"needs_read_compaction": False},
+    )
+    return {"files": len(new_files), "rows": rows}
 
 
 def merge_into(

@@ -43,7 +43,7 @@ from ..operators.decode import (
     project_dml,
 )
 from ..operators.lww import lww_compact, lww_compact_salted, lww_compact_semijoin
-from ..operators.merge import merge_into, read_state
+from ..operators.merge import merge_append, merge_into, read_state
 
 # Target-table base schema (log schema_ver = 1). _seq/_op are engine columns:
 # the LWW tie-breaker and the tombstone marker (user reads filter _op='d').
@@ -69,6 +69,7 @@ class CdcPipeline:
         n_buckets: int = 16,
         n_salts: int = 8,
         lww_strategy: str = "semijoin",
+        merge_mode: str = "cow",
         recompute_text: bool = False,
         filter_config_path: str | None = None,
         max_html_bytes: int | None = None,
@@ -82,6 +83,7 @@ class CdcPipeline:
         self.n_buckets = n_buckets
         self.n_salts = n_salts
         self.lww_strategy = lww_strategy
+        self.merge_mode = merge_mode  # "cow" rewrite-on-merge | "mor" append-deltas
         self.recompute_text = recompute_text
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
@@ -181,8 +183,9 @@ class CdcPipeline:
             "salted": lambda: lww_compact_salted(dml, "url", n_salts=self.n_salts),
             "maxby": lambda: lww_compact(dml, "url"),
         }[self.lww_strategy]()
+        do_merge = merge_append if self.merge_mode == "mor" else merge_into
         stats = [
-            merge_into(
+            do_merge(
                 table,
                 compacted,
                 epoch_id=int(epoch_id),

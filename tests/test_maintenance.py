@@ -103,3 +103,54 @@ def test_pyfiles_zip_builds(tmp_path):
     names = zipfile.ZipFile(out).namelist()
     assert "openlogreplicator_spark/streaming/pipeline.py" in names
     assert "openlogreplicator_spark/lake/table.py" in names
+
+
+def test_merge_on_read_matches_golden(spark, events_dir, events_pdf, tmp_path):
+    """MoR streaming replay: append-only epochs + read-time LWW produce the
+    exact golden state; compaction collapses deltas without changing it."""
+    from openlogreplicator_spark.operators.merge import compact_table
+    from openlogreplicator_spark.replayer import replay
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor")
+    p.run_available_now(max_files_per_trigger=2)
+    golden = replay(events_pdf)
+
+    def state_pdf():
+        s = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
+        return s
+
+    got = state_pdf()
+    assert list(got["url"]) == list(golden["url"])
+    assert all(a == b for a, b in zip(got["text"], golden["text"]))
+    assert got["http_status"].astype("Int64").equals(golden["http_status"].astype("Int64"))
+
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t.snap["needs_read_compaction"]
+    files_before = len(t.snap["files"])
+    stats = compact_table(t)
+    assert stats["files"] <= files_before
+    t2 = LakeTable.load(spark, str(tmp_path / "t"))
+    assert not t2.snap.get("needs_read_compaction")
+    # state identical after compaction (and reads no longer need LWW)
+    got2 = state_pdf()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, got2)
+
+
+def test_mor_append_is_state_idempotent(spark, events_dir, tmp_path):
+    """Forced re-append of the same batch (crash between merge and epoch
+    commit) duplicates delta rows but not STATE — read-time LWW collapses."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor")
+    p.run_batch_replay()
+    before = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    df = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    p.apply_epoch(df, epoch_id=1)  # bypass gate with a new epoch id
+    after = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
