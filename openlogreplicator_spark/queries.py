@@ -230,6 +230,32 @@ def cdc_watermark(spark, sf_dir):
 
 
 @register(
+    "cdc_running_totals",
+    """
+    SELECT user_id, event_id, ts,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_value,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg_5
+    FROM events
+    """,
+)
+def cdc_running_totals(spark, sf_dir):
+    """W4 frame specs: running total (unbounded preceding) + 5-row moving
+    average per key in event order — the analytic-window surface."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_value"),
+        F.round(F.avg("value").over(w.rowsBetween(-4, 0)), 4).alias("moving_avg_5"),
+    )
+
+
+@register(
     "cdc_rollup_type_day",
     """
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
