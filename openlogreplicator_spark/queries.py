@@ -256,6 +256,29 @@ def cdc_running_totals(spark, sf_dir):
 
 
 @register(
+    "cdc_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_value_percentiles(spark, sf_dir):
+    """A6 ordered-statistic aggregates: exact interpolated percentiles per op
+    type (Spark `percentile` == DuckDB `quantile_cont`); the
+    approx_percentile/approx_count_distinct sketch family swaps in at scale
+    (sketches differ per engine, so the oracle pins the exact form)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
     "cdc_rollup_type_day",
     """
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
