@@ -64,8 +64,12 @@ class LakeTable:
         key_col: str,
         n_buckets: int = 16,
         schema_ver: int = 1,
+        reserved_cols: list[str] | None = None,
     ) -> "LakeTable":
-        """Create an empty table. ``fields`` = [(name, spark_ddl_type), ...]."""
+        """Create an empty table. ``fields`` = [(name, spark_ddl_type), ...].
+
+        ``reserved_cols``: columns (beyond the key) the engine addresses by
+        name — e.g. LWW order columns — protected from rename_column."""
         os.makedirs(os.path.join(path, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = [
@@ -76,6 +80,7 @@ class LakeTable:
             "version": 1,
             "parent": None,
             "key_col": key_col,
+            "reserved_cols": list(reserved_cols or []),
             "n_buckets": n_buckets,
             "current_schema_ver": schema_ver,
             "next_field_id": len(schema) + 1,
@@ -130,7 +135,16 @@ class LakeTable:
         return self.schema_at(self.current_schema_ver)
 
     def last_epoch(self) -> tuple[int, bool]:
-        """(last committed epoch_id, whether it was finalized); (-1, True) if none."""
+        """(last confirmed epoch_id, whether it was finalized); (-1, True) if none.
+
+        Reads the dedicated ``confirmed_epoch`` snapshot field, which only
+        epoch-bearing commits advance and every other commit carries forward —
+        so a maintenance commit (evolve / compact / purge) between an epoch and
+        its re-delivery cannot reset the exactly-once gate. Falls back to the
+        commit summary for pre-upgrade snapshots."""
+        ce = self.snap.get("confirmed_epoch")
+        if ce is not None:
+            return int(ce["epoch_id"]), bool(ce["final"])
         s = self.snap.get("summary", {})
         return int(s.get("epoch_id", -1)), bool(s.get("final", True))
 
@@ -191,6 +205,13 @@ class LakeTable:
             cur.append({"id": nfid, "name": col_name, "type": _norm_type(new_type)})
             nfid += 1
         elif action == "rename_column":
+            # Engine-reserved columns (the merge key, LWW order columns and
+            # the tombstone marker) are addressed by name throughout the merge
+            # path — renaming them would orphan the key; payload columns are
+            # safe (project_dml resolves them by field id).
+            reserved = {self.key_col} | set(self.snap.get("reserved_cols", ()))
+            if col_name in reserved or new_name in reserved:
+                raise ValueError(f"cannot rename engine-reserved column: {col_name}")
             tgt = next(f for f in cur if f["name"] == col_name)
             tgt["name"] = new_name
         elif action == "widen_type":
@@ -289,6 +310,13 @@ class LakeTable:
         snap["parent"] = self.snap["version"]
         snap["version"] = self.snap["version"] + 1
         snap["summary"] = summary
+        # confirmed-epoch high watermark: advanced only by epoch-bearing
+        # commits, carried forward (via the deep copy) by everything else.
+        if "epoch_id" in summary:
+            snap["confirmed_epoch"] = {
+                "epoch_id": int(summary["epoch_id"]),
+                "final": bool(summary.get("final", True)),
+            }
         return snap
 
     def _write_snapshot(self, snap: dict) -> None:

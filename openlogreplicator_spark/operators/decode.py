@@ -125,14 +125,21 @@ def project_dml(
     """
     base_ids = {f["id"] for f in table.schema_at(1)} if "1" in table.snap["schemas"] else set()
     vers = sorted(int(v) for v in table.snap["schemas"])
+    # Base columns resolve by FIELD ID, not current name: v1 field ids 1..N
+    # map positionally onto the log columns (BASE_COLUMN_MAP order), so a
+    # rename_column on a base payload column (e.g. lang -> language) still
+    # finds its log source. This is the same id-is-identity rule the evolved
+    # columns follow (reference Schema.cpp:727-930).
+    log_src_by_id = {i + 1: src for i, src in enumerate(BASE_COLUMN_MAP)}
+    text_fid = list(BASE_COLUMN_MAP).index("text") + 1
 
     cols: list[Column] = []
     for f in table.current_schema():
         fid, cur_name, typ = f["id"], f["name"], f["type"]
         if fid in base_ids:
-            src = next(e for e, t in BASE_COLUMN_MAP.items() if t == cur_name)
+            src = log_src_by_id[fid]
             c = F.col(src)
-            if cur_name == "text" and recompute_text:
+            if fid == text_fid and recompute_text:
                 c = F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
             cols.append(c.cast(typ).alias(cur_name))
             continue

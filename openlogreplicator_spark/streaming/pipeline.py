@@ -111,6 +111,7 @@ class CdcPipeline:
             key_col="url",
             n_buckets=self.n_buckets,
             schema_ver=1,
+            reserved_cols=["warc_ts", "_seq", "_op"],
         )
 
     def target_state(self) -> DataFrame:
@@ -144,19 +145,25 @@ class CdcPipeline:
         # transactions (transaction-max-mb, Parser.cpp:683-692) and throws on
         # malformed vectors (bounds checks, RedoLogRecord.h:121-161); we
         # route both to a dead-letter table so nothing is silently lost.
-        bad = (F.col("op") != "ddl") & (
+        # eqNullSafe: a NULL op must count as "not ddl" (three-valued logic
+        # would otherwise drop the row without dead-lettering it).
+        bad = (~F.col("op").eqNullSafe("ddl")) & (
             F.col("url").isNull() | F.col("warc_ts").isNull() | F.col("op").isNull()
         )
         if self.max_html_bytes is not None:
-            bad = bad | (F.length(F.col("html")) > self.max_html_bytes)
+            bad = bad | F.coalesce(
+                F.length(F.col("html")) > self.max_html_bytes, F.lit(False)
+            )
         if self.dead_letter_path:
+            # per-epoch overwrite (epoch_id carried by the partition dir):
+            # checkpoint replay of an epoch rewrites the same directory, so
+            # side output stays idempotent alongside the snapshot gate.
             (
                 batch_df.filter(bad)
-                .withColumn("epoch_id", F.lit(int(epoch_id)))
-                .write.mode("append")
-                .parquet(self.dead_letter_path)
+                .write.mode("overwrite")
+                .parquet(os.path.join(self.dead_letter_path, f"epoch_id={int(epoch_id)}"))
             )
-        batch_df = batch_df.filter(~F.coalesce(bad, F.lit(False)))
+        batch_df = batch_df.filter(~bad)
 
         ddl_rows = sorted(
             ddl_events(batch_df).collect(), key=lambda r: (r["warc_ts"], r["seq"])
@@ -213,20 +220,23 @@ class CdcPipeline:
                 F.sum(F.when(F.col("rolled_back"), 1).otherwise(0))
                 .alias("rolled_back_excluded"),
             )
-            .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
             .withColumn("events_applied", F.lit(applied).cast("long"))
             .withColumn(
                 "events_deduped",
                 F.greatest(
                     F.lit(0).cast("long"),
-                    F.sum("events_in").over(Window.partitionBy("epoch_id"))
+                    F.sum("events_in").over(Window.partitionBy(F.lit(1)))
                     - F.lit(applied),
                 ),
             )
             .withColumn("wall_ms", F.lit(int(secs * 1000)).cast("long"))
             .withColumn("committed_at", F.current_timestamp())
         )
-        per_part.write.mode("append").parquet(self.metrics_path)
+        # per-epoch overwrite dir (epoch_id = partition column): replaying an
+        # epoch after a crash rewrites, never duplicates, its metrics rows.
+        per_part.write.mode("overwrite").parquet(
+            os.path.join(self.metrics_path, f"epoch_id={epoch_id}")
+        )
 
     # -------------------------------------------------------------- runners
     def run_available_now(

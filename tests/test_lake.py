@@ -84,6 +84,30 @@ def test_epoch_summary_gate(table):
     assert table.last_epoch() == (3, True)
 
 
+def test_epoch_gate_survives_maintenance_commits(table):
+    """A maintenance commit (evolve/compact/purge) between an epoch and its
+    re-delivery must not reset the exactly-once gate (ADVICE r01): the
+    confirmed-epoch watermark is a dedicated snapshot field, not derived from
+    the last commit summary."""
+    table.commit_summary_only({"op": "merge", "epoch_id": 7, "final": True})
+    table.evolve("add_column", "extra", new_type="int", to_ver=2)
+    table.commit_summary_only({"op": "purge_tombstones", "buckets": 0})
+    assert table.last_epoch() == (7, True)
+
+
+def test_rename_of_reserved_columns_rejected(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "r"), FIELDS, key_col="url", n_buckets=4,
+        reserved_cols=["warc_ts", "_seq", "_op"],
+    )
+    for col in ("url", "warc_ts", "_seq", "_op"):
+        with pytest.raises(ValueError):
+            t.evolve("rename_column", col, new_name="renamed")
+    # payload columns stay renamable (resolved by field id downstream)
+    t.evolve("rename_column", "text", new_name="body")
+    assert any(f["name"] == "body" for f in t.current_schema())
+
+
 def test_commit_is_atomic_pointer_swap(spark, table):
     v0 = table.snap["version"]
     table.commit_summary_only({"op": "noop"})

@@ -73,11 +73,39 @@ def test_semijoin_lww_payload_not_shuffled(spark, events_dir):
     ).withColumnRenamed("seq", "_seq")
     out = lww_compact_semijoin(df, "url")
     p = plan_of(out)
-    assert "BroadcastHashJoin" in p or "BroadcastNestedLoop" not in p
-    # exactly the narrow winner agg exchanges; count total exchanges is small
+    # strict pair: the winner semijoin must BE a broadcast hash join, and must
+    # never degrade to a nested-loop or sort-merge join of the payload.
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoop" not in p, p
+    assert "SortMergeJoin" not in p, p
     join_idx = p.index("BroadcastHashJoin")
     probe_side = p[join_idx:]
     assert "Scan parquet" in probe_side  # payload flows scan->join directly
+
+
+def test_merge_into_reconcile_scans_narrow_winners(spark, events_dir, tmp_path):
+    """merge_into's steady-state reconcile must keep the semijoin shape: the
+    winner search runs on narrow (url, warc_ts, _seq) columns and the stored
+    payload reaches the final projection via broadcast semijoin, not a
+    sort-merge shuffle of the wide rows."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.operators.lww import lww_compact_semijoin
+    from openlogreplicator_spark.streaming.pipeline import TARGET_BASE_FIELDS, CdcPipeline
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    p.run_batch_replay()
+    table = LakeTable.load(spark, str(tmp_path / "t"))
+    current = table.read(None).withColumn("_bucket", table.bucket_expr())
+    batch = current.limit(50)
+    merged = lww_compact_semijoin(
+        current.unionByName(batch), key="url", order=("warc_ts", "_seq")
+    )
+    plan = plan_of(merged)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
 
 
 def test_events_scan_prunes_for_ddl_collect(spark, events_dir):

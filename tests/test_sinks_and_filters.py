@@ -24,7 +24,11 @@ from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 
 @pytest.fixture(scope="module")
 def events_df(spark, events_dir):
-    return spark.read.schema(EVENTS_DDL).parquet(events_dir).cache()
+    df = spark.read.schema(EVENTS_DDL).parquet(events_dir).cache()
+    yield df
+    # unpersist so later plan-assertion tests see a parquet scan, not an
+    # InMemoryTableScan served from this module's cache
+    df.unpersist()
 
 
 def test_json_messages_shape(spark, events_df):

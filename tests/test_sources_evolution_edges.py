@@ -99,6 +99,59 @@ def test_late_pre_evolution_rows_after_evolution(spark, tmp_path):
     assert t.current_schema_ver == 4
 
 
+def test_base_payload_column_rename_survives_next_epoch(spark, tmp_path):
+    """Renaming a v1 base payload column (lang -> language) must not break the
+    next epoch: project_dml resolves base columns by field id, not by their
+    current name (ADVICE r01)."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, DDL.replace("warc_ts timestamp", "warc_ts string")
+        ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+
+    p = CdcPipeline(spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"))
+    p.apply_epoch(ev([
+        (0, "2020-01-01 00:00:00", "c", "u1", None, "t1", "en", None,
+         None, 1, False, None, None, None, None),
+        (1, "2020-01-01 00:01:00", "ddl", None, None, None, None, None,
+         None, 2, False, "rename_column", "lang", "language", None),
+    ]), 0)
+    # epoch after the rename: base columns still project from the log names
+    p.apply_epoch(ev([
+        (2, "2020-01-01 00:02:00", "c", "u2", None, "t2", "de", None,
+         None, 2, False, None, None, None, None),
+    ]), 1)
+    state = {r["url"]: r for r in p.target_state().collect()}
+    assert state["u1"]["language"] == "en"
+    assert state["u2"]["language"] == "de"
+
+
+def test_null_op_rows_are_dead_lettered_not_dropped(spark, tmp_path):
+    """op IS NULL must route to the dead-letter table (ADVICE r01: with
+    three-valued logic `op != 'ddl'` was NULL and the row vanished)."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
+
+    rows = [
+        (0, "2020-01-01 00:00:00", "c", "ok", None, "t", "en", None, None,
+         1, False, None, None, None, None),
+        (1, "2020-01-01 00:01:00", None, "nullop", None, "t", "en", None,
+         None, 1, False, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, DDL.replace("warc_ts timestamp", "warc_ts string")
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    p = CdcPipeline(spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+                    dead_letter_path=str(tmp_path / "dead"))
+    p.apply_epoch(df, 0)
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 1
+    assert dead.collect()[0]["url"] == "nullop"
+    # re-delivery of the epoch rewrites (not duplicates) the side output
+    p.apply_epoch(df, 0)
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == 1
+
+
 def test_ddl_idempotent_on_redelivery(spark, tmp_path):
     """Re-delivered epoch containing DDL must not re-evolve (ver guard)."""
     from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
