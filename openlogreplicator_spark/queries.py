@@ -783,18 +783,59 @@ def emb_centroid_by_label(spark, sf_dir):
 # =========================================================================
 
 
-@register("ann_ivf_topk")
-def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (the scale path beside LSH): deterministic mini-k-means coarse
-    quantizer fit as DataFrame jobs (only the k×dim centroid matrix touches
-    the driver), then top-k search probing the nprobe nearest cells — an
-    iterative algorithm, hence no SQL oracle (rows-only check)."""
-    from .functions.similarity import ivf_topk, kmeans_fit
+_IVF_SQL = """
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid
+      FROM assign WHERE vec_id < 3 AND rn <= 2)
+    SELECT query_id, vec_id,
+           round(CAST(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[]))
+                      AS DOUBLE), 4) AS cosine
+    FROM probes JOIN cells USING (cid)
+    WHERE vec_id <> query_id
+    QUALIFY row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) DESC,
+               vec_id) <= 5
+    """
 
-    emb = T(spark, sf_dir, "embeddings").cache()
-    cents = kmeans_fit(emb, k=8, iters=3)
-    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), cents, k=5, nprobe=2)
-    emb.unpersist()
+
+@register("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (the scale path beside LSH): coarse quantizer cells PINNED to
+    the 8 md5-smallest corpus vectors (deterministic and SQL-derivable, so
+    the search is fully oracle-checked — round-1 task 3), corpus assignment
+    via the Arrow-batched argmin kernel (one map-side pass, no shuffle),
+    then top-k probing the 2 nearest cells per query. The k-means-refined
+    quantizer (kmeans_fit) is the same search path with fitted centroids;
+    its recall floor is pinned in tests/test_functions.py."""
+    from .functions.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), centroids, k=5, nprobe=2)
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -816,10 +857,51 @@ def engine_replay_state(spark, sf_dir):
     return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")
 
 
-@register("docs_simhash_near_dup")
+def _simhash_sql() -> str:
+    """DuckDB twin of functions.similarity.simhash_signatures + blocking:
+    md5-nibble bit votes per distinct token, 64-bit pack (bit 63 via the
+    signed-BIGINT complement), 16-bit-chunk pigeonhole blocking."""
+    nibs = ", ".join(
+        f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1) AS n{i}"
+        for i in range(16)
+    )
+    votes = ", ".join(
+        f"SUM(2 * ((n{15 - (b >> 2)} >> {b & 3}) & 1) - 1) AS v{b}"
+        for b in range(64)
+    )
+    low = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(63)
+    )
+    sig = f"({low} + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+    return f"""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) > 0),
+    nib AS (SELECT doc_id, {nibs} FROM tok),
+    votes AS (SELECT doc_id, {votes} FROM nib GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM votes),
+    full_sig AS (
+      SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+      FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+    blocked AS (
+      SELECT doc_id, simhash, c.chunk_id,
+             (simhash >> (c.chunk_id * 16)) & 65535 AS chunk
+      FROM full_sig, (SELECT unnest([0, 1, 2, 3]) AS chunk_id) c)
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM blocked l JOIN blocked r
+      ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """
+
+
+@register("docs_simhash_near_dup", _simhash_sql())
 def docs_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 3) with 16-bit-chunk blocking —
-    pigeonhole guarantees no candidate is missed; no all-pairs join.
-    Bit-twiddling signature via Arrow-batched pandas UDF (no SQL twin)."""
+    pigeonhole guarantees no candidate is missed; no all-pairs join. The
+    signature is built from JVM md5-nibble bit votes (no Python kernel),
+    which also makes it SQL-expressible for the DuckDB oracle."""
     d = T(spark, sf_dir, "documents")
     return S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
