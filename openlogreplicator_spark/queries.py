@@ -879,18 +879,63 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-@register("engine_replay_state")
+_REPLAY_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+_REPLAY_EVENTS = os.path.join(_REPLAY_BASE, "olr_replay_oracle_v1", "events")
+
+
+def _ensure_replay_events() -> str:
+    """Deterministic change log (seed 42, pure numpy/pyarrow — no Spark) at a
+    FIXED path, so the DuckDB oracle can read the very same parquet the
+    engine replays. Generated at import time; idempotent via marker."""
+    marker = os.path.join(_REPLAY_EVENTS, "_complete")
+    if not os.path.exists(marker):
+        from .datagen import GenSpec, write_events
+
+        write_events(
+            _REPLAY_EVENTS, GenSpec(seed=42, n_events=2000, n_urls=200, n_files=4)
+        )
+        open(marker, "w").close()
+    return _REPLAY_EVENTS
+
+
+_ensure_replay_events()
+
+# DuckDB twin of the full pipeline replay over the same fixed log:
+# committed-DML filter (null-safe dead-letter predicate has nothing to drop
+# here, but the filter is replicated verbatim), per-row schema_ver extras
+# resolution (fetch_status @v2-3, http_status @v4, widened to BIGINT), LWW
+# winner per url over (warc_ts, seq), delete-tombstone winners excluded.
+_REPLAY_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_replay_state", _REPLAY_SQL)
 def engine_replay_state(spark, sf_dir):
     """Flagship CDC path end-to-end on a deterministic synthesized change log
-    (seed 42): decode → salted LWW → bucketed MERGE → final state. Golden
-    equivalence vs the pandas replayer is asserted in tests; here the driver
-    checks rows+schema stability."""
-    from .datagen import GenSpec, write_events
+    (seed 42): decode → schema evolution → LWW → bucketed MERGE → final
+    state. Golden equivalence vs the pandas replayer is asserted in tests;
+    the driver additionally value-hashes it against a DuckDB replay of the
+    SAME fixed parquet log (round-1 task 3)."""
     from .streaming.pipeline import CdcPipeline
 
+    ev = _ensure_replay_events()
     d = tempfile.mkdtemp(prefix="olr_replay_")
-    ev = os.path.join(d, "events")
-    write_events(ev, GenSpec(seed=42, n_events=2000, n_urls=200, n_files=4))
     p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
     p.run_batch_replay()
     state = p.target_state()
