@@ -42,7 +42,12 @@ from ..operators.decode import (
     dml_events,
     project_dml,
 )
-from ..operators.lww import lww_compact, lww_compact_salted, lww_compact_semijoin
+from ..operators.lww import (
+    lww_compact,
+    lww_compact_auto,
+    lww_compact_salted,
+    lww_compact_semijoin,
+)
 from ..operators.merge import merge_append, merge_into, read_state
 
 # Target-table base schema (log schema_ver = 1). _seq/_op are engine columns:
@@ -69,6 +74,7 @@ class CdcPipeline:
         n_buckets: int = 16,
         n_salts: int = 8,
         lww_strategy: str = "semijoin",
+        lww_broadcast_budget: int = 20_000_000,
         merge_mode: str = "cow",
         recompute_text: bool = False,
         filter_config_path: str | None = None,
@@ -83,6 +89,7 @@ class CdcPipeline:
         self.n_buckets = n_buckets
         self.n_salts = n_salts
         self.lww_strategy = lww_strategy
+        self.lww_broadcast_budget = lww_broadcast_budget
         self.merge_mode = merge_mode  # "cow" rewrite-on-merge | "mor" append-deltas
         self.recompute_text = recompute_text
         self.filter_config_path = filter_config_path
@@ -184,10 +191,17 @@ class CdcPipeline:
         #    map-side in the narrow partial agg.
         #  * salted: explicit two-phase salted repartition (north-rule form) —
         #    use when the winner set is too large to broadcast.
+        #  * auto: size-based semijoin→salted fallback (the 10^10-key path:
+        #    approx-distinct estimate vs the broadcast budget). Costs one
+        #    extra narrow-column job per epoch, hence not the local default.
         #  * maxby: single partial+final max_by shuffle of the full payload.
         compacted = {
             "semijoin": lambda: lww_compact_semijoin(dml, "url"),
             "salted": lambda: lww_compact_salted(dml, "url", n_salts=self.n_salts),
+            "auto": lambda: lww_compact_auto(
+                dml, "url", n_salts=self.n_salts,
+                broadcast_budget_keys=self.lww_broadcast_budget,
+            ),
             "maxby": lambda: lww_compact(dml, "url"),
         }[self.lww_strategy]()
         do_merge = merge_append if self.merge_mode == "mor" else merge_into

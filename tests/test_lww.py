@@ -70,3 +70,43 @@ def test_plan_is_two_phase_partial_agg(dml_df):
     assert "max_by" in plan
     n_aggs = plan.count("HashAggregate") + plan.count("ObjectHashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 2, plan
+
+
+def test_auto_strategy_selects_by_winner_budget(dml_df):
+    """lww_compact_auto (round-1 verdict task 6): one entry point exercising
+    both plans — semijoin under the broadcast budget, salted above it — with
+    identical results either way."""
+    from openlogreplicator_spark.operators.lww import (
+        choose_lww_strategy,
+        lww_compact_auto,
+    )
+
+    n_keys = dml_df.select("url").distinct().count()
+    # generous budget -> semijoin; tiny budget -> salted
+    assert choose_lww_strategy(dml_df, "url", broadcast_budget_keys=10 * n_keys) == "semijoin"
+    assert choose_lww_strategy(dml_df, "url", broadcast_budget_keys=max(1, n_keys // 10)) == "salted"
+    # approx_rows short-circuit: total rows under budget needs no estimate job
+    assert choose_lww_strategy(
+        dml_df, "url", broadcast_budget_keys=10**9, approx_rows=1000
+    ) == "semijoin"
+    base = _key(lww_compact(dml_df, "url", ("warc_ts", "_seq")))
+    via_semi = _key(lww_compact_auto(dml_df, "url", ("warc_ts", "_seq"),
+                                     broadcast_budget_keys=10 * n_keys))
+    via_salted = _key(lww_compact_auto(dml_df, "url", ("warc_ts", "_seq"),
+                                       broadcast_budget_keys=max(1, n_keys // 10)))
+    pd.testing.assert_frame_equal(base, via_semi)
+    pd.testing.assert_frame_equal(base, via_salted)
+
+
+def test_pipeline_auto_strategy_matches_golden(spark, events_dir, tmp_path):
+    """CdcPipeline(lww_strategy='auto') reaches the same final state."""
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    p_auto = CdcPipeline(spark, events_dir, str(tmp_path / "ta"), str(tmp_path / "ca"),
+                         lww_strategy="auto")
+    p_auto.run_batch_replay()
+    p_ref = CdcPipeline(spark, events_dir, str(tmp_path / "tr"), str(tmp_path / "cr"))
+    p_ref.run_batch_replay()
+    a = p_auto.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    r = p_ref.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, r)
