@@ -253,23 +253,62 @@ class CdcPipeline:
         )
 
     # -------------------------------------------------------------- runners
+    def _with_stale_suppression(self, stream: DataFrame) -> DataFrame:
+        """Route committed DML through the cross-epoch stateful pre-filter
+        (streaming/stateful.py) while DDL control rows and malformed/
+        rolled-back rows BYPASS it via a self-union — so schema evolution and
+        dead-letter routing in apply_epoch still see the original rows
+        (round-1 verdict task 9: the OUT_DDL-drops-ddl gap)."""
+        from .stateful import OUT_COLS, suppress_stale_events
+
+        committed_dml = (
+            (F.col("op") != "ddl") & F.col("op").isNotNull()
+            & (~F.col("rolled_back"))
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        )
+        clean = stream.filter(committed_dml)
+        bypass = stream.filter(~F.coalesce(committed_dml, F.lit(False)))
+        filtered = suppress_stale_events(
+            clean.withColumn("extras_json", F.to_json("extras")).select(OUT_COLS)
+        )
+        restored = (
+            filtered
+            .withColumn("extras", F.from_json("extras_json", "map<string,string>"))
+            .drop("extras_json")
+            .withColumn("before", F.lit(None).cast("map<string,binary>"))
+            .withColumn("rolled_back", F.lit(False))
+            .withColumn("action", F.lit(None).cast("string"))
+            .withColumn("col_name", F.lit(None).cast("string"))
+            .withColumn("new_name", F.lit(None).cast("string"))
+            .withColumn("new_type", F.lit(None).cast("string"))
+        )
+        cols = [c.split(" ")[0] for c in EVENTS_DDL.split(", ")]
+        return restored.select(cols).unionByName(bypass.select(cols))
+
     def run_available_now(
         self,
         max_files_per_trigger: int = 1,
         max_bytes_per_trigger: str | None = None,
+        suppress_stale: bool = False,
     ) -> None:
         """Streaming replay: one micro-batch per trigger unit, resumable from
         the checkpoint. Processes everything currently in the log, then stops.
 
         max_bytes_per_trigger caps epoch size by bytes (the reference's
         memory-envelope knob, memory-max-mb / read-buffer-max-mb,
-        OpenLogReplicator.cpp:218-249 — backpressure instead of OOM)."""
+        OpenLogReplicator.cpp:218-249 — backpressure instead of OOM).
+
+        suppress_stale routes DML through the per-key stateful high-watermark
+        pre-filter: events at-or-below a key's stored (warc_ts, seq) maximum
+        are dropped before LWW/merge, shrinking steady-state epochs."""
         reader = self.spark.readStream.schema(EVENTS_DDL)
         if max_bytes_per_trigger is not None:
             reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
         else:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(self.events_path)
+        if suppress_stale:
+            stream = self._with_stale_suppression(stream)
         q = (
             stream.writeStream.foreachBatch(self.apply_epoch)
             .option("checkpointLocation", self.checkpoint_path)

@@ -10,6 +10,12 @@ downstream epoch's LWW+merge input. Safe because an event older than the
 stored maximum can never be the LWW winner (total order, §2.4 A3); equal
 events are duplicates (seq is unique) and are suppressed too — which also
 makes re-delivered rows idempotent at this stage.
+
+Wiring (round-1 verdict task 9): CdcPipeline.run_available_now(
+suppress_stale=True) routes committed DML through this operator while DDL
+control rows and malformed/rolled-back rows bypass it via a union
+(`CdcPipeline._with_stale_suppression`), so dead-letter routing and schema
+evolution see the original rows.
 """
 
 from __future__ import annotations
@@ -21,9 +27,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_DDL = "max_ts long, max_seq long"
+# extras ride as JSON text through the state operator (map columns are
+# re-materialized JVM-side after the union, pipeline._with_stale_suppression)
+OUT_COLS = [
+    "url", "warc_ts", "seq", "op", "html", "text", "lang", "extras_json",
+    "schema_ver",
+]
 OUT_DDL = (
     "url string, warc_ts timestamp, seq long, op string, html binary, "
-    "text string, lang string, schema_ver int"
+    "text string, lang string, extras_json string, schema_ver int"
 )
 
 
@@ -34,7 +46,7 @@ def _suppress(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         max_ts, max_seq = -1, -1
     out = []
     for pdf in pdfs:
-        ts_us = pdf["warc_ts"].astype("int64")  # micros since epoch
+        ts_us = pdf["warc_ts"].astype("int64")  # monotone (ns since epoch)
         newer = (ts_us > max_ts) | ((ts_us == max_ts) & (pdf["seq"] > max_seq))
         kept = pdf[newer]
         if len(kept):
@@ -46,18 +58,17 @@ def _suppress(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
                 max_ts, max_seq = cand_ts, cand_seq
             out.append(kept)
     state.update((max_ts, max_seq))
-    yield pd.concat(out) if out else pd.DataFrame(
-        columns=["url", "warc_ts", "seq", "op", "html", "text", "lang", "schema_ver"]
-    )
+    yield pd.concat(out) if out else pd.DataFrame(columns=OUT_COLS)
 
 
 def suppress_stale_events(stream: DataFrame) -> DataFrame:
     """Keyed stateful filter over a streaming DataFrame of DML events.
 
-    Input columns: url, warc_ts, seq, op, html, text, lang, schema_ver.
-    Output: the same rows minus those at-or-below the key's stored
-    high-watermark. State: one (max_ts, max_seq) pair per url — bytes, not
-    rows, so the state store stays tiny even at 10^9 keys per epoch window.
+    Input columns: OUT_COLS (url, warc_ts, seq, op, html, text, lang,
+    extras_json, schema_ver). Output: the same rows minus those at-or-below
+    the key's stored high-watermark. State: one (max_ts, max_seq) pair per
+    url — bytes, not rows, so the state store stays tiny even at 10^9 keys
+    per epoch window.
     """
     return stream.groupBy("url").applyInPandasWithState(
         _suppress,

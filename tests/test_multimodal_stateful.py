@@ -65,7 +65,9 @@ def test_stateful_suppressor_cross_epoch(spark, events_dir, events_pdf, tmp_path
         .option("maxFilesPerTrigger", 2)
         .parquet(events_dir)
         .filter((F.col("op") != "ddl") & (~F.col("rolled_back")))
-        .select("url", "warc_ts", "seq", "op", "html", "text", "lang", "schema_ver")
+        .withColumn("extras_json", F.to_json("extras"))
+        .select("url", "warc_ts", "seq", "op", "html", "text", "lang",
+                "extras_json", "schema_ver")
     )
     out = suppress_stale_events(stream)
     q = (
@@ -100,3 +102,33 @@ def test_stateful_suppressor_cross_epoch(spark, events_dir, events_pdf, tmp_path
     a = winners.sort_values("url")[["url", "seq"]].reset_index(drop=True)
     b = surv_winners.sort_values("url")[["url", "seq"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pipeline_suppress_stale_matches_golden_and_shrinks(
+    spark, events_dir, events_pdf, tmp_path
+):
+    """run_available_now(suppress_stale=True): final state identical to the
+    unsuppressed run (the pre-filter only drops rows that cannot win), and
+    later epochs see SHRUNKEN input (metrics events_in < raw rows) because
+    duplicates / stale updates die at the state filter."""
+    import glob
+    import os
+
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    ref = CdcPipeline(spark, events_dir, str(tmp_path / "tr"), str(tmp_path / "cr"))
+    ref.run_available_now(max_files_per_trigger=2)
+
+    sup = CdcPipeline(spark, events_dir, str(tmp_path / "ts"), str(tmp_path / "cs"),
+                      metrics_path=str(tmp_path / "ms"))
+    sup.run_available_now(max_files_per_trigger=2, suppress_stale=True)
+
+    a = ref.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    b = sup.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    m = spark.read.parquet(str(tmp_path / "ms")).toPandas()
+    raw_rows = len(events_pdf)
+    assert m["events_in"].sum() < raw_rows  # stale rows died before the epoch
+    # schema evolution still happened (ddl rows bypassed the state filter)
+    assert dict(sup.target_state().dtypes)["http_status"] == "bigint"
