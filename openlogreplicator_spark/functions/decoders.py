@@ -113,11 +113,45 @@ def decode_oracle_date(b: bytes | None):
         return None
 
 
+def decode_oracle_timestamp(b: bytes | None):
+    """7- or 11-byte TIMESTAMP: the 7-byte DATE prefix plus an optional
+    4-byte big-endian NANOSECOND fraction (reference Builder.cpp:243-291,
+    ``fraction = Ctx::read32Big(data + 7)``). Microsecond precision kept
+    (Spark timestamps are µs); sub-µs truncated like the reference's digit
+    cut at the column's scale."""
+    base = decode_oracle_date(b)
+    if base is None:
+        return None
+    if len(b) >= 11:
+        nanos = struct.unpack(">I", b[7:11])[0]
+        if nanos < 1_000_000_000:
+            base = base.replace(microsecond=nanos // 1000)
+    return base
+
+
+def encode_oracle_timestamp(ts, nanos: int | None = None) -> bytes:
+    """Inverse of decode_oracle_timestamp (property-test fixture generator)."""
+    b = bytes([
+        ts.year // 100 + 100, ts.year % 100 + 100, ts.month, ts.day,
+        ts.hour + 1, ts.minute + 1, ts.second + 1,
+    ])
+    if nanos is None:
+        nanos = ts.microsecond * 1000
+    return b + struct.pack(">I", nanos)
+
+
 def _date_batch(s: pd.Series) -> pd.Series:
     return s.map(lambda b: None if b is None else decode_oracle_date(bytes(b)))
 
 
 oracle_date_udf = pandas_udf(_date_batch, TimestampType())
+
+
+def _timestamp_batch(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else decode_oracle_timestamp(bytes(b)))
+
+
+oracle_timestamp_udf = pandas_udf(_timestamp_batch, TimestampType())
 
 
 # ---------------------------------------------------- binary_double/float
@@ -232,10 +266,41 @@ def interval_ds_col(raw: Column) -> Column:
     )
 
 
+# Oracle tz-region key ((byte11 << 8) | byte12, flag bit included) → IANA
+# name. Curated subset of the well-known regions (the full ~600-entry table
+# lives in Oracle's timezone files; the reference mirrors it in
+# src/locales/Locales.cpp:191-786). Unknown keys render as tz#0x<key> so no
+# information is lost — the reference emits "TZ?" (Builder.cpp:331).
+TZ_REGION_NAMES: dict[int, str] = {
+    0xd004: "UTC", 0x8004: "Etc/GMT",
+    0x80b0: "Africa/Cairo", 0x8120: "Africa/Johannesburg", 0x8108: "Africa/Lagos",
+    0x81a8: "America/Anchorage", 0x8abc: "America/Argentina/Buenos_Aires",
+    0x8194: "America/Chicago", 0x8198: "America/Denver",
+    0x819c: "America/Los_Angeles", 0x8234: "America/Mexico_City",
+    0x8190: "America/New_York", 0x81b4: "America/Phoenix",
+    0x82f0: "America/Sao_Paulo", 0x8370: "America/Toronto",
+    0x84a0: "Asia/Bangkok", 0x8bd0: "Asia/Dhaka", 0x84a8: "Asia/Dubai",
+    0x83f8: "Asia/Hong_Kong", 0x8414: "Asia/Jakarta", 0x8428: "Asia/Jerusalem",
+    0x8470: "Asia/Karachi", 0x8c10: "Asia/Kolkata", 0x8478: "Asia/Manila",
+    0x8444: "Asia/Seoul", 0x83e8: "Asia/Shanghai", 0x8490: "Asia/Singapore",
+    0x842c: "Asia/Tokyo", 0x857c: "Australia/Melbourne", 0x8568: "Australia/Perth",
+    0x8580: "Australia/Sydney", 0x8630: "Europe/Amsterdam", 0x8604: "Europe/Athens",
+    0x85fc: "Europe/Berlin", 0x85cc: "Europe/Dublin", 0x85f4: "Europe/Helsinki",
+    0x865c: "Europe/Istanbul", 0x8660: "Europe/Kiev", 0x863c: "Europe/Lisbon",
+    0x85c4: "Europe/London", 0x8650: "Europe/Madrid", 0x8648: "Europe/Moscow",
+    0x85f8: "Europe/Paris", 0x85e8: "Europe/Prague", 0x860c: "Europe/Rome",
+    0x8654: "Europe/Stockholm", 0x85d8: "Europe/Vienna", 0x8638: "Europe/Warsaw",
+    0x8658: "Europe/Zurich", 0x875c: "Pacific/Auckland",
+}
+
+
 def decode_tstz(b: bytes | None, tz_names: dict[int, str] | None = None):
     """F4: 13-byte TIMESTAMP WITH TIME ZONE: 7-byte UTC date + 4-byte nanos +
-    2 tz bytes (either fixed offset h+20/m+60, or a tz-region id when byte 11
-    has the 0x80 flag). Returns (utc_datetime, tz_string)."""
+    2 tz bytes (either fixed offset h+20/m+60, or a tz-region key when byte
+    11 has the 0x80 flag — the raw (byte11<<8)|byte12 key, matching the
+    reference's timeZoneMap lookup, Builder.cpp:327-332). Returns
+    (utc_datetime, tz_string); region names resolve through ``tz_names`` or
+    the built-in TZ_REGION_NAMES subset."""
     if b is None or len(b) < 13:
         return None
     base = decode_oracle_date(b[:7])
@@ -243,9 +308,11 @@ def decode_tstz(b: bytes | None, tz_names: dict[int, str] | None = None):
         return None
     nanos = struct.unpack(">I", b[7:11])[0]
     base = base.replace(microsecond=nanos // 1000)
-    if b[11] & 0x80:  # region id
-        rid = ((b[11] & 0x7F) << 8) | b[12]
-        tz = (tz_names or {}).get(rid, f"tz#{rid}")
+    if b[11] & 0x80:  # region key
+        key = (b[11] << 8) | b[12]
+        tz = (tz_names if tz_names is not None else TZ_REGION_NAMES).get(
+            key, f"tz#0x{key:04x}"
+        )
     else:
         oh, om = b[11] - 20, b[12] - 60
         tz = f"{'+' if oh >= 0 else '-'}{abs(oh):02d}:{abs(om):02d}"

@@ -135,11 +135,56 @@ def test_tstz_decoder():
     date7 = bytes([120, 114, 6, 30, 13, 35, 57])  # 2014-06-30 12:34:56 UTC
     nanos = _s.pack(">I", 123_000_000)
     fixed = date7 + nanos + bytes([20 + 2, 60 + 30])          # +02:30
-    region = date7 + nanos + bytes([0x80 | 0x01, 0x44])       # region id 0x144
+    region = date7 + nanos + bytes([0x81, 0x44])              # raw key 0x8144
     got_f = decode_tstz(fixed)
     assert got_f[1] == "+02:30" and got_f[0].microsecond == 123_000
-    got_r = decode_tstz(region, {0x144: "Europe/Warsaw"})
-    assert got_r[1] == "Europe/Warsaw"
+    got_r = decode_tstz(region, {0x8144: "Custom/Zone"})
+    assert got_r[1] == "Custom/Zone"
+    # built-in region table (reference Locales.cpp keys): 0x85c4 = London
+    assert decode_tstz(date7 + nanos + bytes([0x85, 0xc4]))[1] == "Europe/London"
+    # unknown key keeps a lossless placeholder
+    assert decode_tstz(date7 + nanos + bytes([0xff, 0xfe]))[1] == "tz#0xfffe"
+
+
+def test_timestamp_fraction_roundtrip_property():
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openlogreplicator_spark.functions.decoders import (
+        decode_oracle_timestamp,
+        encode_oracle_timestamp,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.datetimes(
+            min_value=dt.datetime(1, 1, 1),
+            max_value=dt.datetime(9999, 12, 31, 23, 59, 59),
+        ).map(lambda d: d.replace(microsecond=(d.minute * 7919) % 1_000_000))
+    )
+    def roundtrip(ts):
+        assert decode_oracle_timestamp(encode_oracle_timestamp(ts)) == ts
+
+    roundtrip()
+    # 7-byte form still decodes (no fraction)
+    ts = dt.datetime(2014, 6, 30, 12, 34, 56)
+    assert decode_oracle_timestamp(encode_oracle_timestamp(ts)[:7]) == ts
+
+
+def test_timestamp_udf_fraction(spark):
+    import datetime as dt
+
+    from openlogreplicator_spark.functions.decoders import (
+        encode_oracle_timestamp,
+        oracle_timestamp_udf,
+    )
+
+    ts = dt.datetime(2021, 3, 14, 15, 9, 26, 535_897)
+    df = spark.createDataFrame([(encode_oracle_timestamp(ts),)], "raw binary")
+    got = df.select(oracle_timestamp_udf("raw").alias("ts")).collect()[0]["ts"]
+    assert got == ts
 
 
 def test_charset_decode(spark):
