@@ -102,10 +102,46 @@ def dml_events(df: DataFrame) -> DataFrame:
 
 
 def ddl_events(df: DataFrame) -> DataFrame:
-    """Schema-evolution control rows, in log order (SURVEY.md §2.9)."""
+    """Schema-evolution control rows, in log order (SURVEY.md §2.9). The
+    ``text`` column rides along: a ddl row may carry raw SQL there instead of
+    the structured (action, col_name, ...) fields (reference emits the raw
+    DDL statement text, OpCode1801 / Builder::processDdl)."""
     return df.filter(F.col("op") == "ddl").select(
-        "schema_ver", "action", "col_name", "new_name", "new_type", "warc_ts", "seq"
+        "schema_ver", "action", "col_name", "new_name", "new_type",
+        "warc_ts", "seq", "text",
     )
+
+
+_DDL_PATTERNS = [
+    # ALTER TABLE t ADD [COLUMN] c TYPE
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?(\w+)\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*;?\s*$",
+     lambda m: ("add_column", m.group(1), None, m.group(2))),
+    # ALTER TABLE t RENAME COLUMN a TO b
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+     lambda m: ("rename_column", m.group(1), m.group(2), None)),
+    # ALTER TABLE t MODIFY [(]c TYPE[)]  (Oracle)  /  ALTER COLUMN c TYPE t
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+MODIFY\s+\(?\s*(\w+)\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*\)?\s*;?\s*$",
+     lambda m: ("widen_type", m.group(1), None, m.group(2))),
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*;?\s*$",
+     lambda m: ("widen_type", m.group(1), None, m.group(2))),
+]
+
+
+def parse_ddl_sql(sql: str) -> tuple[str, str, str | None, str | None]:
+    """Parse a raw DDL statement into the structured (action, col_name,
+    new_name, new_type) form the dictionary replay consumes — the analogue of
+    the reference's system-transaction decode of the DDL text it extracts
+    (OpCode1801.cpp; Builder.cpp processDdl). Supported: ADD [COLUMN],
+    RENAME COLUMN .. TO, MODIFY (col type) / ALTER COLUMN .. TYPE (the three
+    evolutions LakeTable supports). Raises ValueError on anything else
+    (unsupported DDL is surfaced, never silently dropped)."""
+    import re
+
+    for pat, build in _DDL_PATTERNS:
+        m = re.match(pat, sql)
+        if m:
+            return build(m)
+    raise ValueError(f"unsupported DDL statement: {sql!r}")
 
 
 def project_dml(

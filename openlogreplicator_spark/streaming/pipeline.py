@@ -40,6 +40,7 @@ from ..operators.decode import (
     apply_log_filters,
     ddl_events,
     dml_events,
+    parse_ddl_sql,
     project_dml,
 )
 from ..operators.lww import (
@@ -75,7 +76,8 @@ class CdcPipeline:
         n_salts: int = 8,
         lww_strategy: str = "semijoin",
         lww_broadcast_budget: int = 20_000_000,
-        merge_mode: str = "cow",
+        merge_mode: str = "auto",
+        compact_every: int = 8,
         recompute_text: bool = False,
         filter_config_path: str | None = None,
         max_html_bytes: int | None = None,
@@ -90,7 +92,14 @@ class CdcPipeline:
         self.n_salts = n_salts
         self.lww_strategy = lww_strategy
         self.lww_broadcast_budget = lww_broadcast_budget
-        self.merge_mode = merge_mode  # "cow" rewrite-on-merge | "mor" append-deltas
+        # merge mode: "cow" rewrite-on-merge | "mor" append-deltas |
+        # "auto" (default): MoR for streaming epochs (small epoch vs large
+        # state — CoW write amplification dominates, round-1 verdict task 2),
+        # CoW for single-epoch batch replay (one write either way, and the
+        # compacted layout is what replay consumers read next).
+        self.merge_mode = merge_mode
+        self.compact_every = compact_every  # MoR delta-compaction cadence
+        self._runtime_merge_mode: str | None = None
         self.recompute_text = recompute_text
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
@@ -177,10 +186,14 @@ class CdcPipeline:
         )
         for d in ddl_rows:
             if d["schema_ver"] > table.current_schema_ver:
-                table.evolve(
+                action, col, new_name, new_type = (
                     d["action"], d["col_name"], d["new_name"], d["new_type"],
-                    to_ver=d["schema_ver"],
                 )
+                if action is None and d["text"]:
+                    # raw DDL statement instead of structured fields: parse
+                    # the SQL text (reference OpCode1801 raw-DDL path)
+                    action, col, new_name, new_type = parse_ddl_sql(d["text"])
+                table.evolve(action, col, new_name, new_type, to_ver=d["schema_ver"])
 
         dml = project_dml(
             dml_events(batch_df), table, recompute_text=self.recompute_text
@@ -204,7 +217,10 @@ class CdcPipeline:
             ),
             "maxby": lambda: lww_compact(dml, "url"),
         }[self.lww_strategy]()
-        do_merge = merge_append if self.merge_mode == "mor" else merge_into
+        mode = self.merge_mode
+        if mode == "auto":
+            mode = self._runtime_merge_mode or "cow"
+        do_merge = merge_append if mode == "mor" else merge_into
         stats = [
             do_merge(
                 table,
@@ -214,6 +230,18 @@ class CdcPipeline:
                 extra_summary={"schema_ver": table.current_schema_ver},
             )
         ]
+        if (
+            mode == "mor"
+            and self.compact_every
+            and (int(epoch_id) + 1) % self.compact_every == 0
+        ):
+            # periodic delta compaction (the reference's checkpoint-GC
+            # cadence analogue): collapses accumulated MoR deltas so
+            # read-time LWW cost stays bounded. Runs AFTER the epoch commit;
+            # carries no epoch_id, so the exactly-once watermark is untouched.
+            from ..operators.merge import compact_table
+
+            compact_table(table)
         if self.metrics_path:
             self._write_metrics(batch_df, int(epoch_id), time.time() - t0, stats)
 
@@ -309,13 +337,17 @@ class CdcPipeline:
         stream = reader.parquet(self.events_path)
         if suppress_stale:
             stream = self._with_stale_suppression(stream)
-        q = (
-            stream.writeStream.foreachBatch(self.apply_epoch)
-            .option("checkpointLocation", self.checkpoint_path)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        self._runtime_merge_mode = "mor"  # streaming default under "auto"
+        try:
+            q = (
+                stream.writeStream.foreachBatch(self.apply_epoch)
+                .option("checkpointLocation", self.checkpoint_path)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            self._runtime_merge_mode = None
 
     def run_batch_replay(self) -> None:
         """S6 batch mode (reference ReplicatorBatch.cpp): apply the whole log

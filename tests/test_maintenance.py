@@ -3,6 +3,7 @@ Metadata.cpp:505-554), tombstone purge; plus NUMBER encode/decode property
 tests (hypothesis)."""
 
 import glob
+import json
 import os
 from decimal import Decimal
 
@@ -41,7 +42,11 @@ def test_known_number_encodings():
 
 @pytest.fixture()
 def replayed(spark, events_dir, tmp_path):
-    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    # explicit CoW: snapshot GC only has orphans to collect when merges
+    # REWRITE buckets (the streaming default is now MoR append-deltas, whose
+    # snapshots share files and orphan nothing until compaction runs)
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="cow")
     p.run_available_now(max_files_per_trigger=2)  # several snapshots
     return p
 
@@ -154,3 +159,34 @@ def test_mor_append_is_state_idempotent(spark, events_dir, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(before, after)
+
+
+def test_streaming_mor_default_with_compaction_cadence(
+    spark, events_dir, events_pdf, tmp_path
+):
+    """merge_mode='auto' streams as merge-on-read with periodic delta
+    compaction; final state matches the CoW reference and snapshot GC can
+    reclaim the pre-compaction delta files."""
+    import pandas as pd
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    compact_every=2)
+    p.run_available_now(max_files_per_trigger=2)
+    t = LakeTable.load(spark, p.table_path)
+    ops = [json.load(open(os.path.join(t.path, "_snapshots", f"v{v:08d}.json")))
+           ["summary"].get("op") for v in t.versions()]
+    assert "merge_append" in ops and "compact" in ops  # MoR + cadence ran
+
+    ref = CdcPipeline(spark, events_dir, str(tmp_path / "tr"), str(tmp_path / "cr"),
+                      merge_mode="cow")
+    ref.run_available_now(max_files_per_trigger=2)
+    a = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    b = ref.target_state().toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["data_files_removed"] > 0  # compaction orphaned the deltas
+    from openlogreplicator_spark.operators.merge import read_state
+
+    t2 = LakeTable.load(spark, t.path)
+    assert read_state(t2).count() == len(a)  # read-time LWW over surviving deltas

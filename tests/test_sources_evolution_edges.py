@@ -172,3 +172,47 @@ def test_ddl_idempotent_on_redelivery(spark, tmp_path):
     t = LakeTable.load(spark, str(tmp_path / "t"))
     assert t.snap["version"] == v
     assert t.current_schema_ver == 2
+
+
+def test_parse_ddl_sql_forms():
+    from openlogreplicator_spark.operators.decode import parse_ddl_sql
+
+    assert parse_ddl_sql("ALTER TABLE pages ADD COLUMN fetch_status int") == \
+        ("add_column", "fetch_status", None, "int")
+    assert parse_ddl_sql("alter table pages add retry_count bigint;") == \
+        ("add_column", "retry_count", None, "bigint")
+    assert parse_ddl_sql("ALTER TABLE pages RENAME COLUMN fetch_status TO http_status") == \
+        ("rename_column", "fetch_status", "http_status", None)
+    assert parse_ddl_sql("ALTER TABLE pages MODIFY (fetch_status long)") == \
+        ("widen_type", "fetch_status", None, "long")
+    assert parse_ddl_sql("ALTER TABLE pages ALTER COLUMN fetch_status SET DATA TYPE long") == \
+        ("widen_type", "fetch_status", None, "long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_ddl_sql("DROP TABLE pages")
+
+
+def test_raw_sql_ddl_rows_drive_evolution(spark, tmp_path):
+    """A ddl event carrying raw SQL in `text` (no structured fields) evolves
+    the dictionary exactly like the structured form (reference OpCode1801)."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
+
+    rows = [
+        (0, "2020-01-01 00:00:00", "c", "u1", None, "t1", "en", None,
+         None, 1, False, None, None, None, None),
+        (1, "2020-01-01 00:01:00", "ddl", None, None,
+         "ALTER TABLE pages ADD COLUMN fetch_status int", None, None,
+         None, 2, False, None, None, None, None),
+        (2, "2020-01-01 00:02:00", "u", "u1", None, "t2", "en", None,
+         {"fetch_status": "404"}, 2, False, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, DDL.replace("warc_ts timestamp", "warc_ts string")
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    p = CdcPipeline(spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"))
+    p.apply_epoch(df, 0)
+    t = LakeTable.load(spark, str(tmp_path / "t"))
+    assert t.current_schema_ver == 2
+    state = p.target_state().collect()[0]
+    assert state["fetch_status"] == 404 and state["text"] == "t2"
