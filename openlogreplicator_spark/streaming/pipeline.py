@@ -184,15 +184,27 @@ class CdcPipeline:
         ddl_rows = sorted(
             ddl_events(batch_df).collect(), key=lambda r: (r["warc_ts"], r["seq"])
         )
+        sql_texts: dict[int, str] = {}
+        if any(d["action"] is None for d in ddl_rows):
+            # raw-DDL rows (action NULL, statement in `text`): second pass,
+            # filtered to those few rows, so the common narrow ddl collect
+            # never reads the text column (plan test pins the pruned scan)
+            sql_texts = {
+                r["seq"]: r["text"]
+                for r in batch_df.filter(
+                    (F.col("op") == "ddl") & F.col("action").isNull()
+                ).select("seq", "text").collect()
+            }
         for d in ddl_rows:
             if d["schema_ver"] > table.current_schema_ver:
                 action, col, new_name, new_type = (
                     d["action"], d["col_name"], d["new_name"], d["new_type"],
                 )
-                if action is None and d["text"]:
-                    # raw DDL statement instead of structured fields: parse
-                    # the SQL text (reference OpCode1801 raw-DDL path)
-                    action, col, new_name, new_type = parse_ddl_sql(d["text"])
+                if action is None:
+                    # parse the raw SQL statement (reference OpCode1801 path)
+                    action, col, new_name, new_type = parse_ddl_sql(
+                        sql_texts[d["seq"]]
+                    )
                 table.evolve(action, col, new_name, new_type, to_ver=d["schema_ver"])
 
         dml = project_dml(
