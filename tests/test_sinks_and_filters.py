@@ -171,3 +171,86 @@ def test_max_bytes_per_trigger(spark, events_dir, tmp_path):
     t = LakeTable.load(spark, str(tmp_path / "t"))
     assert t.last_epoch()[0] >= 1  # several byte-capped epochs
     assert p.target_state().count() > 0
+
+
+def test_protobuf_messages_wire_format(spark, events_df):
+    """BuilderProtobuf twin (F12): RedoResponse wire bytes parse back with an
+    independent minimal proto3 reader and carry the right fields."""
+    from openlogreplicator_spark.sinks.builders import build_protobuf_messages
+
+    def read_fields(buf):
+        """independent proto3 tag walker -> {field_num: [raw values]}"""
+        fields, i = {}, 0
+        while i < len(buf):
+            key, shift = 0, 0
+            while True:
+                b = buf[i]; i += 1
+                key |= (b & 0x7F) << shift; shift += 7
+                if not b & 0x80:
+                    break
+            fnum, wt = key >> 3, key & 7
+            if wt == 0:
+                v, shift = 0, 0
+                while True:
+                    b = buf[i]; i += 1
+                    v |= (b & 0x7F) << shift; shift += 7
+                    if not b & 0x80:
+                        break
+            elif wt == 2:
+                ln, shift = 0, 0
+                while True:
+                    b = buf[i]; i += 1
+                    ln |= (b & 0x7F) << shift; shift += 7
+                    if not b & 0x80:
+                        break
+                v = buf[i:i + ln]; i += ln
+            else:
+                raise AssertionError(f"unexpected wire type {wt}")
+            fields.setdefault(fnum, []).append(v)
+        return fields
+
+    src = events_df.filter(F.col("op").isin("c", "u", "d")).limit(50)
+    rows = {r["seq"]: r for r in src.collect()}
+    got = build_protobuf_messages(src).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        msg = read_fields(bytes(r["message"]))
+        assert msg[1] == [5]  # code = PAYLOAD
+        ev = rows[r["seq"]]
+        import calendar
+        assert msg[2][0] == calendar.timegm(ev["warc_ts"].timetuple()) * 1_000_000 \
+            + ev["warc_ts"].microsecond  # scn = unix micros
+        assert msg[7] == [ev["seq"]]  # xidn
+        payload = read_fields(msg[9][0])
+        op_enum = {"c": 2, "u": 3, "d": 4}[ev["op"]]
+        assert payload[1] == [op_enum]
+        assert payload[3][0].decode() == ev["url"]  # rid
+        schema = read_fields(payload[2][0])
+        assert schema[1][0] == b"CC" and schema[2][0] == b"PAGES"
+        if ev["op"] != "d":
+            names = [read_fields(v)[1][0].decode() for v in payload.get(5, [])]
+            assert "url" in names and "text" in names
+        else:
+            assert 5 not in payload  # no after-image on delete
+
+
+def test_protobuf_known_golden_bytes():
+    """Pin the exact wire bytes of a tiny message (independent hand encoding)."""
+    from openlogreplicator_spark.sinks.builders import encode_redo_response
+
+    got = encode_redo_response(
+        "c", 7, "T", 1, "u", [("a", "x")], [], owner="O", table="N", db="D")
+    expected = bytes([
+        0x08, 0x05,              # code = PAYLOAD
+        0x10, 0x07,              # scn = 7
+        0x2A, 0x01, ord("T"),    # tms = "T"
+        0x38, 0x01,              # xidn = 1
+        0x42, 0x01, ord("D"),    # db = "D"
+        0x4A, 0x17,              # payload, 23 bytes
+        0x08, 0x02,              # op = INSERT
+        0x12, 0x06, 0x0A, 0x01, ord("O"), 0x12, 0x01, ord("N"),  # schema
+        0x1A, 0x01, ord("u"),    # rid = "u"
+        0x2A, 0x06, 0x0A, 0x01, ord("a"), 0x2A, 0x01, ord("x"),  # after Value
+        0x38, 0x01,              # seq = 1
+    ])
+    assert got == expected, got.hex()
