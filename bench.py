@@ -143,6 +143,56 @@ print(json.dumps({{"cores": {cores}, "streaming": {streaming!r},
     return {"cores": cores, "error": (r.stderr or "no output")[-400:]}
 
 
+def cdc_tail_subprocess(cores: int, events_dir: str, merge_mode: str) -> dict:
+    """Large-state/small-epoch shape (ROUND1_NOTES): build state from the
+    first 112 of 128 files in one epoch, then time ONLY the streaming apply
+    of the 16-file tail in 4-file micro-epochs. This is the steady-state CDC
+    shape (state >> epoch) where MoR append-deltas beat CoW's per-epoch
+    rewrite of every touched bucket."""
+    tail_files = 16
+    per_epoch = 4
+    code = f"""
+import sys, time, glob, os, shutil, tempfile, json
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from openlogreplicator_spark.session import build_session
+from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+spark = build_session(app_name="olr-tail-{merge_mode}", cores={cores},
+                      shuffle_partitions={4 * cores})
+files = sorted(glob.glob(os.path.join({events_dir!r}, "*.parquet")))
+head, tail = files[:-{tail_files}], files[-{tail_files}:]
+work = tempfile.mkdtemp(dir={scratch_base()!r}, prefix="olr_tail_")
+staged = os.path.join(work, "events"); os.makedirs(staged)
+for f in head:
+    os.link(f, os.path.join(staged, os.path.basename(f)))
+p = CdcPipeline(spark, staged, work + "/t", work + "/c", n_buckets=64,
+                merge_mode={merge_mode!r})
+p.run_available_now(max_files_per_trigger=len(head))  # 1 epoch: build state
+for f in tail:
+    os.link(f, os.path.join(staged, os.path.basename(f)))
+t0 = time.time()
+p.run_available_now(max_files_per_trigger={per_epoch})  # resume over the tail
+secs = time.time() - t0
+rows = p.target_state().count()
+n_tail = {tail_files} * ({N_EVENTS} // 128)
+shutil.rmtree(work, ignore_errors=True)
+spark.stop()
+print(json.dumps({{"cores": {cores}, "merge_mode": {merge_mode!r},
+                   "tail_events": n_tail, "secs": round(secs, 3),
+                   "events_per_sec": round(n_tail / secs, 1),
+                   "final_rows": rows}}))
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return {"cores": cores, "merge_mode": merge_mode,
+            "error": (r.stderr or "no output")[-400:]}
+
+
 def main() -> None:
     from openlogreplicator_spark.queries import QUERIES
     from openlogreplicator_spark.session import build_session
@@ -163,7 +213,12 @@ def main() -> None:
     lo = cdc_subprocess(SCALE_LO, events_dir)
     hi = cdc_subprocess(SCALE_HI, events_dir)
     peak = cdc_subprocess(CPUS, events_dir) if CPUS not in (SCALE_LO, SCALE_HI) else hi
-    stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True, n_repeats=1, warmup=0)
+    # streaming gets the same JIT warmup the batch runs get (a cold first
+    # epoch otherwise charges JVM compile time to the streaming number)
+    stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True, n_repeats=1, warmup=1)
+    # steady-state shape: state >> epoch — MoR vs CoW on a small tail
+    tail_mor = cdc_tail_subprocess(min(CPUS, 8), events_dir, "mor")
+    tail_cow = cdc_tail_subprocess(min(CPUS, 8), events_dir, "cow")
 
     eff = None
     if "events_per_sec" in lo and "events_per_sec" in hi:
@@ -185,6 +240,8 @@ def main() -> None:
             "scale_hi": hi,
             "peak": peak,
             "streaming": stream,
+            "streaming_tail_mor": tail_mor,
+            "streaming_tail_cow": tail_cow,
             "scaling_pair": [SCALE_LO, SCALE_HI],
             "scaling_efficiency": eff,
             "peak_events_per_sec": peak.get("events_per_sec"),
