@@ -90,6 +90,21 @@ def quality_score(col: Column) -> Column:
     return (len_ok + punct_ok).cast("double")
 
 
+# BPE-ish subword-boundary regex: letter runs, digit runs, and single
+# non-alphanumeric marks — the pre-tokenization split GPT-style BPE vocabs
+# use before merges. Space-only whitespace (dialect-proof: identical in Java
+# regex and RE2/DuckDB).
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-style pre-tokens over lower(text) — the token-budget
+    estimate a training-data pipeline runs before real BPE encoding."""
+    return F.size(
+        F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    ).cast("long")
+
+
 def normalized_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed text.
     md5 (not xxhash64) so the DuckDB oracle reproduces it bit-for-bit."""

@@ -681,6 +681,89 @@ def docs_fingerprint(spark, sf_dir):
 
 
 @register(
+    "docs_bpe_token_stats",
+    f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(regexp_extract_all(lower(text), '{TXT.BPE_TOKEN_RE}'))), 4)
+             AS avg_bpe_tokens,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE length(regexp_split_to_array(trim(text), '\\s+')) END), 4)
+             AS avg_ws_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def docs_bpe_token_stats(spark, sf_dir):
+    """Token-budget estimation with a BPE-ish pre-tokenizer (letter runs /
+    digit runs / punctuation marks) vs plain whitespace tokens — the counts
+    a training-data pipeline sizes its token budget with."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg(TXT.bpe_token_count(F.col("text"))), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg(TXT.token_count(F.col("text"))), 4).alias("avg_ws_tokens"),
+        )
+    )
+
+
+_MINHASH_CAND_SQL = """
+    raw AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) > 0),
+    sig AS (
+      SELECT doc_id,
+             min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3
+      FROM tok GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id)
+    """
+
+
+@register(
+    "docs_jaccard_verified_dups",
+    f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b)
+    SELECT a, b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.6
+    """,
+)
+def docs_jaccard_verified_dups(spark, sf_dir):
+    """MinHash candidates VERIFIED by exact token-set Jaccard ≥ 0.6 — the
+    two-stage near-dup pipeline (cheap LSH recall, exact precision pass on
+    candidates only, never all-pairs)."""
+    d = T(spark, sf_dir, "documents")
+    cand = S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=4, band_size=2)
+    j = S.jaccard_pairs(d, cand, "doc_id", "text")
+    return (
+        j.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@register(
     "docs_minhash_near_dup",
     """
     WITH raw AS (
