@@ -109,3 +109,18 @@ def normalized_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed text.
     md5 (not xxhash64) so the DuckDB oracle reproduces it bit-for-bit."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def kgram_winnow_fingerprint(col: Column, k: int = 8) -> Column:
+    """Rolling k-gram fingerprint (winnowing-style): min over the hashes of
+    every k-character window of the normalized text. Insensitive to edits
+    outside the minimizing window — the content-defined sampling trick
+    winnowing/Rabin-Karp dedup uses; one pure-JVM expression (sequence →
+    transform → array_min), no UDF, exact SQL twin."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    n_windows = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.md5(F.substring(norm, i, F.lit(k))),
+    )
+    return F.array_min(grams)

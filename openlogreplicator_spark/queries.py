@@ -764,6 +764,28 @@ def docs_jaccard_verified_dups(spark, sf_dir):
 
 
 @register(
+    "docs_winnow_fingerprint",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents)
+    SELECT doc_id, min(md5(substr(norm, CAST(i AS INTEGER), 8))) AS winnow_fp
+    FROM n, unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
+    GROUP BY doc_id
+    """,
+)
+def docs_winnow_fingerprint(spark, sf_dir):
+    """Rolling k-gram (k=8) winnowing-style fingerprint per document — the
+    content-defined sampling dedup primitive (min window hash survives edits
+    outside the minimizing window). Pure JVM sequence→transform→array_min."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TXT.kgram_winnow_fingerprint(F.col("text"), k=8).alias("winnow_fp")
+    )
+
+
+@register(
     "docs_minhash_near_dup",
     """
     WITH raw AS (
