@@ -41,6 +41,15 @@ def main() -> None:
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
+    ap.add_argument("--merge-mode", choices=["auto", "cow", "mor"], default="auto")
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--lww-strategy",
+                    choices=["semijoin", "salted", "auto", "maxby"],
+                    default="auto",
+                    help="'auto' falls back semijoin->salted above the "
+                         "broadcast budget (the 10^10-key path)")
+    ap.add_argument("--suppress-stale", action="store_true",
+                    help="stateful per-key high-watermark pre-filter")
     args = ap.parse_args()
 
     if args.make_pyfiles:
@@ -64,9 +73,15 @@ def main() -> None:
         metrics_path=args.metrics,
         n_buckets=args.n_buckets,
         filter_config_path=args.filters,
+        merge_mode=args.merge_mode,
+        compact_every=args.compact_every,
+        lww_strategy=args.lww_strategy,
     )
     if args.streaming:
-        p.run_available_now(max_files_per_trigger=args.max_files_per_trigger)
+        p.run_available_now(
+            max_files_per_trigger=args.max_files_per_trigger,
+            suppress_stale=args.suppress_stale,
+        )
     else:
         p.run_batch_replay()
     print(f"final state rows: {p.target_state().count()}")
