@@ -47,7 +47,7 @@ N_EVENTS = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 32_000_000}.get(
     SF_NAME, 1_000_000
 )
 N_URLS = max(2_000, N_EVENTS // 50)
-N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+N_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 
@@ -103,28 +103,37 @@ def cdc_subprocess(cores: int, events_dir: str, streaming: bool = False,
     """Run the CDC apply in an isolated process: warmup + min of n_repeats."""
     n_repeats = N_REPEATS if n_repeats is None else n_repeats
     code = f"""
-import sys, time, tempfile, json, shutil
+import sys, time, tempfile, json, shutil, glob, os
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from openlogreplicator_spark.session import build_session
 from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 spark = build_session(app_name="olr-bench-{cores}", cores={cores},
                       shuffle_partitions={4 * cores})
+# JIT warmup on a 1/8 subset: compiles the identical code paths at a
+# fraction of the wall cost of a full warmup apply
+warm_src = sorted(glob.glob(os.path.join({events_dir!r}, "*.parquet")))[:16]
+warm_dir = tempfile.mkdtemp(dir={scratch_base()!r}, prefix="olr_bench_warm_")
+warm_ev = os.path.join(warm_dir, "events"); os.makedirs(warm_ev)
+for f in warm_src:
+    os.link(f, os.path.join(warm_ev, os.path.basename(f)))
 times = []
 rows = 0
 for rep in range({warmup + n_repeats}):
+    warm_rep = rep < {warmup}
     work = tempfile.mkdtemp(dir={scratch_base()!r}, prefix="olr_bench_run_")
-    p = CdcPipeline(spark, {events_dir!r}, work + "/t", work + "/c",
-                    n_buckets=64)
+    p = CdcPipeline(spark, warm_ev if warm_rep else {events_dir!r},
+                    work + "/t", work + "/c", n_buckets=64)
     t0 = time.time()
     if {streaming!r}:
         p.run_available_now(max_files_per_trigger=32)
     else:
         p.run_batch_replay()
     secs = time.time() - t0
-    if rep >= {warmup}:  # leading reps = JIT warmup
+    if not warm_rep:
         times.append(secs)
-    rows = p.target_state().count() if rep == 0 else rows
+        rows = p.target_state().count() if not rows else rows
     shutil.rmtree(work, ignore_errors=True)
+shutil.rmtree(warm_dir, ignore_errors=True)
 spark.stop()
 print(json.dumps({{"cores": {cores}, "streaming": {streaming!r},
                    "secs_min": round(min(times), 3),
