@@ -77,8 +77,10 @@ def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4, band_size: int = 2
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) sharing at least one LSH band."""
-    b = minhash_bands(minhash_signature(tokens(df, id_col, text_col), id_col),
-                      id_col, n_hashes, band_size)
+    b = minhash_bands(
+        minhash_signature(tokens(df, id_col, text_col), id_col, n_hashes=n_hashes),
+        id_col, n_hashes, band_size,
+    )
     left = b.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     right = b.select(F.col(id_col).alias("b"), "band_id", "band_hash")
     return (

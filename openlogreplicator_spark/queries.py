@@ -708,21 +708,27 @@ def docs_bpe_token_stats(spark, sf_dir):
     )
 
 
+# 8-hash / band_size-4 MinHash for the Jaccard-verified pipeline: TIGHTER
+# bands than the 4/2 recall query above — on templated web corpora loose
+# bands make bucket sizes (and thus the candidate count) quadratic; band
+# tightness is a dial that must scale with corpus duplication.
 _MINHASH_CAND_SQL = """
     raw AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-      FROM documents),
+      FROM documents WHERE doc_id < 2000),
     tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) > 0),
     sig AS (
       SELECT doc_id,
              min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
-             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3,
+             min(md5(token || '#4')) AS h4, min(md5(token || '#5')) AS h5,
+             min(md5(token || '#6')) AS h6, min(md5(token || '#7')) AS h7
       FROM tok GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash FROM sig
       UNION ALL
-      SELECT doc_id, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig),
+      SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band_hash FROM sig),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bands l JOIN bands r
@@ -753,9 +759,14 @@ _MINHASH_CAND_SQL = """
 def docs_jaccard_verified_dups(spark, sf_dir):
     """MinHash candidates VERIFIED by exact token-set Jaccard ≥ 0.6 — the
     two-stage near-dup pipeline (cheap LSH recall, exact precision pass on
-    candidates only, never all-pairs)."""
-    d = T(spark, sf_dir, "documents")
-    cand = S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=4, band_size=2)
+    candidates only, never all-pairs). 8 hashes / 4-hash bands: tight bands
+    keep the CANDIDATE set near-linear on templated corpora; the verified
+    PAIR output is still inherently quadratic in duplicate-cluster size
+    (a 300-copy template alone yields ~45k true pairs), so the query runs on
+    a bounded id-range sample — at production scale the consumer is the
+    keep-min-per-group dedup assignment, not the full pair list."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    cand = S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=8, band_size=4)
     j = S.jaccard_pairs(d, cand, "doc_id", "text")
     return (
         j.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
@@ -768,20 +779,24 @@ def docs_jaccard_verified_dups(spark, sf_dir):
     """
     WITH n AS (
       SELECT doc_id,
-             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
       FROM documents)
-    SELECT doc_id, min(md5(substr(norm, CAST(i AS INTEGER), 8))) AS winnow_fp
-    FROM n, unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS t(i)
+    SELECT doc_id,
+           min(md5(array_to_string(
+             list_slice(arr, CAST(i AS INTEGER), CAST(i AS INTEGER) + 2), ' ')))
+             AS winnow_fp
+    FROM n, unnest(generate_series(1, greatest(len(arr) - 2, 1))) AS t(i)
     GROUP BY doc_id
     """,
 )
 def docs_winnow_fingerprint(spark, sf_dir):
-    """Rolling k-gram (k=8) winnowing-style fingerprint per document — the
-    content-defined sampling dedup primitive (min window hash survives edits
-    outside the minimizing window). Pure JVM sequence→transform→array_min."""
+    """Rolling 3-token-shingle winnowing-style fingerprint per document —
+    the content-defined sampling dedup primitive (min window hash survives
+    edits outside the minimizing window). Pure JVM split→sequence→
+    transform→array_min."""
     d = T(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", TXT.kgram_winnow_fingerprint(F.col("text"), k=8).alias("winnow_fp")
+        "doc_id", TXT.kgram_winnow_fingerprint(F.col("text"), k=3).alias("winnow_fp")
     )
 
 

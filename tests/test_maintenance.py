@@ -190,3 +190,38 @@ def test_streaming_mor_default_with_compaction_cadence(
 
     t2 = LakeTable.load(spark, t.path)
     assert read_state(t2).count() == len(a)  # read-time LWW over surviving deltas
+
+
+def test_orphans_from_crashed_commit_are_invisible_and_gcable(
+    spark, events_dir, tmp_path
+):
+    """Crash AFTER data files are written but BEFORE the snapshot commit:
+    the orphan files are invisible to snapshot-driven reads, the replayed
+    epoch is suppressed by the gate, and snapshot GC reclaims the orphans."""
+    import glob as _glob
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="cow")
+    p.run_batch_replay()
+    t = LakeTable.load(spark, p.table_path)
+    state_rows = p.target_state().count()
+    version = t.snap["version"]
+
+    # simulate the torn write: a fresh data dir with files, no commit
+    absdir, _rel = t.new_data_dir()
+    t.read(buckets=[0]).withColumn("_bucket", t.bucket_expr()) \
+        .write.partitionBy("_bucket").parquet(absdir)
+    orphans = _glob.glob(os.path.join(absdir, "**", "*.parquet"), recursive=True)
+    assert orphans
+
+    assert p.target_state().count() == state_rows  # orphans invisible
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(events_dir), 0)  # replay
+    t2 = LakeTable.load(spark, p.table_path)
+    assert t2.snap["version"] == version  # suppressed, no new commit
+    assert p.target_state().count() == state_rows
+
+    stats = t2.expire_snapshots(keep_last=100)  # GC by reachability only
+    assert stats["data_files_removed"] >= len(orphans)
+    assert not any(os.path.exists(f) for f in orphans)
+    assert p.target_state().count() == state_rows
