@@ -187,14 +187,68 @@ def encode_oracle_double(v: float) -> bytes:
 # ------------------------------------------------- charset decode (F2)
 
 
+# Oracle charset name → Java charset name (public mapping, Oracle NLS docs /
+# IANA names). Covers the charsets seen in practice; the reference instead
+# ships per-charset byte tables (src/locales/*, ~6,400 LoC) because it
+# decodes raw redo bytes in-process — JVM charsets are the Spark-native
+# equivalent. Names absent here pass through unchanged (Java may still know
+# them under the given alias).
+ORACLE_CHARSET_MAP: dict[str, str] = {
+    "AL32UTF8": "UTF-8", "UTF8": "UTF-8", "AL16UTF16": "UTF-16BE",
+    "US7ASCII": "US-ASCII",
+    "WE8ISO8859P1": "ISO-8859-1", "WE8ISO8859P15": "ISO-8859-15",
+    "EE8ISO8859P2": "ISO-8859-2", "SE8ISO8859P3": "ISO-8859-3",
+    "NEE8ISO8859P4": "ISO-8859-4", "CL8ISO8859P5": "ISO-8859-5",
+    "AR8ISO8859P6": "ISO-8859-6", "EL8ISO8859P7": "ISO-8859-7",
+    "IW8ISO8859P8": "ISO-8859-8", "WE8ISO8859P9": "ISO-8859-9",
+    "NE8ISO8859P10": "ISO-8859-10", "BLT8ISO8859P13": "ISO-8859-13",
+    "CEL8ISO8859P14": "ISO-8859-14",
+    "WE8MSWIN1252": "windows-1252", "EE8MSWIN1250": "windows-1250",
+    "CL8MSWIN1251": "windows-1251", "EL8MSWIN1253": "windows-1253",
+    "TR8MSWIN1254": "windows-1254", "IW8MSWIN1255": "windows-1255",
+    "AR8MSWIN1256": "windows-1256", "BLT8MSWIN1257": "windows-1257",
+    "VN8MSWIN1258": "windows-1258",
+    "JA16SJIS": "shift_jis", "JA16EUC": "euc_jp",
+    "KO16KSC5601": "euc_kr", "KO16MSWIN949": "cp949",
+    "ZHS16GBK": "gbk", "ZHS16CGB231280": "gb2312", "ZHT16BIG5": "big5",
+    "TH8TISASCII": "tis-620",
+    "RU8PC866": "cp866", "US8PC437": "cp437", "WE8PC850": "cp850",
+    "WE8EBCDIC37": "cp037", "WE8EBCDIC500": "cp500",
+}
+
+# charsets Spark's builtin `decode` accepts (the JVM fast path); everything
+# else decodes through the Arrow-batched codec kernel below
+_SPARK_DECODE_BUILTIN = {
+    "utf-8", "utf-16", "utf-16be", "utf-16le", "utf-32", "iso-8859-1",
+    "us-ascii",
+}
+
+
+def _codec_decode_udf(codec: str):
+    def _batch(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda b: None if b is None else bytes(b).decode(codec, errors="replace")
+        )
+
+    return pandas_udf(_batch, StringType())
+
+
 def charset_decode(col: Column, charset: str = "UTF-8") -> Column:
-    """F2: charset → UTF-8 string. The reference carries a 6400-LoC charset
-    subsystem (src/locales/*) because it decodes raw column bytes; Spark's
-    built-in `decode` covers the Java charset set JVM-side (UTF-8/16/32,
-    ISO-8859-x, windows-125x, ...). Multi-chunk continuation (the reference's
-    prevChars overlap for split multibyte sequences, Builder.h:1022-1045) is
-    unnecessary here: a DataFrame value is always a complete byte string."""
-    return F.decode(col, charset)
+    """F2: charset → UTF-8 string. Accepts either an ORACLE charset name
+    (resolved through ORACLE_CHARSET_MAP — the dictionary's
+    NLS_CHARACTERSET value can be passed straight in) or a codec name.
+    Unicode/Latin-1 decode stays on Spark's builtin `decode` (JVM,
+    whole-stage codegen); the long tail (windows-125x, Shift_JIS, GBK,
+    EBCDIC, ...) decodes through an Arrow-batched codec kernel with
+    replacement-character semantics. The reference instead ships ~6,400 LoC
+    of per-charset byte tables (src/locales/*) because it decodes raw redo
+    bytes in C++. Multi-chunk continuation (prevChars overlap for split
+    multibyte sequences, Builder.h:1022-1045) is unnecessary here: a
+    DataFrame value is always a complete byte string."""
+    name = ORACLE_CHARSET_MAP.get(charset.upper(), charset)
+    if name.lower() in _SPARK_DECODE_BUILTIN:
+        return F.decode(col, name)
+    return _codec_decode_udf(name)(col)
 
 
 # --------------------------------------------- intervals (F5) + TSTZ (F4)

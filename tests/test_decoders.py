@@ -199,3 +199,28 @@ def test_charset_decode(spark):
         charset_decode(F.col("utf16"), "UTF-16LE").alias("b"),
     ).collect()[0]
     assert row["a"] == "café" and row["b"] == "über"
+
+
+def test_oracle_charset_names_decode(spark):
+    """F2: the dictionary's NLS charset names resolve to JVM charsets."""
+    from openlogreplicator_spark.functions.decoders import charset_decode
+
+    df = spark.createDataFrame(
+        [(
+            "café".encode("iso-8859-1"),
+            "zażółć".encode("windows-1250"),
+            "東京".encode("shift_jis"),
+            "Привет".encode("windows-1251"),
+        )],
+        "p1 binary, pl binary, ja binary, ru binary",
+    )
+    row = df.select(
+        charset_decode(F.col("p1"), "WE8ISO8859P1").alias("p1"),
+        charset_decode(F.col("pl"), "EE8MSWIN1250").alias("pl"),
+        charset_decode(F.col("ja"), "JA16SJIS").alias("ja"),
+        charset_decode(F.col("ru"), "CL8MSWIN1251").alias("ru"),
+    ).collect()[0]
+    assert row["p1"] == "café"
+    assert row["pl"] == "zażółć"
+    assert row["ja"] == "東京"
+    assert row["ru"] == "Привет"
