@@ -219,8 +219,27 @@ def main() -> None:
             timings[name] = -1.0
     spark.stop()
 
-    lo = cdc_subprocess(SCALE_LO, events_dir)
-    hi = cdc_subprocess(SCALE_HI, events_dir)
+    # Interleaved scaling pair: lo/hi alternate (lo,hi) × N_REPEATS so both
+    # levels sample the SAME minutes of host contention — sequential blocks
+    # let a contention spike hit one level only and skew the ratio either way.
+    lo_times, hi_times, lo, hi = [], [], {}, {}
+    for _ in range(N_REPEATS):
+        r_lo = cdc_subprocess(SCALE_LO, events_dir, n_repeats=1, warmup=1)
+        r_hi = cdc_subprocess(SCALE_HI, events_dir, n_repeats=1, warmup=1)
+        if "secs_min" in r_lo:
+            lo_times.append(r_lo["secs_min"])
+            lo = r_lo
+        if "secs_min" in r_hi:
+            hi_times.append(r_hi["secs_min"])
+            hi = r_hi
+    if lo_times:
+        lo = {**lo, "secs_min": round(min(lo_times), 3),
+              "secs_all": [round(t, 2) for t in lo_times],
+              "events_per_sec": round(N_EVENTS / min(lo_times), 1)}
+    if hi_times:
+        hi = {**hi, "secs_min": round(min(hi_times), 3),
+              "secs_all": [round(t, 2) for t in hi_times],
+              "events_per_sec": round(N_EVENTS / min(hi_times), 1)}
     peak = cdc_subprocess(CPUS, events_dir) if CPUS not in (SCALE_LO, SCALE_HI) else hi
     # streaming gets the same JIT warmup the batch runs get (a cold first
     # epoch otherwise charges JVM compile time to the streaming number)
