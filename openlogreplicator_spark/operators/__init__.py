@@ -3,7 +3,7 @@ compaction (A3/W2), and merge-apply (J5). All DataFrame-native — Catalyst does
 predicate pushdown, partial aggregation, and AQE skew handling for free.
 """
 
-from .decode import dml_events, ddl_events, project_dml  # noqa: F401
-from .lww import (lww_compact, lww_compact_salted,  # noqa: F401
-    lww_compact_semijoin, lww_compact_window)  # noqa: F401
-from .merge import merge_into  # noqa: F401
+from .decode import dml_events, ddl_events, parse_ddl_sql, project_dml  # noqa: F401
+from .lww import (lww_compact, lww_compact_auto, lww_compact_salted,  # noqa: F401
+    lww_compact_semijoin, lww_compact_window, choose_lww_strategy)  # noqa: F401
+from .merge import compact_table, merge_append, merge_into, read_state  # noqa: F401
