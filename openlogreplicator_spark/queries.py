@@ -1054,6 +1054,9 @@ def engine_replay_state(spark, sf_dir):
     SAME fixed parquet log (round-1 task 3)."""
     from .streaming.pipeline import CdcPipeline
 
+    # pin UTC like T() does: this query's warc_ts values are value-hashed
+    # against the tz-naive DuckDB replay
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _ensure_replay_events()
     d = tempfile.mkdtemp(prefix="olr_replay_")
     p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
