@@ -57,23 +57,26 @@ def scratch_base() -> str:
 
 
 def bench_events_dir() -> str:
-    """Deterministic cached change log for this bench size (seed 42)."""
-    d = os.path.join(scratch_base(), f"olr_bench_events_{N_EVENTS}_{N_URLS}")
-    marker = os.path.join(d, "_complete")
-    if not os.path.exists(marker):
-        from openlogreplicator_spark.datagen import write_events_fast
+    """Deterministic cached change log for this bench size (seed 42):
+    content-addressed path (regenerates automatically on any datagen change)
+    with an atomic temp-dir + rename publish."""
+    from openlogreplicator_spark.datagen import (
+        ensure_fixture,
+        fixture_path,
+        write_events_fast,
+    )
 
-        shutil.rmtree(d, ignore_errors=True)
-        write_events_fast(
-            d,
-            n_files=128,
-            seed=42,
-            n_events=N_EVENTS,
-            n_urls=N_URLS,
-            n_pool=min(40_000, max(2_000, N_EVENTS // 200)),
-        )
-        open(marker, "w").close()
-    return d
+    spec = dict(
+        n_files=128,
+        seed=42,
+        n_events=N_EVENTS,
+        n_urls=N_URLS,
+        n_pool=min(40_000, max(2_000, N_EVENTS // 200)),
+    )
+    return ensure_fixture(
+        fixture_path(scratch_base(), "bench_events", spec),
+        lambda d: write_events_fast(d, **spec),
+    )
 
 
 def _membw_burn(_):

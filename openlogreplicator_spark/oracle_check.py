@@ -27,22 +27,34 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value — NOTHING else.
+
+    Deliberately dtype-strict (round-2 verdict task 2): the previous version
+    tz-stripped datetimes and coerced ints to Int64, which masked exactly the
+    schema divergence the driver's gate caught (a tz-aware oracle column vs a
+    naive Spark one). The only permitted normalization is datetime RESOLUTION
+    (ns vs us is a pandas-conversion artifact, not an engine schema fact);
+    tz-awareness is preserved so a divergence fails locally first.
+    """
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
-        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = (
-                pd.to_datetime(pdf[c], utc=True)
-                .dt.tz_localize(None)
-                .astype("datetime64[us]")
-            )
-        elif pd.api.types.is_integer_dtype(pdf[c]):
-            pdf[c] = pdf[c].astype("Int64")
+        if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+            pdf[c] = pdf[c].dt.tz_convert("UTC").astype("datetime64[us, UTC]")
+        elif pd.api.types.is_datetime64_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]")
     return pdf.sort_values(list(pdf.columns), kind="stable").reset_index(drop=True)
 
 
 def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if list(a.columns) != list(b.columns):
         return False, f"columns differ: {list(a.columns)} vs {list(b.columns)}"
+    dt_a = [str(t) for t in a.dtypes]
+    dt_b = [str(t) for t in b.dtypes]
+    if dt_a != dt_b:
+        diff = [
+            (c, x, y) for c, x, y in zip(a.columns, dt_a, dt_b) if x != y
+        ]
+        return False, f"dtypes differ: {diff}"
     if len(a) != len(b):
         return False, f"row count differs: {len(a)} vs {len(b)}"
     for c in a.columns:

@@ -475,7 +475,8 @@ def revenue_by_nation(spark, sf_dir):
 @register(
     "top_orders_per_customer",
     """
-    SELECT c_custkey, o_orderkey, o_totalprice, rn AS order_rank FROM (
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           CAST(rn AS INTEGER) AS order_rank FROM (
       SELECT c_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY c_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -999,23 +1000,26 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+from .datagen import ensure_fixture, fixture_path  # noqa: E402
+
 _REPLAY_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-_REPLAY_EVENTS = os.path.join(_REPLAY_BASE, "olr_replay_oracle_v1", "events")
+_REPLAY_SPEC = dict(seed=42, n_events=2000, n_urls=200, n_files=4)
+# Content-addressed path: embeds a hash of (DATAGEN_VERSION, spec), so a
+# generator change regenerates automatically — no stale-cache footgun, no
+# manual version bump (round-2 verdict task 9).
+_REPLAY_EVENTS = fixture_path(_REPLAY_BASE, "replay_oracle", _REPLAY_SPEC)
 
 
 def _ensure_replay_events() -> str:
     """Deterministic change log (seed 42, pure numpy/pyarrow — no Spark) at a
-    FIXED path, so the DuckDB oracle can read the very same parquet the
-    engine replays. Generated at import time; idempotent via marker."""
-    marker = os.path.join(_REPLAY_EVENTS, "_complete")
-    if not os.path.exists(marker):
-        from .datagen import GenSpec, write_events
+    content-addressed path, so the DuckDB oracle reads the very same parquet
+    the engine replays. Atomic publish (temp dir + rename): concurrent
+    importers and crashes cannot expose partial parquet."""
+    from .datagen import GenSpec, write_events
 
-        write_events(
-            _REPLAY_EVENTS, GenSpec(seed=42, n_events=2000, n_urls=200, n_files=4)
-        )
-        open(marker, "w").close()
-    return _REPLAY_EVENTS
+    return ensure_fixture(
+        _REPLAY_EVENTS, lambda d: write_events(d, GenSpec(**_REPLAY_SPEC))
+    )
 
 
 _ensure_replay_events()
@@ -1098,7 +1102,7 @@ def _simhash_sql() -> str:
              (simhash >> (c.chunk_id * 16)) & 65535 AS chunk
       FROM full_sig, (SELECT unnest([0, 1, 2, 3]) AS chunk_id) c)
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-           bit_count(xor(l.simhash, r.simhash)) AS hamming
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
     FROM blocked l JOIN blocked r
       ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
     WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
