@@ -33,17 +33,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
-from .lww import lww_compact, lww_compact_semijoin
+from .lww import lww_compact_auto
+
+DEFAULT_BROADCAST_BUDGET = 20_000_000
 
 
-def read_state(table: LakeTable) -> DataFrame:
+def read_state(
+    table: LakeTable, broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET
+) -> DataFrame:
     """User-facing scan: live rows only (tombstones filtered, internal cols
     kept). On a merge-on-read table (uncompacted appended deltas), winners
     are resolved at read time — same LWW total order, so state is identical
-    to the copy-on-write path."""
-    df = table.read()
-    if table.snap.get("needs_read_compaction"):
-        df = lww_compact_semijoin(df, key=table.key_col, order=("warc_ts", "_seq"))
+    to the copy-on-write path.
+
+    Scale shape (round-2 verdict tasks 4+5): read-time LWW runs ONLY over the
+    dirty buckets (buckets partition keys, so per-bucket LWW is exact); clean
+    buckets stream through untouched. The LWW strategy is auto-selected with
+    the snapshot's exact per-bucket row counts as a free key-count bound —
+    above the broadcast budget the salted two-phase form engages instead of
+    broadcasting a hash of every distinct key in the table."""
+    dirty = table.dirty_buckets()
+    if not dirty:
+        df = table.read()
+    else:
+        present = {f["bucket"] for f in table.snap["files"]}
+        clean = present - dirty
+        resolved = lww_compact_auto(
+            table.read(dirty),
+            key=table.key_col,
+            order=("warc_ts", "_seq"),
+            broadcast_budget_keys=broadcast_budget_keys,
+            approx_rows=table.rows_in_buckets(dirty),
+        )
+        df = (
+            resolved.unionByName(table.read(clean)) if clean else resolved
+        )
     return df.filter(F.col("_op") != "d")
 
 
@@ -136,23 +160,40 @@ def merge_append(
         "rows_written": rows,
         **(extra_summary or {}),
     }
+    touched = {f["bucket"] for f in new_files}
+    dirty = sorted(table.dirty_buckets() | touched)
     table.commit_files(
         new_files, replaced_buckets=[], summary=summary,
-        extra={"needs_read_compaction": True},
+        extra={"needs_read_compaction": bool(dirty), "dirty_buckets": dirty},
     )
-    return {"touched_buckets": len({f['bucket'] for f in new_files}),
+    return {"touched_buckets": len(touched),
             "files": len(new_files), "rows": rows}
 
 
-def compact_table(table: LakeTable) -> dict:
-    """Collapse merge-on-read deltas: LWW per bucket, rewrite every bucket to
-    a single file, clear the read-compaction flag. The maintenance half of
-    merge_append (run on a cadence, like the reference's checkpoint GC)."""
-    full = table.read().withColumn("_bucket", table.bucket_expr())
-    merged = lww_compact_semijoin(full, key=table.key_col, order=("warc_ts", "_seq"))
+def compact_table(
+    table: LakeTable, broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET
+) -> dict:
+    """Collapse merge-on-read deltas: LWW per DIRTY bucket, rewrite only those
+    buckets, clear their dirty mark. The maintenance half of merge_append
+    (run on a cadence, like the reference's checkpoint GC) — a compaction
+    after a 1-bucket epoch rewrites 1 bucket, never the table (round-2
+    verdict task 5); at 10^10 rows the previous full-table rewrite was a
+    periodic scale wall."""
+    dirty = sorted(table.dirty_buckets())
+    if not dirty:
+        table.commit_summary_only({"op": "compact", "buckets": 0})
+        return {"files": 0, "rows": 0, "buckets_rewritten": 0}
+    full = table.read(dirty).withColumn("_bucket", table.bucket_expr())
+    merged = lww_compact_auto(
+        full,
+        key=table.key_col,
+        order=("warc_ts", "_seq"),
+        broadcast_budget_keys=broadcast_budget_keys,
+        approx_rows=table.rows_in_buckets(dirty),
+    )
     absdir, _rel = table.new_data_dir()
     (
-        merged.repartition(max(1, min(table.n_buckets, 64)), "_bucket")
+        merged.repartition(max(1, min(len(dirty), 64)), "_bucket")
         .write.partitionBy("_bucket")
         .parquet(absdir)
     )
@@ -172,12 +213,11 @@ def compact_table(table: LakeTable) -> dict:
                     "rows": n,
                 }
             )
-    all_buckets = {f["bucket"] for f in table.snap["files"]}
     table.commit_files(
-        new_files, all_buckets, {"op": "compact", "rows": rows},
-        extra={"needs_read_compaction": False},
+        new_files, dirty, {"op": "compact", "rows": rows, "buckets": len(dirty)},
+        extra={"needs_read_compaction": False, "dirty_buckets": []},
     )
-    return {"files": len(new_files), "rows": rows}
+    return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(dirty)}
 
 
 def merge_into(
@@ -186,6 +226,7 @@ def merge_into(
     epoch_id: int = 0,
     final: bool = True,
     extra_summary: dict | None = None,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
 ) -> dict:
     """Merge a compacted (one-row-per-key) batch; returns commit stats.
 
@@ -210,18 +251,28 @@ def merge_into(
         merged, touched = b, None
     else:
         b = b.persist()  # feeds two actions: bucket discovery + the write
-        touched = sorted(r[0] for r in b.select("_bucket").distinct().collect())
+        # one job yields BOTH the touched-bucket set and the batch row count
+        # (the key-count bound the LWW auto-selector needs)
+        bucket_counts = b.groupBy("_bucket").count().collect()
+        touched = sorted(r["_bucket"] for r in bucket_counts)
         if not touched:
             b.unpersist()
             table.commit_summary_only(summary)
             return {"touched_buckets": 0, "files": 0, "rows": 0}
+        batch_rows = sum(r["count"] for r in bucket_counts)
         current = table.read(touched).withColumn("_bucket", table.bucket_expr())
-        # reconcile with the semijoin LWW: winners are found on a
-        # column-pruned narrow scan of (key, warc_ts, _seq) over both sides,
-        # so the wide stored payload is never shuffled — steady-state epochs
-        # otherwise re-shuffle the whole touched-bucket contents every merge.
-        merged = lww_compact_semijoin(
-            current.unionByName(b), key=key, order=("warc_ts", "_seq")
+        # reconcile LWW: winners are found on a column-pruned narrow scan of
+        # (key, warc_ts, _seq) over both sides, so the wide stored payload is
+        # never shuffled. Strategy auto-selected (round-2 verdict task 4):
+        # under the budget the winner-hash semijoin broadcasts ~8 B/key;
+        # above it (the 10^9-key wall) the salted two-phase form engages —
+        # the exact per-file row counts give the bound for free.
+        merged = lww_compact_auto(
+            current.unionByName(b),
+            key=key,
+            order=("warc_ts", "_seq"),
+            broadcast_budget_keys=broadcast_budget_keys,
+            approx_rows=batch_rows + table.rows_in_buckets(touched),
         )
 
     absdir, rel = table.new_data_dir()
@@ -254,5 +305,11 @@ def merge_into(
         touched = sorted({f["bucket"] for f in new_files})
     summary["merge_secs"] = round(time.time() - t0, 3)
     summary["rows_written"] = total_rows
-    table.commit_files(new_files, touched, summary)
+    # a CoW merge leaves each touched bucket LWW-compacted — clear its dirty
+    # mark (mode-switch safety: a MoR table merged with CoW converges clean)
+    dirty = sorted(table.dirty_buckets() - set(touched))
+    table.commit_files(
+        new_files, touched, summary,
+        extra={"needs_read_compaction": bool(dirty), "dirty_buckets": dirty},
+    )
     return {"touched_buckets": len(touched), "files": len(new_files), "rows": total_rows}

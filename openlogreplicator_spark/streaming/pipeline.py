@@ -87,6 +87,7 @@ class CdcPipeline:
         self.events_path = events_path
         self.table_path = table_path
         self.checkpoint_path = checkpoint_path
+        self._table: LakeTable | None = None
         self.metrics_path = metrics_path
         self.n_buckets = n_buckets
         self.n_salts = n_salts
@@ -118,9 +119,18 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ lifecycle
     def ensure_table(self) -> LakeTable:
+        """Open (or create) the target. The handle is CACHED across epochs —
+        the pipeline is the table's single writer (Structured Streaming's
+        one-query-owns-the-sink model), so reloading + re-resolving the
+        manifest chain every epoch is pure fixed overhead; a cheap _current
+        version check keeps the cache honest if anything else committed."""
         if LakeTable.exists(self.table_path):
-            return LakeTable.load(self.spark, self.table_path)
-        return LakeTable.create(
+            cur = LakeTable.current_version(self.table_path)
+            if self._table is not None and self._table.snap["version"] == cur:
+                return self._table
+            self._table = LakeTable.load(self.spark, self.table_path)
+            return self._table
+        self._table = LakeTable.create(
             self.spark,
             self.table_path,
             TARGET_BASE_FIELDS,
@@ -129,10 +139,14 @@ class CdcPipeline:
             schema_ver=1,
             reserved_cols=["warc_ts", "_seq", "_op"],
         )
+        return self._table
 
     def target_state(self) -> DataFrame:
         """Live rows of the target (tombstones filtered) at the current schema."""
-        return read_state(LakeTable.load(self.spark, self.table_path))
+        return read_state(
+            LakeTable.load(self.spark, self.table_path),
+            broadcast_budget_keys=self.lww_broadcast_budget,
+        )
 
     # ------------------------------------------------------------ the epoch
     def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -232,16 +246,22 @@ class CdcPipeline:
         mode = self.merge_mode
         if mode == "auto":
             mode = self._runtime_merge_mode or "cow"
-        do_merge = merge_append if mode == "mor" else merge_into
-        stats = [
-            do_merge(
-                table,
-                compacted,
-                epoch_id=int(epoch_id),
-                final=True,
-                extra_summary={"schema_ver": table.current_schema_ver},
-            )
-        ]
+        merge_kwargs = dict(
+            epoch_id=int(epoch_id),
+            final=True,
+            extra_summary={"schema_ver": table.current_schema_ver},
+        )
+        if mode == "mor":
+            stats = [merge_append(table, compacted, **merge_kwargs)]
+        else:
+            stats = [
+                merge_into(
+                    table,
+                    compacted,
+                    broadcast_budget_keys=self.lww_broadcast_budget,
+                    **merge_kwargs,
+                )
+            ]
         if (
             mode == "mor"
             and self.compact_every
@@ -253,7 +273,7 @@ class CdcPipeline:
             # carries no epoch_id, so the exactly-once watermark is untouched.
             from ..operators.merge import compact_table
 
-            compact_table(table)
+            compact_table(table, broadcast_budget_keys=self.lww_broadcast_budget)
         if self.metrics_path:
             self._write_metrics(batch_df, int(epoch_id), time.time() - t0, stats)
 

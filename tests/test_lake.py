@@ -116,3 +116,62 @@ def test_commit_is_atomic_pointer_swap(spark, table):
         assert int(f.read()) == v0 + 1
     # old snapshot still readable (time travel by version file)
     assert os.path.exists(os.path.join(table.path, "_snapshots", f"v{v0:08d}.json"))
+
+
+def test_manifest_commit_cost_is_o_new_files(spark, table):
+    """Round-2 verdict 'What's wrong #3': per-commit metadata must be
+    O(files added), not O(total files) — the snapshot JSON holds manifest
+    refs, each commit adds ONE manifest with only its own files."""
+    import datetime as dt
+    import json as _json
+
+    ts = dt.datetime(2020, 1, 1)
+    for e in range(5):
+        _write_rows(spark, table, [(f"u{e}-{i}", ts, e * 100 + i, "c", "x")
+                                   for i in range(8)])
+    sdir = os.path.join(table.path, "_snapshots")
+    with open(os.path.join(sdir, f"v{table.snap['version']:08d}.json")) as f:
+        on_disk = _json.load(f)
+    assert "files" not in on_disk  # file list never restated per commit
+    assert len(on_disk["manifests"]) == 5
+    # each manifest carries only its OWN commit's files
+    assert max(m["n_files"] for m in on_disk["manifests"]) <= 16
+    # reload resolves the chain (with bucket retraction) to the identical list
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.snap["files"] == table.snap["files"]
+
+
+def test_manifest_chain_merges_past_threshold(spark, table):
+    import datetime as dt
+
+    table.snap["manifest_merge_threshold"] = 4
+    ts = dt.datetime(2020, 1, 1)
+    for e in range(7):
+        _write_rows(spark, table, [(f"k{e}", ts, e, "c", "x")])
+    assert len(table.snap["manifests"]) <= 5  # collapsed, not 7
+    t2 = LakeTable.load(spark, table.path)
+    assert sorted(f["path"] for f in t2.snap["files"]) == sorted(
+        f["path"] for f in table.snap["files"]
+    )
+    # _write_rows replaces each commit's buckets, so the resolved list keeps
+    # only the last file per bucket — count follows the file metadata
+    assert t2.read().count() == len(table.snap["files"])
+
+
+def test_expire_snapshots_gcs_unreferenced_manifests(spark, table):
+    import datetime as dt
+
+    table.snap["manifest_merge_threshold"] = 3  # force chain collapses
+    ts = dt.datetime(2020, 1, 1)
+    for e in range(8):
+        # same bucket replaced each time -> old files + manifests orphan
+        _write_rows(spark, table, [("samekey", ts, e, "c", f"v{e}")])
+    mdir = os.path.join(table.path, "_snapshots", "manifests")
+    before = len(os.listdir(mdir))
+    table.expire_snapshots(keep_last=1)
+    after = len(os.listdir(mdir))
+    assert after < before  # collapsed-away manifests are GC'd
+    # current state still fully readable
+    assert table.read().count() == 1
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.read().collect()[0]["text"] == "v7"
