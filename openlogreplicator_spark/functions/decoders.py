@@ -194,7 +194,10 @@ def encode_oracle_double(v: float) -> bytes:
 # equivalent. Names absent here pass through unchanged (Java may still know
 # them under the given alias).
 ORACLE_CHARSET_MAP: dict[str, str] = {
-    "AL32UTF8": "UTF-8", "UTF8": "UTF-8", "AL16UTF16": "UTF-16BE",
+    # Oracle's "UTF8" is CESU-8, NOT true UTF-8: supplementary characters are
+    # stored as 6-byte surrogate pairs — routed to the CESU-8-aware kernel
+    # below (only AL32UTF8 is real UTF-8). ADVICE r02.
+    "AL32UTF8": "UTF-8", "UTF8": "cesu-8", "AL16UTF16": "UTF-16BE",
     "US7ASCII": "US-ASCII",
     "WE8ISO8859P1": "ISO-8859-1", "WE8ISO8859P15": "ISO-8859-15",
     "EE8ISO8859P2": "ISO-8859-2", "SE8ISO8859P3": "ISO-8859-3",
@@ -224,11 +227,27 @@ _SPARK_DECODE_BUILTIN = {
 }
 
 
+def _decode_cesu8(b: bytes) -> str:
+    """CESU-8 (Oracle's 'UTF8'): decode bytes allowing UTF-8-encoded UTF-16
+    surrogates, then re-pair them into supplementary characters. Falls back
+    to replacement characters on malformed input, like the other codecs."""
+    try:
+        s = b.decode("utf-8", errors="surrogatepass")
+        # re-combine surrogate pairs: utf-16 round-trip pairs them back up
+        return s.encode("utf-16", "surrogatepass").decode("utf-16")
+    except UnicodeError:
+        return b.decode("utf-8", errors="replace")
+
+
 def _codec_decode_udf(codec: str):
+    if codec.lower() == "cesu-8":
+        decode_one = _decode_cesu8
+    else:
+        def decode_one(b: bytes) -> str:
+            return b.decode(codec, errors="replace")
+
     def _batch(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda b: None if b is None else bytes(b).decode(codec, errors="replace")
-        )
+        return s.map(lambda b: None if b is None else decode_one(bytes(b)))
 
     return pandas_udf(_batch, StringType())
 
@@ -320,41 +339,23 @@ def interval_ds_col(raw: Column) -> Column:
     )
 
 
-# Oracle tz-region key ((byte11 << 8) | byte12, flag bit included) → IANA
-# name. Curated subset of the well-known regions (the full ~600-entry table
-# lives in Oracle's timezone files; the reference mirrors it in
+# Oracle tz-region key ((byte11 << 8) | byte12) → IANA name: the FULL
+# 595-entry public mapping (the reference mirrors Oracle's timezone files in
 # src/locales/Locales.cpp:191-786). Unknown keys render as tz#0x<key> so no
-# information is lost — the reference emits "TZ?" (Builder.cpp:331).
-TZ_REGION_NAMES: dict[int, str] = {
-    0xd004: "UTC", 0x8004: "Etc/GMT",
-    0x80b0: "Africa/Cairo", 0x8120: "Africa/Johannesburg", 0x8108: "Africa/Lagos",
-    0x81a8: "America/Anchorage", 0x8abc: "America/Argentina/Buenos_Aires",
-    0x8194: "America/Chicago", 0x8198: "America/Denver",
-    0x819c: "America/Los_Angeles", 0x8234: "America/Mexico_City",
-    0x8190: "America/New_York", 0x81b4: "America/Phoenix",
-    0x82f0: "America/Sao_Paulo", 0x8370: "America/Toronto",
-    0x84a0: "Asia/Bangkok", 0x8bd0: "Asia/Dhaka", 0x84a8: "Asia/Dubai",
-    0x83f8: "Asia/Hong_Kong", 0x8414: "Asia/Jakarta", 0x8428: "Asia/Jerusalem",
-    0x8470: "Asia/Karachi", 0x8c10: "Asia/Kolkata", 0x8478: "Asia/Manila",
-    0x8444: "Asia/Seoul", 0x83e8: "Asia/Shanghai", 0x8490: "Asia/Singapore",
-    0x842c: "Asia/Tokyo", 0x857c: "Australia/Melbourne", 0x8568: "Australia/Perth",
-    0x8580: "Australia/Sydney", 0x8630: "Europe/Amsterdam", 0x8604: "Europe/Athens",
-    0x85fc: "Europe/Berlin", 0x85cc: "Europe/Dublin", 0x85f4: "Europe/Helsinki",
-    0x865c: "Europe/Istanbul", 0x8660: "Europe/Kiev", 0x863c: "Europe/Lisbon",
-    0x85c4: "Europe/London", 0x8650: "Europe/Madrid", 0x8648: "Europe/Moscow",
-    0x85f8: "Europe/Paris", 0x85e8: "Europe/Prague", 0x860c: "Europe/Rome",
-    0x8654: "Europe/Stockholm", 0x85d8: "Europe/Vienna", 0x8638: "Europe/Warsaw",
-    0x8658: "Europe/Zurich", 0x875c: "Pacific/Auckland",
-}
+# information is lost — the reference emits "TZ?" (Builder.cpp:332).
+from .tz_regions import TZ_REGION_NAMES  # noqa: E402
 
 
 def decode_tstz(b: bytes | None, tz_names: dict[int, str] | None = None):
     """F4: 13-byte TIMESTAMP WITH TIME ZONE: 7-byte UTC date + 4-byte nanos +
-    2 tz bytes (either fixed offset h+20/m+60, or a tz-region key when byte
-    11 has the 0x80 flag — the raw (byte11<<8)|byte12 key, matching the
-    reference's timeZoneMap lookup, Builder.cpp:327-332). Returns
-    (utc_datetime, tz_string); region names resolve through ``tz_names`` or
-    the built-in TZ_REGION_NAMES subset."""
+    2 tz bytes. Mirrors the reference's branch exactly (Builder.cpp:296-333):
+    byte11 in [5, 36] → fixed offset (hours biased +20, minutes +60, the
+    rendered sign comes from the COMPOSITE value so -00:30 keeps its minus);
+    anything else → region-key lookup of (byte11<<8)|byte12 — so malformed
+    bytes outside both ranges degrade to the tz#0x<key> unknown marker, never
+    a nonsense offset (round-2 ADVICE item 4). Returns (utc_datetime,
+    tz_string); region names resolve through ``tz_names`` or the built-in
+    full TZ_REGION_NAMES table."""
     if b is None or len(b) < 13:
         return None
     base = decode_oracle_date(b[:7])
@@ -362,14 +363,16 @@ def decode_tstz(b: bytes | None, tz_names: dict[int, str] | None = None):
         return None
     nanos = struct.unpack(">I", b[7:11])[0]
     base = base.replace(microsecond=nanos // 1000)
-    if b[11] & 0x80:  # region key
+    if 5 <= b[11] <= 36:  # fixed offset
+        neg = b[11] < 20 or (b[11] == 20 and b[12] < 60)
+        oh = 20 - b[11] if b[11] < 20 else b[11] - 20
+        om = 60 - b[12] if b[12] < 60 else b[12] - 60
+        tz = f"{'-' if neg else '+'}{oh:02d}:{om:02d}"
+    else:  # region key (0x80-flagged in practice; out-of-range = unknown)
         key = (b[11] << 8) | b[12]
         tz = (tz_names if tz_names is not None else TZ_REGION_NAMES).get(
             key, f"tz#0x{key:04x}"
         )
-    else:
-        oh, om = b[11] - 20, b[12] - 60
-        tz = f"{'+' if oh >= 0 else '-'}{abs(oh):02d}:{abs(om):02d}"
     return base, tz
 
 

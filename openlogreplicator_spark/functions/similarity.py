@@ -133,31 +133,58 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Tokens = distinct whitespace tokens of lower(text); empty docs get sig 0.
 
     Shape at scale: explode → distinct (one shuffle on (id, token)) →
-    partial-aggregated 64-way bit-vote groupBy (one shuffle on id). All
-    expression work (16 hex nibbles → 64 bit votes) runs inside codegen.
+    partial-aggregated PACKED bit-vote groupBy (one shuffle on id). The +1/-1
+    votes are carried as bit COUNTS in 4 independent 16-bit lanes per long:
+    nibble i contributes one packed long (its 4 bits land in lanes 0..3), so
+    the aggregation is 16 SUMs + 1 COUNT instead of 64 SUMs (round-2 verdict
+    task 7 — the 64-way agg spent its win on codegen size), and
+    votes[b] = 2·cnt[b] − n_tokens recovers the exact vote.
+
+    Lane capacity: a doc with > 65,535 DISTINCT tokens would overflow a lane;
+    far beyond web-page shape (and the DuckDB oracle would catch it).
     """
     tok = tokens(df, id_col, text_col)
     hexd = F.md5(F.col("token"))
     # hex char i (0-based from the left) carries bits [63-4i .. 60-4i]:
     # nibble for bit b is hex char 15-(b>>2), bit (b&3) within it.
-    nibs = [
-        F.conv(F.substring(hexd, i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
-        for i in range(16)
-    ]
-    t = tok.select(F.col(id_col), *nibs)
-    votes = [
-        F.sum(
-            F.shiftright(F.col(f"n{15 - (b >> 2)}"), b & 3)
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    v = t.groupBy(id_col).agg(*votes)
+    # Parse the hex in two 8-char halves (each < 2^32, safe in a signed
+    # long) — 2 string convs per token instead of 16.
+    halves = tok.select(
+        F.col(id_col),
+        F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("_hi"),
+        F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("_lo"),
+    )
+
+    def pack(i: int):
+        # hex char i lives in _hi (chars 0-7) or _lo (chars 8-15); its bit k
+        # sits at position 4*(7 - i%8) + k of that 32-bit half.
+        src = F.col("_hi") if i < 8 else F.col("_lo")
+        base = 4 * (7 - (i % 8))
+        e = None
+        for k in range(4):
+            term = (
+                F.shiftrightunsigned(src, base + k).bitwiseAND(F.lit(1))
+                * F.lit(1 << (16 * k)).cast("long")
+            )
+            e = term if e is None else e + term
+        return e.alias(f"p{i}")
+
+    packed = halves.select(F.col(id_col), *[pack(i) for i in range(16)])
+    v = packed.groupBy(id_col).agg(
+        *[F.sum(F.col(f"p{i}")).alias(f"s{i}") for i in range(16)],
+        F.count(F.lit(1)).alias("_ntok"),
+    )
+
+    def vote(b: int):
+        i, k = 15 - (b >> 2), b & 3
+        cnt = F.shiftrightunsigned(F.col(f"s{i}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        return cnt * 2 - F.col("_ntok")
+
     low = None
     for b in range(63):
-        term = (F.col(f"v{b}") > 0).cast("long") * F.lit(1 << b)
+        term = (vote(b) > 0).cast("long") * F.lit(1 << b)
         low = term if low is None else low + term
-    sig = low + F.when(F.col("v63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    sig = low + F.when(vote(63) > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
     return v.select(F.col(id_col), sig.alias("simhash"))
 
 

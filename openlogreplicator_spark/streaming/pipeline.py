@@ -329,13 +329,19 @@ class CdcPipeline:
         clean = stream.filter(committed_dml)
         bypass = stream.filter(~F.coalesce(committed_dml, F.lit(False)))
         filtered = suppress_stale_events(
-            clean.withColumn("extras_json", F.to_json("extras")).select(OUT_COLS)
+            clean.withColumn("extras_json", F.to_json("extras"))
+            .withColumn("before_json", F.to_json("before"))
+            .select(OUT_COLS)
         )
         restored = (
             filtered
             .withColumn("extras", F.from_json("extras_json", "map<string,string>"))
             .drop("extras_json")
-            .withColumn("before", F.lit(None).cast("map<string,binary>"))
+            # binary map values round-trip as base64 through to_json/from_json
+            .withColumn("before", F.from_json("before_json", "map<string,binary>"))
+            .drop("before_json")
+            # rows reaching this branch passed the committed_dml filter, so
+            # rolled_back was literally false on every one of them
             .withColumn("rolled_back", F.lit(False))
             .withColumn("action", F.lit(None).cast("string"))
             .withColumn("col_name", F.lit(None).cast("string"))

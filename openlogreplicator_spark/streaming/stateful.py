@@ -27,15 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_DDL = "max_ts long, max_seq long"
-# extras ride as JSON text through the state operator (map columns are
-# re-materialized JVM-side after the union, pipeline._with_stale_suppression)
+# extras AND the before-image ride as JSON text through the state operator
+# (binary map values become base64 inside to_json and round-trip through
+# from_json; map columns are re-materialized JVM-side after the union,
+# pipeline._with_stale_suppression) — so before-image sinks fed from a
+# suppress_stale stream keep their update/delete before rows (ADVICE r02).
 OUT_COLS = [
     "url", "warc_ts", "seq", "op", "html", "text", "lang", "extras_json",
-    "schema_ver",
+    "before_json", "schema_ver",
 ]
 OUT_DDL = (
     "url string, warc_ts timestamp, seq long, op string, html binary, "
-    "text string, lang string, extras_json string, schema_ver int"
+    "text string, lang string, extras_json string, before_json string, "
+    "schema_ver int"
 )
 
 

@@ -144,6 +144,27 @@ def test_tstz_decoder():
     assert decode_tstz(date7 + nanos + bytes([0x85, 0xc4]))[1] == "Europe/London"
     # unknown key keeps a lossless placeholder
     assert decode_tstz(date7 + nanos + bytes([0xff, 0xfe]))[1] == "tz#0xfffe"
+    # negative composite offset: sign comes from (h, m) jointly, like the
+    # reference (Builder.cpp:296-313) — -00:30 keeps its minus
+    assert decode_tstz(date7 + nanos + bytes([20, 30]))[1] == "-00:30"
+    assert decode_tstz(date7 + nanos + bytes([15, 30]))[1] == "-05:30"
+    # byte11 outside [5,36] and not a known region key is NOT an offset:
+    # degrade to the unknown marker, never a nonsense offset (ADVICE r02)
+    assert decode_tstz(date7 + nanos + bytes([2, 10]))[1] == "tz#0x020a"
+    assert decode_tstz(date7 + nanos + bytes([40, 0]))[1] == "tz#0x2800"
+
+
+def test_tz_region_table_is_complete():
+    """The full public key->IANA table ships (round-2 verdict task 8): every
+    key the reference resolves (Locales.cpp:191-786, 595 entries) resolves
+    here too."""
+    from openlogreplicator_spark.functions.decoders import TZ_REGION_NAMES
+
+    assert len(TZ_REGION_NAMES) == 595
+    assert TZ_REGION_NAMES[0x80a8] == "Africa/Abidjan"
+    assert TZ_REGION_NAMES[0x85c4] == "Europe/London"
+    assert TZ_REGION_NAMES[0x8c10] == "Asia/Kolkata"
+    assert TZ_REGION_NAMES[0xd004] == "UTC"
 
 
 def test_timestamp_fraction_roundtrip_property():
@@ -224,3 +245,25 @@ def test_oracle_charset_names_decode(spark):
     assert row["pl"] == "zażółć"
     assert row["ja"] == "東京"
     assert row["ru"] == "Привет"
+
+
+def test_oracle_utf8_is_cesu8(spark):
+    """Oracle's 'UTF8' charset is CESU-8: supplementary characters are
+    stored as 6-byte UTF-8-encoded surrogate PAIRS (only AL32UTF8 is true
+    UTF-8). The pair must re-combine, and BMP text must pass through
+    unchanged (ADVICE r02)."""
+    from openlogreplicator_spark.functions.decoders import charset_decode
+
+    # U+1F600 in CESU-8: surrogates D83D DE00, each UTF-8 encoded
+    cesu_emoji = b"\xed\xa0\xbd\xed\xb8\x80"
+    bmp = "grüße 東京".encode("utf-8")  # BMP-only: CESU-8 == UTF-8
+    df = spark.createDataFrame([(cesu_emoji, bmp)], "e binary, b binary")
+    row = df.select(
+        charset_decode(F.col("e"), "UTF8").alias("e"),
+        charset_decode(F.col("b"), "UTF8").alias("b"),
+    ).collect()[0]
+    assert row["e"] == "\U0001F600"
+    assert row["b"] == "grüße 東京"
+    # true-UTF-8 path stays on the JVM builtin and does NOT pair surrogates
+    row2 = df.select(charset_decode(F.col("b"), "AL32UTF8").alias("b")).collect()[0]
+    assert row2["b"] == "grüße 東京"

@@ -66,8 +66,9 @@ def test_stateful_suppressor_cross_epoch(spark, events_dir, events_pdf, tmp_path
         .parquet(events_dir)
         .filter((F.col("op") != "ddl") & (~F.col("rolled_back")))
         .withColumn("extras_json", F.to_json("extras"))
+        .withColumn("before_json", F.to_json("before"))
         .select("url", "warc_ts", "seq", "op", "html", "text", "lang",
-                "extras_json", "schema_ver")
+                "extras_json", "before_json", "schema_ver")
     )
     out = suppress_stale_events(stream)
     q = (
@@ -132,3 +133,43 @@ def test_pipeline_suppress_stale_matches_golden_and_shrinks(
     assert m["events_in"].sum() < raw_rows  # stale rows died before the epoch
     # schema evolution still happened (ddl rows bypassed the state filter)
     assert dict(sup.target_state().dtypes)["http_status"] == "bigint"
+
+
+def test_suppress_stale_carries_before_images(spark, events_dir, events_pdf, tmp_path):
+    """ADVICE r02: the stale-suppression path must NOT null the before-image —
+    a before-image sink fed from a suppress_stale stream keeps its
+    update/delete before rows (base64 JSON ride through the state operator)."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_dir)
+    )
+    q = (
+        p._with_stale_suppression(stream)
+        .writeStream.format("memory")
+        .queryName("with_before")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT url, seq, before FROM with_before").toPandas()
+    # rolled-back rows bypass the state filter (union branch) and keep their
+    # before-image too — compare against ALL non-ddl rows
+    src = events_pdf[events_pdf["op"] != "ddl"]
+    src_before = {
+        (r["url"], r["seq"]): dict(r["before"])
+        for _, r in src.iterrows() if r["before"] is not None
+    }
+    matched = 0
+    for _, r in got.iterrows():
+        if r["before"] is not None:
+            want = src_before[(r["url"], r["seq"])]
+            assert dict(r["before"]) == want
+            matched += 1
+    assert matched > 0  # update/delete before-images actually flowed through
