@@ -38,11 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
-# sf0.1 = 32M events (round 2, was 16M): the ~2-3 s/epoch serial share
-# (driver planning + job latencies + snapshot commit) is FIXED per run, so a
-# longer parallel phase measures the engine, not the constant — the
-# round-1 verdict's amortization fix for the scaling-efficiency number.
-N_EVENTS = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 32_000_000}.get(
+# sf0.1 = 64M events (round 3, was 32M in round 2, 16M in round 1): the
+# ~4-5 s/run serial share (driver planning + job barriers + broadcast build +
+# snapshot commit) is FIXED per run, so a longer parallel phase measures the
+# engine, not the constant. Round-3 data point for the doubling: with the
+# probe at 30+ GB/s (quiet host) the 32M pair still read eff 0.76 with
+# hi − lo/4 ≈ 5 s of flat cost — amortization, not contention, is the lever.
+N_EVENTS = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 64_000_000}.get(
     SF_NAME, 1_000_000
 )
 N_URLS = max(2_000, N_EVENTS // 50)

@@ -94,16 +94,17 @@ def minhash_candidate_pairs(
 # ------------------------------------------------------------------ jaccard
 
 
-def jaccard_pairs(
-    df: DataFrame, candidates: DataFrame, id_col: str, text_col: str
+def _exact_jaccard(
+    rel: DataFrame, candidates: DataFrame, id_col: str, item_col: str
 ) -> DataFrame:
-    """Exact token-set Jaccard for candidate pairs only (never all-pairs)."""
-    tok = tokens(df, id_col, text_col)
-    ta = tok.select(F.col(id_col).alias("a"), F.col("token"))
-    tb = tok.select(F.col(id_col).alias("b"), F.col("token"))
-    sizes = tok.groupBy(id_col).agg(F.count("*").alias("n"))
+    """Exact set Jaccard over a distinct (id, item) relation, computed ONLY
+    for candidate (a, b) pairs — never all-pairs. Shared by the token-set
+    and n-gram-shingle verifiers."""
+    ra = rel.select(F.col(id_col).alias("a"), F.col(item_col))
+    rb = rel.select(F.col(id_col).alias("b"), F.col(item_col))
+    sizes = rel.groupBy(id_col).agg(F.count("*").alias("n"))
     inter = (
-        candidates.join(ta, "a").join(tb, ["b", "token"])
+        candidates.join(ra, "a").join(rb, ["b", item_col])
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -115,6 +116,70 @@ def jaccard_pairs(
             (F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))).alias("jaccard"),
         )
     )
+
+
+def jaccard_pairs(
+    df: DataFrame, candidates: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs only (never all-pairs)."""
+    return _exact_jaccard(tokens(df, id_col, text_col), candidates, id_col, "token")
+
+
+# ------------------------------------------------------------- n-gram jaccard
+
+
+def token_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs: every n-token window of the normalized
+    text, strictly (docs shorter than n tokens yield none). Pure JVM
+    split → sequence → transform → explode; O(tokens) shingles per doc."""
+    arr = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n_win = F.size(arr) - F.lit(n - 1)
+    grams = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def ngram_jaccard_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int = 64,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """n-gram-shingle Jaccard near-dup pairs (a, b, jaccard ≥ threshold).
+
+    Candidate generation equi-joins on shingles whose document frequency is
+    in [2, max_doc_freq] — the DF cap is the scale dial that bounds the join
+    fan-out to max_doc_freq² per shingle (templated boilerplate shingles are
+    exactly the hot keys that would otherwise go quadratic). The Jaccard is
+    then computed EXACTLY over the full shingle sets of candidates only.
+    Recall caveat (documented): a qualifying pair sharing only
+    above-cap shingles is missed — at high thresholds near-dups share many
+    shingles, overwhelmingly rare ones, so the cap trades negligible recall
+    for the quadratic-blowup guard."""
+    sh = token_ngrams(df, id_col, text_col, n=n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_doc_freq))
+        .select("shingle")
+    )
+    cs = sh.join(rare, "shingle")
+    cands = (
+        cs.select(F.col(id_col).alias("a"), "shingle")
+        .join(cs.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    j = _exact_jaccard(sh, cands, id_col, "shingle")
+    return j.filter(F.col("jaccard") >= min_jaccard)
 
 
 # ------------------------------------------------------------------ simhash

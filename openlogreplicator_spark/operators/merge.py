@@ -38,6 +38,41 @@ from .lww import lww_compact_auto
 DEFAULT_BROADCAST_BUDGET = 20_000_000
 
 
+def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], int]:
+    """Manifest entries for every parquet file a commit's write produced.
+
+    Footer reads run on a THREAD POOL: this walk executes on the driver
+    between the write job and the snapshot commit, so done serially it is a
+    pure non-scaling share of every epoch (it showed up as ~0.2-0.5 s of the
+    flat cost in the N-vs-4N scaling decomposition, BASELINE.md)."""
+    import concurrent.futures
+
+    paths: list[str] = []
+    for root, _dirs, files in os.walk(absdir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                paths.append(os.path.join(root, fn))
+
+    def meta(ap: str) -> tuple[str, int]:
+        return ap, pq.ParquetFile(ap).metadata.num_rows
+
+    entries, rows = [], 0
+    if not paths:
+        return entries, rows
+    with concurrent.futures.ThreadPoolExecutor(min(16, len(paths))) as ex:
+        for ap, n in ex.map(meta, paths):
+            rows += n
+            entries.append(
+                {
+                    "path": os.path.relpath(ap, table.path),
+                    "bucket": int(os.path.basename(os.path.dirname(ap)).split("=")[1]),
+                    "schema_ver": table.current_schema_ver,
+                    "rows": n,
+                }
+            )
+    return entries, rows
+
+
 def read_state(
     table: LakeTable, broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET
 ) -> DataFrame:
@@ -92,22 +127,7 @@ def purge_tombstones(table: LakeTable, older_than) -> dict:
     kept.repartition(max(1, min(len(dirty), 64)), "_bucket").write.partitionBy(
         "_bucket"
     ).parquet(absdir)
-    new_files, rows = [], 0
-    for root, _dirs, files in os.walk(absdir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            ap = os.path.join(root, fn)
-            n = pq.ParquetFile(ap).metadata.num_rows
-            rows += n
-            new_files.append(
-                {
-                    "path": os.path.relpath(ap, table.path),
-                    "bucket": int(os.path.basename(root).split("=")[1]),
-                    "schema_ver": table.current_schema_ver,
-                    "rows": n,
-                }
-            )
+    new_files, rows = _collect_written_files(absdir, table)
     table.commit_files(
         new_files, dirty, {"op": "purge_tombstones", "buckets": len(dirty)}
     )
@@ -136,22 +156,7 @@ def merge_append(
         .write.partitionBy("_bucket")
         .parquet(absdir)
     )
-    new_files, rows = [], 0
-    for root, _dirs, files in os.walk(absdir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            ap = os.path.join(root, fn)
-            n = pq.ParquetFile(ap).metadata.num_rows
-            rows += n
-            new_files.append(
-                {
-                    "path": os.path.relpath(ap, table.path),
-                    "bucket": int(os.path.basename(root).split("=")[1]),
-                    "schema_ver": table.current_schema_ver,
-                    "rows": n,
-                }
-            )
+    new_files, rows = _collect_written_files(absdir, table)
     summary = {
         "op": "merge_append",
         "epoch_id": int(epoch_id),
@@ -197,22 +202,7 @@ def compact_table(
         .write.partitionBy("_bucket")
         .parquet(absdir)
     )
-    new_files, rows = [], 0
-    for root, _dirs, files in os.walk(absdir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            ap = os.path.join(root, fn)
-            n = pq.ParquetFile(ap).metadata.num_rows
-            rows += n
-            new_files.append(
-                {
-                    "path": os.path.relpath(ap, table.path),
-                    "bucket": int(os.path.basename(root).split("=")[1]),
-                    "schema_ver": table.current_schema_ver,
-                    "rows": n,
-                }
-            )
+    new_files, rows = _collect_written_files(absdir, table)
     table.commit_files(
         new_files, dirty, {"op": "compact", "rows": rows, "buckets": len(dirty)},
         extra={"needs_read_compaction": False, "dirty_buckets": []},
@@ -284,23 +274,7 @@ def merge_into(
     if touched is not None:
         b.unpersist()
 
-    new_files, total_rows = [], 0
-    for root, _dirs, files in os.walk(absdir):
-        for fn in files:
-            if not fn.endswith(".parquet"):
-                continue
-            ap = os.path.join(root, fn)
-            bucket = int(os.path.basename(root).split("=")[1])
-            rows = pq.ParquetFile(ap).metadata.num_rows
-            total_rows += rows
-            new_files.append(
-                {
-                    "path": os.path.relpath(ap, table.path),
-                    "bucket": bucket,
-                    "schema_ver": table.current_schema_ver,
-                    "rows": rows,
-                }
-            )
+    new_files, total_rows = _collect_written_files(absdir, table)
     if touched is None:
         touched = sorted({f["bucket"] for f in new_files})
     summary["merge_secs"] = round(time.time() - t0, 3)

@@ -776,6 +776,57 @@ def docs_jaccard_verified_dups(spark, sf_dir):
 
 
 @register(
+    "docs_ngram_jaccard_near_dup",
+    """
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      FROM documents WHERE doc_id < 2000),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(a, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 2), ' ') AS shingle
+      FROM arr, unnest(generate_series(1, len(a) - 2)) AS t(i)),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND 64),
+    cs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM cs l JOIN cs r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
+    SELECT a, b,
+           round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.6
+    """,
+)
+def docs_ngram_jaccard_near_dup(spark, sf_dir):
+    """Direct n-gram (3-token shingle) Jaccard near-dup pairs — the
+    shingle-based member of the dedup family (beside MinHash-LSH, SimHash
+    and embedding LSH). Candidates come from a document-frequency-capped
+    shingle equi-join (DF in [2, 64] — the cap bounds fan-out on templated
+    boilerplate, the quadratic hot-key guard at 100 TB); exact Jaccard is
+    then computed over full shingle sets for candidates only. Same bounded
+    id-range sample as the MinHash-verified twin (pair output is inherently
+    quadratic in duplicate-cluster size)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    j = S.ngram_jaccard_near_dup(
+        d, "doc_id", "text", n=3, max_doc_freq=64, min_jaccard=0.6
+    )
+    return j.select("a", "b", F.round("jaccard", 4).alias("jaccard")).filter(
+        F.col("jaccard") >= 0.6
+    )
+
+
+@register(
     "docs_winnow_fingerprint",
     """
     WITH n AS (

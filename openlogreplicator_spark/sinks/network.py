@@ -1,0 +1,161 @@
+"""Network client-confirm transport (SURVEY.md §3.2; reference
+src/stream/StreamNetwork.cpp + src/writer/WriterStream.cpp).
+
+The reference streams serialized change messages to ONE client over a
+length-prefixed TCP (or ZeroMQ) socket and advances its confirmed-(scn,idx)
+watermark only when the client's CONFIRM request arrives
+(WriterStream::processConfirm, WriterStream.cpp:185-195); on reconnect the
+client drives the resume position through INFO/START
+(WriterStream::processInfo/processStart/processContinue).
+
+Spark-native mapping (this module):
+
+* framing — 4-byte big-endian length prefix + payload, the StreamNetwork
+  wire shape. Control frames are JSON ({"code": ...}); data frames carry the
+  already-built message bytes (build_json_messages / build_protobuf_messages
+  output) verbatim.
+* scale-out — the reference's single socket serializes the whole stream
+  through one fd. Here each PARTITION opens its own connection and streams
+  its frames (``send_epoch`` → ``foreachPartition``), so the transport
+  scales with the cluster; per-frame (epoch, partition, seq) headers give
+  the consumer a total order per partition.
+* confirm gate — the driver performs the epoch handshake on a control
+  connection: BEGIN(epoch) → [partitions stream data] → END(epoch), then
+  waits for the client's CONFIRM(epoch). Only a confirmed epoch advances
+  the durable watermark (``confirmed_path``), which is the resume position
+  the next run's INFO exchange reports — the exactly-once contract the
+  snapshot gate provides for table sinks, restated for push transports.
+
+ZeroMQ (StreamZeroMQ.cpp) is a framing variant of the same protocol; the
+sandbox has no zmq, so only the TCP form ships (documented substitution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import struct
+
+
+def send_frame(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def recv_frame(sock: socket.socket) -> bytes | None:
+    head = _recv_exact(sock, 4)
+    if head is None:
+        return None
+    (n,) = struct.unpack(">I", head)
+    return _recv_exact(sock, n)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def _control(sock: socket.socket, msg: dict) -> dict:
+    send_frame(sock, json.dumps(msg).encode())
+    resp = recv_frame(sock)
+    if resp is None:
+        raise ConnectionError("client closed during control exchange")
+    return json.loads(resp)
+
+
+class NetworkConfirmSink:
+    """Push change messages to a confirming TCP client, exactly-once by
+    confirmed-epoch watermark.
+
+    The consumer is a server socket speaking the frame protocol above; the
+    test suite ships a reference consumer (tests/test_network_sink.py).
+    """
+
+    def __init__(self, host: str, port: int, database: str = "db",
+                 confirmed_path: str | None = None, timeout: float = 30.0):
+        self.host = host
+        self.port = port
+        self.database = database
+        self.confirmed_path = confirmed_path
+        self.timeout = timeout
+
+    # ------------------------------------------------------------ watermark
+    def last_confirmed_epoch(self) -> int:
+        if self.confirmed_path and os.path.exists(self.confirmed_path):
+            with open(self.confirmed_path) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _advance_watermark(self, epoch_id: int) -> None:
+        if not self.confirmed_path:
+            return
+        tmp = self.confirmed_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(int(epoch_id)))
+        os.replace(tmp, self.confirmed_path)
+
+    # ------------------------------------------------------------- protocol
+    def handshake_info(self) -> dict:
+        """INFO exchange: report our durable watermark, learn the client's
+        confirmed position (reference processInfo — the client can be ahead
+        of us after a crash between its confirm and our watermark write)."""
+        with socket.create_connection((self.host, self.port), self.timeout) as s:
+            s.settimeout(self.timeout)
+            return _control(s, {
+                "code": "INFO", "database": self.database,
+                "confirmed_epoch": self.last_confirmed_epoch(),
+            })
+
+    def send_epoch(self, messages, epoch_id: int) -> bool:
+        """Stream one epoch of built messages, then wait for the client's
+        CONFIRM. ``messages``: DataFrame with a ``message`` column (string or
+        binary). Returns True when the epoch was confirmed (watermark
+        advanced); an already-confirmed epoch is skipped idempotently."""
+        epoch_id = int(epoch_id)
+        if epoch_id <= self.last_confirmed_epoch():
+            return True  # re-delivery of a confirmed epoch: no-op
+        host, port, timeout = self.host, self.port, self.timeout
+
+        def _send_partition(rows) -> None:
+            sock = socket.create_connection((host, port), timeout)
+            sock.settimeout(timeout)
+            try:
+                seq = 0
+                for row in rows:
+                    m = row["message"]
+                    if m is None:
+                        continue
+                    if isinstance(m, str):
+                        m = m.encode()
+                    head = json.dumps(
+                        {"code": "REDO", "epoch": epoch_id, "seq": seq}
+                    ).encode()
+                    send_frame(sock, head)
+                    send_frame(sock, bytes(m))
+                    seq += 1
+                send_frame(sock, json.dumps(
+                    {"code": "PARTITION_END", "epoch": epoch_id, "n": seq}
+                ).encode())
+            finally:
+                sock.close()
+
+        with socket.create_connection((host, port), timeout) as ctl:
+            ctl.settimeout(timeout)
+            begin = _control(ctl, {
+                "code": "BEGIN", "database": self.database, "epoch": epoch_id,
+            })
+            if begin.get("code") != "READY":
+                raise ConnectionError(f"client refused epoch: {begin}")
+            messages.select("message").foreachPartition(_send_partition)
+            end = _control(ctl, {"code": "END", "epoch": epoch_id})
+            confirmed = (
+                end.get("code") == "CONFIRM" and int(end.get("epoch", -1)) == epoch_id
+            )
+        if confirmed:
+            self._advance_watermark(epoch_id)
+        return confirmed

@@ -162,3 +162,33 @@ def test_ivf_ann_recall_and_determinism(spark):
         want = set(brute[brute["query_id"] == qid]["vec_id"])
         hits += len(got & want)
     assert hits / 25 >= 0.8, hits
+
+
+def test_ngram_jaccard_near_dup(spark):
+    from openlogreplicator_spark.functions.similarity import (
+        ngram_jaccard_near_dup,
+        token_ngrams,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different text about spark engines here"),
+        (4, "xy"),                                            # < 3 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = token_ngrams(df, "doc_id", "text", n=3).toPandas()
+    assert len(sh[sh.doc_id == 1]) == 7   # 9 tokens -> 7 windows
+    assert len(sh[sh.doc_id == 4]) == 0   # strict: short docs yield none
+    got = ngram_jaccard_near_dup(
+        df, "doc_id", "text", n=3, max_doc_freq=64, min_jaccard=0.3
+    ).toPandas()
+    assert set(zip(got["a"], got["b"])) == {(1, 2)}
+    # |A∩B| = 6 shared windows, union = 8 -> 0.75... wait: docs differ in last
+    # token, so windows touching it differ: shared = 6 of 7 -> j = 6/8
+    assert abs(float(got["jaccard"].iloc[0]) - 6 / 8) < 1e-9
+    # DF cap: with max_doc_freq=1 every shared shingle is "hot" -> no pairs
+    none = ngram_jaccard_near_dup(
+        df, "doc_id", "text", n=3, max_doc_freq=1, min_jaccard=0.3
+    ).count()
+    assert none == 0
