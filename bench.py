@@ -271,17 +271,27 @@ def main() -> None:
     gate = wait_for_quiet_host()
     lo_times, hi_times, lo, hi = [], [], {}, {}
     pair_probes: list[float] = []
+    pair_records: list[dict] = []
 
     def run_pair() -> None:
-        pair_probes.append(quick_probe())
+        g = quick_probe()
+        pair_probes.append(g)
         r_lo = cdc_subprocess(SCALE_LO, events_dir, n_repeats=1, warmup=1)
         r_hi = cdc_subprocess(SCALE_HI, events_dir, n_repeats=1, warmup=1)
+        rec = {"probe_gbps": g}
         if "secs_min" in r_lo:
             lo_times.append(r_lo["secs_min"])
             lo.update(r_lo)
+            rec["lo_secs"] = r_lo["secs_min"]
         if "secs_min" in r_hi:
             hi_times.append(r_hi["secs_min"])
             hi.update(r_hi)
+            rec["hi_secs"] = r_hi["secs_min"]
+        if "lo_secs" in rec and "hi_secs" in rec:
+            rec["eff"] = round(
+                (rec["lo_secs"] / rec["hi_secs"]) / (SCALE_HI / SCALE_LO), 3
+            )
+        pair_records.append(rec)
 
     def current_eff():
         if not (lo_times and hi_times):
@@ -341,6 +351,7 @@ def main() -> None:
             "scaling_efficiency": eff,
             "probe_gate": gate,
             "scaling_pair_probes_gbps": pair_probes,
+            "scaling_pairs": pair_records,
             "eff_retries": eff_retries,
             "peak_events_per_sec": peak.get("events_per_sec"),
             "membw_ceiling": membw_probe(),

@@ -175,3 +175,28 @@ def test_expire_snapshots_gcs_unreferenced_manifests(spark, table):
     assert table.read().count() == 1
     t2 = LakeTable.load(spark, table.path)
     assert t2.read().collect()[0]["text"] == "v7"
+
+
+def test_legacy_inline_files_snapshot_upgrades_to_manifests(spark, table):
+    """A pre-manifest snapshot (inline "files", no "manifests") must load
+    as-is and, on its next commit, seed the manifest chain with a base
+    manifest so nothing is lost."""
+    import datetime as dt
+    import json as _json
+
+    ts = dt.datetime(2020, 1, 1)
+    _write_rows(spark, table, [(f"u{i}", ts, i, "c", "x") for i in range(6)])
+    # rewrite the current snapshot on disk in the LEGACY shape
+    sdir = os.path.join(table.path, "_snapshots")
+    vpath = os.path.join(sdir, f"v{table.snap['version']:08d}.json")
+    legacy = {k: v for k, v in table.snap.items() if k != "manifests"}
+    with open(vpath, "w") as f:
+        _json.dump(legacy, f)
+    t2 = LakeTable.load(spark, table.path)
+    assert "manifests" not in t2.snap and t2.read().count() == 6
+    # next commit upgrades: base manifest + delta, file list preserved
+    _write_rows(spark, t2, [("extra", ts, 99, "c", "y")])
+    t3 = LakeTable.load(spark, table.path)
+    assert len(t3.snap["manifests"]) >= 2  # base + delta
+    got = {r["url"] for r in t3.read().collect()}
+    assert "extra" in got and len(got) >= 2
