@@ -276,8 +276,13 @@ def main() -> None:
     def run_pair() -> None:
         g = quick_probe()
         pair_probes.append(g)
-        r_lo = cdc_subprocess(SCALE_LO, events_dir, n_repeats=1, warmup=1)
+        # hi runs FIRST: quiet windows on this VM last ~1-2 min; the 8-core
+        # run is the bandwidth-hungry one, so it gets the minute the gate
+        # just verified, while the 2-core run (≈1.5 GB/s draw) is far less
+        # contention-sensitive and follows. Recorded probes (before each
+        # pair + the final membw_ceiling) document the conditions either way.
         r_hi = cdc_subprocess(SCALE_HI, events_dir, n_repeats=1, warmup=1)
+        r_lo = cdc_subprocess(SCALE_LO, events_dir, n_repeats=1, warmup=1)
         rec = {"probe_gbps": g}
         if "secs_min" in r_lo:
             lo_times.append(r_lo["secs_min"])

@@ -227,6 +227,32 @@ _SPARK_DECODE_BUILTIN = {
 }
 
 
+def _mcs_table() -> tuple:
+    """DEC Multinational Character Set (Oracle WE8DEC) — a charset absent
+    from both the Python and Java codec registries, decoded via a hand-built
+    256-entry table exactly the way the reference's CharacterSet8bit tables
+    work (src/locales/CharacterSet8bit.cpp). The mapping is public (DEC
+    STD 070): Latin-1 except the positions below; unassigned positions
+    decode to U+FFFD like every other malformed input here."""
+    t = [chr(i) for i in range(256)]  # latin-1 identity baseline
+    for pos in (0xA0, 0xA4, 0xA6, 0xA8, 0xAC, 0xAD, 0xAE, 0xAF, 0xB4, 0xB8,
+                0xBE, 0xD0, 0xDE, 0xF0, 0xFE, 0xFF):
+        t[pos] = "�"  # unassigned in MCS
+    t[0xA8] = "¤"   # ¤ currency sign (Latin-1 puts it at A4)
+    t[0xD7] = "Œ"   # Œ  (Latin-1: ×)
+    t[0xDD] = "Ÿ"   # Ÿ  (Latin-1: Ý)
+    t[0xF7] = "œ"   # œ  (Latin-1: ÷)
+    t[0xFD] = "ÿ"   # ÿ  (Latin-1: ý)
+    return tuple(t)
+
+
+# Oracle-only charsets with no Python/Java codec: hand-rolled 256-entry
+# decode tables (the reference's CharacterSet8bit pattern)
+ORACLE_BYTE_TABLES: dict[str, tuple] = {
+    "WE8DEC": _mcs_table(),
+}
+
+
 def _decode_cesu8(b: bytes) -> str:
     """CESU-8 (Oracle's 'UTF8'): decode bytes allowing UTF-8-encoded UTF-16
     surrogates, then re-pair them into supplementary characters. Falls back
@@ -242,6 +268,11 @@ def _decode_cesu8(b: bytes) -> str:
 def _codec_decode_udf(codec: str):
     if codec.lower() == "cesu-8":
         decode_one = _decode_cesu8
+    elif codec.upper() in ORACLE_BYTE_TABLES:
+        table = ORACLE_BYTE_TABLES[codec.upper()]
+
+        def decode_one(b: bytes) -> str:
+            return "".join(table[c] for c in b)
     else:
         def decode_one(b: bytes) -> str:
             return b.decode(codec, errors="replace")

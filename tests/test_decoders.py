@@ -267,3 +267,24 @@ def test_oracle_utf8_is_cesu8(spark):
     # true-UTF-8 path stays on the JVM builtin and does NOT pair surrogates
     row2 = df.select(charset_decode(F.col("b"), "AL32UTF8").alias("b")).collect()[0]
     assert row2["b"] == "grüße 東京"
+
+
+def test_we8dec_byte_table(spark):
+    """WE8DEC (DEC MCS) has no Python/Java codec: decoded via a hand-built
+    256-entry table, the reference's CharacterSet8bit pattern. Latin-1-like
+    positions pass through; MCS-specific positions differ; unassigned bytes
+    yield replacement characters."""
+    from openlogreplicator_spark.functions.decoders import charset_decode
+
+    df = spark.createDataFrame(
+        [(b"caf\xe9", bytes([0xD7, 0xF7, 0xDD, 0xFD]), b"\xa4")],
+        "a binary, b binary, c binary",
+    )
+    row = df.select(
+        charset_decode(F.col("a"), "WE8DEC").alias("a"),
+        charset_decode(F.col("b"), "WE8DEC").alias("b"),
+        charset_decode(F.col("c"), "WE8DEC").alias("c"),
+    ).collect()[0]
+    assert row["a"] == "café"
+    assert row["b"] == "ŒœŸÿ"   # MCS-specific codepoints (Latin-1: ×÷Ýý)
+    assert row["c"] == "�"      # unassigned in MCS
