@@ -296,6 +296,10 @@ def main() -> None:
             rec["eff"] = round(
                 (rec["lo_secs"] / rec["hi_secs"]) / (SCALE_HI / SCALE_LO), 3
             )
+        # probe AFTER the pair too: contention arriving mid-pair (after the
+        # gate check) slows the lo run and INFLATES eff — a pair is
+        # trustworthy only when both probes are sane (ROUND3_NOTES).
+        rec["probe_after_gbps"] = quick_probe()
         pair_records.append(rec)
 
     def current_eff():

@@ -292,6 +292,100 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+# --------------------------------------------------------- dup clustering
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 30
+) -> DataFrame:
+    """(id, component) for every node in ``pairs``, where component is the
+    MINIMUM node id reachable through the pair graph — the step that turns
+    near-dup PAIRS into dedup CLUSTERS (pairs alone can't dedup a corpus:
+    a~b and b~c must collapse into one surviving document).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al., MR
+    connected components), O(log²n) rounds regardless of graph diameter —
+    the plain min-label propagation alternative needs O(diameter) rounds,
+    which an adversarial near-dup chain (a₁~a₂~...~aₙ, e.g. a crawl of
+    paginated boilerplate) turns into a scan per hop. Each round is two
+    self-joins on node id; edges are checkpointed per round to truncate
+    lineage. Converges when the edge set reaches its star fixed point
+    (every node points directly at its component minimum).
+
+    Nodes appearing in no pair are absent (they are their own component —
+    callers union them back if a total assignment is needed).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        # large-star: every node u connects its strictly-larger neighbors to
+        # m(u) = min(u ∪ Γ(u)); emitted (v, m) is canonical since v > u ≥ m
+        nb = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+        )
+        ls = (
+            nb.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the directed (hi → lo) edges: every node u connects
+        # its smaller neighbors (and itself) to m(u) = min(Γ⁻(u))
+        m2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(m2, "u")
+            .select(F.col("v").alias("x"), F.col("m"))
+            .union(m2.select(F.col("u").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        done = ss.count() == edges.count() and ss.exceptAll(edges).isEmpty()
+        edges = ss
+        if done:
+            break
+    comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .join(comp.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return comp.union(roots)
+
+
+def dup_cluster_survivors(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: Column | None = None,
+) -> DataFrame:
+    """One row per duplicate cluster: (component, n_members, survivor id +
+    quality). The survivor is the highest-``quality_col`` member (ties →
+    smallest id) — the keep-one policy a training-data dedup applies after
+    clustering. Shape at scale: components is (id → component), the pick is
+    one shuffle on component via a two-phase max_by struct."""
+    q = quality_col if quality_col is not None else F.lit(0.0)
+    members = docs.select(
+        F.col(id_col), q.cast("double").alias("_q")
+    ).join(components.withColumnRenamed("id", id_col), id_col)
+    best = F.struct(F.col("_q").alias("q"), (-F.col(id_col)).alias("negid"))
+    return members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(F.col(id_col), best).alias("survivor_doc_id"),
+        F.max("_q").alias("survivor_quality"),
+    )
+
+
 # ------------------------------------------------------------------- cosine
 
 

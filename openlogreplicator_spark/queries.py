@@ -1168,3 +1168,82 @@ def docs_simhash_near_dup(spark, sf_dir):
     which also makes it SQL-expressible for the DuckDB oracle."""
     d = T(spark, sf_dir, "documents")
     return S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def _components_cte() -> str:
+    """Recursive-CTE DuckDB twin of functions.similarity.connected_components
+    over the SimHash near-dup pairs: component = min doc_id reachable through
+    the pair graph (transitive closure; tractable at oracle scale — the
+    closure is Σ component_size², and near-dup clusters are small)."""
+    return f"""
+    pairs AS ({_simhash_sql()}),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+      UNION
+      SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
+    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+    """
+
+
+@register(
+    "docs_dup_clusters",
+    f"WITH RECURSIVE {_components_cte()} SELECT doc_id, component FROM comp",
+)
+def docs_dup_clusters(spark, sf_dir):
+    """Near-dup pairs → duplicate CLUSTERS: connected components (alternating
+    large-star/small-star, O(log²n) rounds — diameter-proof, unlike min-label
+    propagation) over the SimHash pair graph. component = min doc_id in the
+    cluster; docs with no near-dup are absent (their own component). This is
+    the step a corpus dedup needs between pair generation and keep-one —
+    a~b and b~c must collapse into ONE surviving document."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    return S.connected_components(pairs, "a", "b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@register(
+    "docs_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    q AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+        (length(text) - length(replace(text, '.', '')))
+          + (length(text) - length(replace(text, ',', '')))
+          + (length(text) - length(replace(text, '!', '')))
+          + (length(text) - length(replace(text, '?', ''))) AS n_punct
+      FROM documents),
+    quality AS (
+      SELECT doc_id,
+        (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END
+         + CASE WHEN n_punct * 1.0 / greatest(n_tokens, 1) > 0.001
+                 AND n_punct * 1.0 / greatest(n_tokens, 1) < 0.5
+                THEN 0.5 ELSE 0.0 END) AS _q
+      FROM q),
+    ranked AS (
+      SELECT c.component, c.doc_id, quality._q,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY quality._q DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN quality USING (doc_id))
+    SELECT component, CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS survivor_doc_id, _q AS survivor_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def docs_dedup_survivors(spark, sf_dir):
+    """Keep-one dedup policy per duplicate cluster: the highest-quality
+    member survives (ties → smallest doc_id). Completes the dedup pipeline:
+    SimHash pairs → connected components → survivor pick — one shuffle on
+    component via a two-phase max_by."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b")
+    return S.dup_cluster_survivors(
+        d, comps, "doc_id", TXT.quality_score(F.col("text"))
+    )

@@ -288,3 +288,51 @@ def test_we8dec_byte_table(spark):
     assert row["a"] == "café"
     assert row["b"] == "ŒœŸÿ"   # MCS-specific codepoints (Latin-1: ×÷Ýý)
     assert row["c"] == "�"      # unassigned in MCS
+
+
+class TestXmltype:
+    """F9: partial XMLType decode at parity with the reference's
+    experimental Builder::parseXml (header/prolog flags → declaration,
+    body hex-dumped, malformed → NULL)."""
+
+    def test_header_flags_render_declaration(self):
+        from openlogreplicator_spark.functions.decoders import decode_xmltype
+
+        # header op 158, flags0, flags1, flags2 = XMLDECL|STANDALONE|YES|ENC
+        raw = bytes([158, 0, 0, 0x02 | 0x01 | 0x10 | 0x04])
+        assert decode_xmltype(raw) == (
+            '<?xml version="1.0" standalone="yes" encoding="UTF-8"?>'
+        )
+        # version 1.1, standalone=no
+        raw = bytes([158, 0, 0, 0x02 | 0x01 | 0x08])
+        assert decode_xmltype(raw) == '<?xml version="1.1" standalone="no"?>'
+
+    def test_prolog_skips_docid_pathid_and_body_hexdumps(self):
+        from openlogreplicator_spark.functions.decoders import decode_xmltype
+
+        prolog = bytes([159, 1, 0x08 | 0x10, 2, 0xAA, 0xBB,  # docid len 2
+                        1, 0xCC, 1, 0xDD])                   # two pathid blocks
+        header = bytes([158, 0, 0, 0x02])
+        body = b"\x01\x02"
+        assert decode_xmltype(header + prolog + body) == (
+            '<?xml version="1.0"?>' + "0102"
+        )
+
+    def test_malformed_returns_null(self):
+        from openlogreplicator_spark.functions.decoders import decode_xmltype
+
+        assert decode_xmltype(bytes([158, 0])) is None        # header short
+        assert decode_xmltype(bytes([159, 2, 0])) is None     # bad version
+        assert decode_xmltype(bytes([159, 1, 0x08, 9, 1])) is None  # docid short
+
+    def test_spark_column(self, spark):
+        from openlogreplicator_spark.functions.decoders import xmltype_decode
+
+        df = spark.createDataFrame(
+            [(bytes([158, 0, 0, 0x02]) + b"\xfe",), (bytes([159, 2]),), (None,)],
+            "x binary",
+        )
+        rows = df.select(xmltype_decode(F.col("x")).alias("s")).collect()
+        assert rows[0]["s"] == '<?xml version="1.0"?>fe'
+        assert rows[1]["s"] is None
+        assert rows[2]["s"] is None

@@ -192,3 +192,66 @@ def test_ngram_jaccard_near_dup(spark):
         df, "doc_id", "text", n=3, max_doc_freq=1, min_jaccard=0.3
     ).count()
     assert none == 0
+
+
+# ------------------------------------------------- connected components
+
+
+def _uf_components(pairs):
+    """Union-find ground truth: node -> min id in its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("pairs", [
+    [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],       # long chain
+    [(1, 2), (2, 3), (3, 1), (10, 11), (12, 13), (11, 12)],  # cycle + chain
+    [(5, 1), (2, 6), (7, 3)],                                # disjoint pairs
+    [(1, 2), (1, 3), (1, 4), (9, 4)],                        # star + bridge
+    [],
+])
+def test_connected_components_matches_union_find(spark, pairs):
+    df = spark.createDataFrame(pairs or [(0, 0)], "a int, b int")
+    if not pairs:
+        df = df.filter("a != a")
+    got = {r["id"]: r["component"]
+           for r in S.connected_components(df).collect()}
+    assert got == _uf_components(pairs)
+
+
+def test_connected_components_adversarial_chain(spark):
+    # 40-node descending chain: min-label propagation would need 40 rounds;
+    # large-star/small-star must finish inside the iteration budget
+    pairs = [(i + 1, i) for i in range(1, 40)]
+    df = spark.createDataFrame(pairs, "a int, b int")
+    got = {r["id"]: r["component"]
+           for r in S.connected_components(df, max_iters=12).collect()}
+    assert got == {i: 1 for i in range(1, 41)}
+
+
+def test_dup_cluster_survivors(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 1.0), (3, 1.0), (7, 0.0), (8, 0.5)],
+        "doc_id int, q double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)], "id int, component int"
+    )
+    out = {r["component"]: r for r in S.dup_cluster_survivors(
+        docs, comps, "doc_id", F.col("q")).collect()}
+    # cluster 1: quality tie 2 vs 3 at 1.0 -> smaller id wins
+    assert out[1]["survivor_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["survivor_quality"] == 1.0
+    assert out[7]["survivor_doc_id"] == 8 and out[7]["n_members"] == 2
