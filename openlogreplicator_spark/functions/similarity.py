@@ -182,6 +182,35 @@ def ngram_jaccard_near_dup(
     return j.filter(F.col("jaccard") >= min_jaccard)
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document sharing at least
+    one distinct n-token shingle with the benchmark set, emit
+    (id, n_shared_ngrams, n_benchmark_docs_hit) — the overlap evidence a
+    training-data pipeline uses to drop eval-contaminated documents before
+    training.
+
+    Shape at scale: the benchmark shingle set is tiny relative to the corpus
+    (eval suites are ~10^5-10^6 n-grams vs 10^12 corpus shingles), so the
+    match is a BROADCAST equi-join on the shingle — the corpus side is
+    scanned once and never shuffles; the per-document counts collapse
+    map-side in the partial aggregation."""
+    corpus_sh = token_ngrams(docs, id_col, text_col, n=n)
+    bench_sh = token_ngrams(benchmark, id_col, text_col, n=n).select(
+        "shingle", F.col(id_col).alias("_bench_id")
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy(id_col).agg(
+        F.countDistinct("shingle").alias("n_shared_ngrams"),
+        F.countDistinct("_bench_id").alias("n_benchmark_docs_hit"),
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 
@@ -383,6 +412,34 @@ def dup_cluster_survivors(
         F.count(F.lit(1)).alias("n_members"),
         F.max_by(F.col(id_col), best).alias("survivor_doc_id"),
         F.max("_q").alias("survivor_quality"),
+    )
+
+
+# ------------------------------------------------------------- quantization
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: struct(scale, q) with
+    q[i] = floor(v[i] / scale), scale = max(|v|)/127 — the storage form that
+    cuts embedding scan bytes 4× at 100 TB (int8 + one float per vector vs
+    float32[dim]). floor (not round) on double-exact math: IEEE-identical in
+    Spark and DuckDB, so quantization is value-level oracle-checkable
+    (round() ties break differently across engines)."""
+    absd = F.transform(vec, lambda x: F.abs(x.cast("double")))
+    mx = F.array_max(absd)
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") / scale).cast("int")
+    )
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(quant: Column) -> Column:
+    """Reconstruct array<double> from quantize_int8's struct: q[i] * scale
+    (truncation quantizer — reconstruction error is bounded by scale, i.e.
+    max(|v|)/127 per component)."""
+    return F.transform(
+        quant["q"], lambda v: v.cast("double") * quant["scale"]
     )
 
 

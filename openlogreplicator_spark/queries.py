@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import sampling as SAMP
 from .functions import similarity as S
 from .functions import text as TXT
 
@@ -827,6 +828,65 @@ def docs_ngram_jaccard_near_dup(spark, sf_dir):
 
 
 @register(
+    "docs_decontaminate",
+    """
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(a, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 3), ' ') AS shingle
+      FROM arr, unnest(generate_series(1, len(a) - 3)) AS t(i)),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 13 = 0),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 13 <> 0)
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_shared_ngrams,
+           count(DISTINCT b.bench_id) AS n_benchmark_docs_hit
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any 4-token
+    shingle with a held-out benchmark set (here: every 13th doc stands in
+    for the eval suite), with the shared-shingle and benchmark-doc counts a
+    pipeline thresholds on before dropping. Scale shape: benchmark shingles
+    are tiny vs the corpus, so the match is a broadcast equi-join — the
+    corpus side never shuffles (functions/similarity.contamination_overlap)."""
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    corpus = d.filter(F.col("doc_id") % 13 != 0)
+    return S.contamination_overlap(corpus, bench, "doc_id", "text", n=4)
+
+
+# data-mixing spec shared by the Spark impl and the SQL twin (generated from
+# the same dict, so changing a rate changes both sides in lockstep)
+_MIX_RATES = {"en": 0.5, "de": 0.25, "fr": 0.25}
+_MIX_DEFAULT = 0.125
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#mix1'), 1, 4) <
+          {SAMP.sample_case_sql("lang", _MIX_RATES, _MIX_DEFAULT)}
+    """,
+)
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling — the data-mixing step (keep 50%
+    of English, 25% of German/French, 12.5% of everything else), selected
+    by a per-key md5 tag against a per-stratum threshold. Pure map-side
+    filter: no shuffle, no sampling state, reproducible across runs,
+    resumes and engines (functions/sampling.stratified_sample)."""
+    d = T(spark, sf_dir, "documents")
+    return SAMP.stratified_sample(
+        d, "doc_id", "lang", _MIX_RATES, default_rate=_MIX_DEFAULT, seed="mix1"
+    ).select("doc_id", "lang")
+
+
+@register(
     "docs_winnow_fingerprint",
     """
     WITH n AS (
@@ -987,6 +1047,52 @@ def emb_centroid_by_label(spark, sf_dir):
                 F.col("val").cast("double").alias("val"))
         .groupBy("label", "pos")
         .agg(F.round(F.avg("val"), 4).alias("centroid"))
+    )
+
+
+@register(
+    "emb_quantize_error",
+    """
+    WITH q AS (
+      SELECT label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             CASE WHEN list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE)))) > 0
+                  THEN list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM embeddings),
+    dq AS (
+      SELECT label, v,
+             list_transform(v, x -> floor(x / scale) * scale) AS deq
+      FROM q)
+    SELECT label,
+           count(*) AS n_vectors,
+           round(avg(list_cosine_similarity(v, deq)), 4) AS avg_cosine_fidelity,
+           round(avg(list_max(list_transform(
+             generate_series(1, len(v)), i -> abs(v[i] - deq[i])))), 6)
+             AS avg_max_abs_err
+    FROM dq GROUP BY label
+    """,
+)
+def emb_quantize_error(spark, sf_dir):
+    """int8 quantization fidelity per label: cosine between each vector and
+    its dequantized int8 form plus the max per-component absolute error —
+    the acceptance gate before switching ANN scans to the 4×-smaller int8
+    storage (functions/similarity.quantize_int8: floor-based symmetric
+    quantizer whose math is IEEE-identical in Spark and DuckDB)."""
+    emb = T(spark, sf_dir, "embeddings")
+    quant = S.quantize_int8(F.col("embedding"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        "label", v.alias("v"), S.dequantize_int8(quant).alias("deq")
+    )
+    err = F.array_max(F.zip_with("v", "deq", lambda a, b: F.abs(a - b)))
+    return d.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(S.cosine(F.col("v"), F.col("deq"))), 4)
+        .alias("avg_cosine_fidelity"),
+        F.round(F.avg(err), 6).alias("avg_max_abs_err"),
     )
 
 
