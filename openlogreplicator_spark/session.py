@@ -55,10 +55,6 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        # MIN/MAX/COUNT over unfiltered scans answered from parquet footer
-        # stats (no row reads) — the per-epoch schema-evolution pre-gate is
-        # a global max(schema_ver) and becomes O(files), not O(rows).
-        .config("spark.sql.parquet.aggregatePushDown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Deterministic timestamp behavior independent of JVM default TZ.

@@ -197,10 +197,12 @@ class CdcPipeline:
 
         # Evolution pre-gate: evolve() only ever fires for schema_ver >
         # current, so when the epoch's global max(schema_ver) doesn't exceed
-        # it there is nothing to replay — one single-int-column aggregate
-        # (answered from parquet footer stats under aggregatePushDown)
-        # replaces the 8-column ddl collect on the common no-DDL epoch.
-        max_ver = batch_df.agg(F.max("schema_ver")).collect()[0][0]
+        # it there is nothing to replay. When the batch is a plain file scan
+        # the answer comes straight from parquet FOOTER stats (threadpooled
+        # driver walk, O(files)); otherwise one single-int-column Spark
+        # aggregate. Either way the 8-column ddl collect only runs on epochs
+        # that can actually evolve the schema.
+        max_ver = self._max_schema_ver(batch_df)
         if max_ver is None or max_ver <= table.current_schema_ver:
             ddl_rows = []
         else:
@@ -285,6 +287,45 @@ class CdcPipeline:
             compact_table(table, broadcast_budget_keys=self.lww_broadcast_budget)
         if self.metrics_path:
             self._write_metrics(batch_df, int(epoch_id), time.time() - t0, stats)
+
+    def _max_schema_ver(self, batch_df: DataFrame) -> int | None:
+        """Global max(schema_ver) of the batch, from parquet footer
+        statistics when the batch is a plain file scan (inputFiles() is
+        non-empty only then — streaming-derived and transformed plans return
+        [] and fall back to a one-column Spark aggregate). Row-group stats
+        are written by both pyarrow and Spark writers; any file/column
+        missing stats falls back to the aggregate for exactness."""
+        files = batch_df.inputFiles()
+        if files:
+            import concurrent.futures
+
+            import pyarrow.parquet as pq
+
+            def file_max(uri: str) -> int | None:
+                path = uri[7:] if uri.startswith("file://") else uri
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.names.index("schema_ver")
+                best: int | None = None
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("missing stats")
+                    if st.null_count != col.num_values and (
+                        best is None or st.max > best
+                    ):
+                        best = st.max
+                return best
+
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                    min(16, len(files))
+                ) as ex:
+                    maxes = [m for m in ex.map(file_max, files) if m is not None]
+                return max(maxes) if maxes else None
+            except (OSError, ValueError, KeyError):
+                pass  # unreadable footer / no stats → exact Spark aggregate
+        return batch_df.agg(F.max("schema_ver")).collect()[0][0]
 
     def _write_metrics(
         self, batch_df: DataFrame, epoch_id: int, secs: float, stats: list[dict]

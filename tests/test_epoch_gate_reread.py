@@ -1,0 +1,86 @@
+"""Round-3 epoch fast paths: the footer-stat schema_ver pre-gate and the
+foreachBatch batch re-read from the checkpoint's FileStreamSource log."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+
+from openlogreplicator_spark.operators.decode import EVENTS_DDL
+from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+
+def _pipeline(spark, events_dir, tmp_path, name="t"):
+    base = tmp_path / name
+    return CdcPipeline(
+        spark, str(events_dir), str(base / "table"), str(base / "ckpt"),
+        n_buckets=4,
+    )
+
+
+def test_max_schema_ver_footer_matches_aggregate(spark, events_dir, tmp_path):
+    p = _pipeline(spark, events_dir, tmp_path)
+    df = spark.read.schema(EVENTS_DDL).parquet(str(events_dir))
+    assert df.inputFiles()  # plain scan → footer path engages
+    footer = p._max_schema_ver(df)
+    agg = df.agg(F.max("schema_ver")).collect()[0][0]
+    assert footer == agg and footer is not None
+
+
+def test_max_schema_ver_filtered_is_conservative(spark, events_dir, tmp_path):
+    # a filtered batch still reports the footer (unfiltered) max — an upper
+    # bound, so the gate can only over-run the ddl collect, never skip it
+    p = _pipeline(spark, events_dir, tmp_path)
+    df = spark.read.schema(EVENTS_DDL).parquet(str(events_dir))
+    filtered = df.filter(F.col("schema_ver") < 0)  # empty
+    assert p._max_schema_ver(filtered) >= (
+        df.agg(F.max("schema_ver")).collect()[0][0]
+    )
+
+
+def test_max_schema_ver_fallback_without_files(spark, events_dir, tmp_path):
+    p = _pipeline(spark, events_dir, tmp_path)
+    df = spark.read.schema(EVENTS_DDL).parquet(str(events_dir))
+    synthetic = df.limit(50).localCheckpoint(eager=True)  # no scan → no files
+    assert synthetic.inputFiles() == []
+    assert p._max_schema_ver(synthetic) == (
+        synthetic.agg(F.max("schema_ver")).collect()[0][0]
+    )
+
+
+def test_reread_epoch_resolves_sources_log(spark, events_dir, tmp_path):
+    p = _pipeline(spark, events_dir, tmp_path)
+    src_dir = os.path.join(p.checkpoint_path, "sources", "0")
+    os.makedirs(src_dir)
+    files = sorted(
+        os.path.join(str(events_dir), f)
+        for f in os.listdir(str(events_dir))
+        if f.endswith(".parquet")
+    )
+    with open(os.path.join(src_dir, "7"), "w") as f:
+        f.write("v1\n")
+        for path in files[:2]:
+            f.write(json.dumps({"path": "file://" + path, "batchId": 7}) + "\n")
+        # an entry from another batch must be ignored
+        f.write(json.dumps({"path": "file://" + files[2], "batchId": 6}) + "\n")
+
+    marker = spark.createDataFrame([(1,)], ["sentinel"])
+    out = p._reread_epoch_as_batch(marker, 7)
+    got = sorted(u[7:] if u.startswith("file://") else u for u in out.inputFiles())
+    assert got == files[:2]
+    expected = spark.read.schema(EVENTS_DDL).parquet(*files[:2]).count()
+    assert out.count() == expected
+    # missing log entry → fall back to the passed DataFrame untouched
+    assert p._reread_epoch_as_batch(marker, 99) is marker
+
+
+def test_streaming_replay_equals_batch_state(spark, events_dir, tmp_path):
+    ps = _pipeline(spark, events_dir, tmp_path, "s")
+    ps.run_available_now(max_files_per_trigger=2)
+    pb = _pipeline(spark, events_dir, tmp_path, "b")
+    pb.run_batch_replay()
+    s = ps.target_state().orderBy("url").collect()
+    b = pb.target_state().orderBy("url").collect()
+    assert s == b
