@@ -26,8 +26,11 @@ Spark-native mapping (this module):
   the next run's INFO exchange reports — the exactly-once contract the
   snapshot gate provides for table sinks, restated for push transports.
 
-ZeroMQ (StreamZeroMQ.cpp) is a framing variant of the same protocol; the
-sandbox has no zmq, so only the TCP form ships (documented substitution).
+ZeroMQ (StreamZeroMQ.cpp) is a framing variant of the same protocol:
+``framing="zmtp"`` speaks ZMTP 3.0 PAIR (the wire protocol of the
+reference's ``zmq_socket(context, ZMQ_PAIR)``) via the pure-Python
+implementation in ``zmtp.py`` — same control/data payloads, ZMTP message
+frames instead of 4-byte length prefixes.
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ import json
 import os
 import socket
 import struct
+
+from openlogreplicator_spark.sinks.zmtp import ZmtpPair
 
 
 def send_frame(sock: socket.socket, payload: bytes) -> None:
@@ -60,9 +65,42 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
     return buf
 
 
-def _control(sock: socket.socket, msg: dict) -> dict:
-    send_frame(sock, json.dumps(msg).encode())
-    resp = recv_frame(sock)
+class _RawTransport:
+    """4-byte-length-prefix framing over a plain TCP socket (the
+    StreamNetwork wire shape)."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+
+    def send(self, payload: bytes) -> None:
+        send_frame(self.sock, payload)
+
+    def recv(self) -> bytes | None:
+        return recv_frame(self.sock)
+
+    def close(self) -> None:
+        self.sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_transport(host: str, port: int, timeout: float, framing: str):
+    """Connect one data/control channel: ``raw`` (length-prefixed TCP) or
+    ``zmtp`` (ZMTP 3.0 PAIR handshake + frames)."""
+    if framing == "zmtp":
+        return ZmtpPair.connect(host, port, timeout)
+    sock = socket.create_connection((host, port), timeout)
+    sock.settimeout(timeout)
+    return _RawTransport(sock)
+
+
+def _control(chan, msg: dict) -> dict:
+    chan.send(json.dumps(msg).encode())
+    resp = chan.recv()
     if resp is None:
         raise ConnectionError("client closed during control exchange")
     return json.loads(resp)
@@ -77,12 +115,16 @@ class NetworkConfirmSink:
     """
 
     def __init__(self, host: str, port: int, database: str = "db",
-                 confirmed_path: str | None = None, timeout: float = 30.0):
+                 confirmed_path: str | None = None, timeout: float = 30.0,
+                 framing: str = "raw"):
+        if framing not in ("raw", "zmtp"):
+            raise ValueError(f"unknown framing {framing!r}")
         self.host = host
         self.port = port
         self.database = database
         self.confirmed_path = confirmed_path
         self.timeout = timeout
+        self.framing = framing
 
     # ------------------------------------------------------------ watermark
     def last_confirmed_epoch(self) -> int:
@@ -104,9 +146,9 @@ class NetworkConfirmSink:
         """INFO exchange: report our durable watermark, learn the client's
         confirmed position (reference processInfo — the client can be ahead
         of us after a crash between its confirm and our watermark write)."""
-        with socket.create_connection((self.host, self.port), self.timeout) as s:
-            s.settimeout(self.timeout)
-            return _control(s, {
+        with open_transport(self.host, self.port, self.timeout,
+                            self.framing) as chan:
+            return _control(chan, {
                 "code": "INFO", "database": self.database,
                 "confirmed_epoch": self.last_confirmed_epoch(),
             })
@@ -119,11 +161,12 @@ class NetworkConfirmSink:
         epoch_id = int(epoch_id)
         if epoch_id <= self.last_confirmed_epoch():
             return True  # re-delivery of a confirmed epoch: no-op
-        host, port, timeout = self.host, self.port, self.timeout
+        host, port, timeout, framing = (
+            self.host, self.port, self.timeout, self.framing
+        )
 
         def _send_partition(rows) -> None:
-            sock = socket.create_connection((host, port), timeout)
-            sock.settimeout(timeout)
+            chan = open_transport(host, port, timeout, framing)
             try:
                 seq = 0
                 for row in rows:
@@ -135,17 +178,16 @@ class NetworkConfirmSink:
                     head = json.dumps(
                         {"code": "REDO", "epoch": epoch_id, "seq": seq}
                     ).encode()
-                    send_frame(sock, head)
-                    send_frame(sock, bytes(m))
+                    chan.send(head)
+                    chan.send(bytes(m))
                     seq += 1
-                send_frame(sock, json.dumps(
+                chan.send(json.dumps(
                     {"code": "PARTITION_END", "epoch": epoch_id, "n": seq}
                 ).encode())
             finally:
-                sock.close()
+                chan.close()
 
-        with socket.create_connection((host, port), timeout) as ctl:
-            ctl.settimeout(timeout)
+        with open_transport(host, port, timeout, framing) as ctl:
             begin = _control(ctl, {
                 "code": "BEGIN", "database": self.database, "epoch": epoch_id,
             })

@@ -11,17 +11,22 @@ from pyspark.sql import functions as F
 
 from openlogreplicator_spark.sinks.network import (
     NetworkConfirmSink,
+    _RawTransport,
     recv_frame,
     send_frame,
 )
+from openlogreplicator_spark.sinks.zmtp import ZmtpPair
 
 
 class ConsumerServer:
     """Reference consumer: accepts control + data connections, counts REDO
-    frames per epoch, confirms an epoch at END (optionally refuses)."""
+    frames per epoch, confirms an epoch at END (optionally refuses).
+    ``framing="zmtp"`` performs the server side of the ZMTP 3.0 PAIR
+    handshake on every accepted connection."""
 
-    def __init__(self, confirm: bool = True):
+    def __init__(self, confirm: bool = True, framing: str = "raw"):
         self.confirm = confirm
+        self.framing = framing
         self.redo: dict[int, list[bytes]] = {}
         self.infos: list[dict] = []
         self.lock = threading.Lock()
@@ -43,28 +48,38 @@ class ConsumerServer:
 
     def _serve(self, conn: socket.socket):
         with conn:
+            if self.framing == "zmtp":
+                try:
+                    chan = ZmtpPair(conn, as_server=True)
+                except ConnectionError:
+                    return
+            else:
+                chan = _RawTransport(conn)
             while True:
-                frame = recv_frame(conn)
+                try:
+                    frame = chan.recv()
+                except ConnectionError:
+                    return
                 if frame is None:
                     return
                 msg = json.loads(frame)
                 code = msg["code"]
                 if code == "INFO":
                     self.infos.append(msg)
-                    send_frame(conn, json.dumps(
+                    chan.send(json.dumps(
                         {"code": "INFO_OK", "client_confirmed": -1}
                     ).encode())
                 elif code == "BEGIN":
-                    send_frame(conn, json.dumps({"code": "READY"}).encode())
+                    chan.send(json.dumps({"code": "READY"}).encode())
                 elif code == "REDO":
-                    payload = recv_frame(conn)
+                    payload = chan.recv()
                     with self.lock:
                         self.redo.setdefault(msg["epoch"], []).append(payload)
                 elif code == "PARTITION_END":
                     pass
                 elif code == "END":
                     code_out = "CONFIRM" if self.confirm else "REFUSED"
-                    send_frame(conn, json.dumps(
+                    chan.send(json.dumps(
                         {"code": code_out, "epoch": msg["epoch"]}
                     ).encode())
 
@@ -81,10 +96,12 @@ def messages(spark):
     ).repartition(4)
 
 
-def test_epoch_streams_and_confirms(spark, messages, tmp_path):
-    srv = ConsumerServer()
+@pytest.mark.parametrize("framing", ["raw", "zmtp"])
+def test_epoch_streams_and_confirms(spark, messages, tmp_path, framing):
+    srv = ConsumerServer(framing=framing)
     sink = NetworkConfirmSink("127.0.0.1", srv.port,
-                              confirmed_path=str(tmp_path / "wm"))
+                              confirmed_path=str(tmp_path / "wm"),
+                              framing=framing)
     assert sink.last_confirmed_epoch() == -1
     assert sink.send_epoch(messages, 0) is True
     assert sink.last_confirmed_epoch() == 0
@@ -113,4 +130,16 @@ def test_info_handshake_reports_watermark(spark, tmp_path):
     resp = sink.handshake_info()
     assert resp["code"] == "INFO_OK"
     assert srv.infos[0]["confirmed_epoch"] == 7
+    srv.close()
+
+
+def test_zmtp_info_handshake(tmp_path):
+    srv = ConsumerServer(framing="zmtp")
+    wm = tmp_path / "wm"
+    wm.write_text("3")
+    sink = NetworkConfirmSink("127.0.0.1", srv.port, confirmed_path=str(wm),
+                              framing="zmtp")
+    resp = sink.handshake_info()
+    assert resp["code"] == "INFO_OK"
+    assert srv.infos[0]["confirmed_epoch"] == 3
     srv.close()
