@@ -11,7 +11,7 @@ test strategy (Oracle LOGFILE dump diffing, SURVEY.md §5).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Marker words per language for the n-gram-heuristic language identifier.
@@ -109,6 +109,83 @@ def normalized_fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 over lowercased, whitespace-collapsed text.
     md5 (not xxhash64) so the DuckDB oracle reproduces it bit-for-bit."""
     return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+
+def tokens_array(col: Column) -> Column:
+    """Whitespace tokens of trim(text); empty text → empty array (the same
+    denominator semantics as token_count — split('') would yield [''])."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition metrics per document — the filter channel
+    that catches boilerplate/spam web pages exact- and near-dedup both miss
+    (a page repeating one phrase 500 times is unique, yet worthless):
+
+    * ``dup_token_frac``  — 1 − distinct_tokens / tokens (pure array expr)
+    * ``top_token_frac``  — occurrences of the most frequent token / tokens
+    * ``top_bigram_frac`` — occurrences of the most frequent 2-gram / tokens
+
+    Scale shape: the mode of a token multiset is NOT expressible as a pure
+    per-row expression without O(len²) work, so the top-fraction channels
+    explode to (doc, gram) and take two partial-aggregated groupBys —
+    shuffle keyed on doc_id, linear in corpus token count, the standard
+    plan for per-doc n-gram stats at 100 TB. Everything else stays in
+    whole-stage codegen."""
+    toks = tokens_array(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("toks"))
+    n = F.size("toks")
+    stats = base.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("_nd"),
+    )
+    top_tok = (
+        base.select(id_col, F.explode("toks").alias("tok"))
+        .groupBy(id_col, "tok")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_tok"))
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("toks"), i), F.get(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_big = (
+        base.select(id_col, F.explode(bigrams).alias("bi"))
+        .groupBy(id_col, "bi")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_big"))
+    )
+    nt = F.col("n_tokens")
+    return (
+        stats.join(top_tok, id_col, "left")
+        .join(top_big, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(
+                F.when(nt > 0, 1.0 - F.col("_nd") / nt).otherwise(F.lit(0.0)), 4
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("_top_tok"), F.lit(0)) / F.greatest(nt, F.lit(1)), 4
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce(F.col("_top_big"), F.lit(0)) / F.greatest(nt, F.lit(1)), 4
+            ).alias("top_bigram_frac"),
+        )
+    )
 
 
 def kgram_winnow_fingerprint(col: Column, k: int = 3) -> Column:

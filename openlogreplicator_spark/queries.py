@@ -1226,6 +1226,101 @@ def engine_replay_state(spark, sf_dir):
     return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")
 
 
+_DOMAIN_CHURN_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    by_host AS (
+      SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             CAST(count(*) AS BIGINT) AS n_changes,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+             CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deletes
+      FROM ev GROUP BY 1)
+    SELECT host, n_changes, n_pages, n_deletes,
+           round(n_changes::DOUBLE / sum(n_changes) OVER (), 4) AS change_share
+    FROM by_host
+    """
+
+
+@register("cdc_domain_churn", _DOMAIN_CHURN_SQL)
+def cdc_domain_churn(spark, sf_dir):
+    """Per-host change accounting over the committed change log — the
+    heavy-hitter profile that drives salting/bucketing decisions for hot
+    domains (datagen gives url #0 ~5% of all events by construction; its
+    host tops this table). Shape at scale: partial-agg groupBy on an
+    extracted host key; change_share is a window over the already-aggregated
+    ~|hosts| rows, not the event stream."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(
+        ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull()
+                  & F.col("warc_ts").isNotNull())
+    )
+    agg = committed.groupBy(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host")
+    ).agg(
+        F.count("*").alias("n_changes"),
+        F.countDistinct("url").alias("n_pages"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+    )
+    return agg.select(
+        "host", "n_changes", "n_pages", "n_deletes",
+        F.round(
+            F.col("n_changes")
+            / F.sum("n_changes").over(Window.partitionBy()), 4
+        ).alias("change_share"),
+    )
+
+
+@register(
+    "docs_repetition_stats",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    stats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS nd
+      FROM base),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    topt AS (SELECT doc_id, max(c) AS top_tok FROM
+              (SELECT doc_id, tok, count(*) AS c FROM tok
+               GROUP BY doc_id, tok)
+             GROUP BY doc_id),
+    big AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS bi
+      FROM base),
+    topb AS (SELECT doc_id, max(c) AS top_big FROM
+              (SELECT doc_id, bi, count(*) AS c FROM big GROUP BY doc_id, bi)
+             GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           round(CASE WHEN s.n_tokens > 0
+                      THEN 1.0 - s.nd::DOUBLE / s.n_tokens
+                      ELSE 0.0 END, 4) AS dup_token_frac,
+           round(COALESCE(topt.top_tok, 0)::DOUBLE
+                 / greatest(s.n_tokens, 1), 4) AS top_token_frac,
+           round(COALESCE(topb.top_big, 0)::DOUBLE
+                 / greatest(s.n_tokens, 1), 4) AS top_bigram_frac
+    FROM stats s LEFT JOIN topt USING (doc_id) LEFT JOIN topb USING (doc_id)
+    """,
+)
+def docs_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filter channels (duplicate-token fraction,
+    top token / top bigram occupancy) — catches boilerplate pages that are
+    globally unique but internally degenerate; see TXT.repetition_stats for
+    the explode→two-phase-agg scale shape."""
+    return TXT.repetition_stats(T(spark, sf_dir, "documents"))
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of functions.similarity.simhash_signatures + blocking:
     md5-nibble bit votes per distinct token, 64-bit pack (bit 63 via the

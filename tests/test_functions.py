@@ -255,3 +255,31 @@ def test_dup_cluster_survivors(spark):
     assert out[1]["survivor_doc_id"] == 2 and out[1]["n_members"] == 3
     assert out[1]["survivor_quality"] == 1.0
     assert out[7]["survivor_doc_id"] == 8 and out[7]["n_members"] == 2
+
+
+def test_repetition_stats_known_values(spark):
+    from openlogreplicator_spark.functions import text as TXT
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one token repeated 4x
+            (2, "a b c d"),                      # all distinct
+            (3, "x y x y x y"),                  # dominant bigram "x y" (3x)
+            (4, ""),                             # empty text
+            (5, "solo"),                         # single token, no bigrams
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in TXT.repetition_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["dup_token_frac"] == 0.75       # 1 - 1/4
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[1]["top_bigram_frac"] == 0.75      # "spam spam" x3 / 4 tokens
+    assert out[2]["dup_token_frac"] == 0.0
+    assert out[2]["top_token_frac"] == 0.25
+    assert out[3]["top_bigram_frac"] == 0.5       # "x y" x3 / 6 tokens
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["dup_token_frac"] == 0.0
+    assert out[4]["top_token_frac"] == 0.0
+    assert out[5]["n_tokens"] == 1
+    assert out[5]["top_bigram_frac"] == 0.0
