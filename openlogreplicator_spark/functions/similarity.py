@@ -29,16 +29,21 @@ from pyspark.sql.types import ArrayType, IntegerType
 # ------------------------------------------------------------------ tokens
 
 
-def tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Distinct (id, token) pairs, whitespace tokenization on lower(text)."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
-        )
-        .filter(F.length("token") > 0)
-        .distinct()
-    )
+def tokens(
+    df: DataFrame, id_col: str, text_col: str, distinct: bool = True
+) -> DataFrame:
+    """(id, token) pairs, whitespace tokenization on lower(text).
+
+    ``distinct=True`` (set semantics — required by Jaccard and SimHash's
+    per-distinct-token votes) costs one shuffle on (id, token). Pass
+    ``distinct=False`` for consumers whose aggregate is duplicate-insensitive
+    (MinHash: min() of a multiset equals min() of its set) — the explode then
+    feeds partial aggregation directly and no (id, token) shuffle happens."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    return tok.distinct() if distinct else tok
 
 
 # ------------------------------------------------------------------ minhash
@@ -78,7 +83,10 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Near-dup candidate pairs (a < b) sharing at least one LSH band."""
     b = minhash_bands(
-        minhash_signature(tokens(df, id_col, text_col), id_col, n_hashes=n_hashes),
+        minhash_signature(
+            tokens(df, id_col, text_col, distinct=False), id_col,
+            n_hashes=n_hashes,
+        ),
         id_col, n_hashes, band_size,
     )
     left = b.select(F.col(id_col).alias("a"), "band_id", "band_hash")
@@ -344,6 +352,24 @@ def connected_components(
     Nodes appearing in no pair are absent (they are their own component —
     callers union them back if a total assignment is needed).
     """
+    def fingerprint(e: DataFrame) -> tuple:
+        """Set fingerprint of a canonical (u>v, distinct) edge set: count +
+        two independently-salted 64-bit hash sums. One map-side-combined
+        aggregate (no shuffle of the edge set) replaces the per-round
+        exceptAll set-diff job — at 10^10 edges that diff is a full extra
+        shuffle per round. Equal fingerprints ⇒ equal sets up to a ~2⁻¹²⁸
+        hash-sum collision (the convergence test only; emitted components
+        are exact either way, and one extra round is the worst case)."""
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sums: 10^10 64-bit terms stay ~10^29 ≪ 10^38,
+            # no ANSI long overflow
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h1"),
+            F.sum(F.xxhash64(F.lit(41), "u", "v").cast("decimal(38,0)"))
+            .alias("h2"),
+        ).collect()[0]
+        return (r["n"], r["h1"], r["h2"])
+
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -351,6 +377,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    fp = fingerprint(edges)
     for _ in range(max_iters):
         # large-star: every node u connects its strictly-larger neighbors to
         # m(u) = min(u ∪ Γ(u)); emitted (v, m) is canonical since v > u ≥ m
@@ -378,8 +405,9 @@ def connected_components(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        done = ss.count() == edges.count() and ss.exceptAll(edges).isEmpty()
-        edges = ss
+        new_fp = fingerprint(ss)
+        done = new_fp == fp
+        edges, fp = ss, new_fp
         if done:
             break
     comp = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
