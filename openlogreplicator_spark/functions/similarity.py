@@ -701,3 +701,134 @@ def lsh_bucketed_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ------------------------------------------------ product quantization (PQ)
+
+
+def pq_codebooks(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """``codebooks[s][j]`` = centroid ``j`` of subspace ``s`` (dim/m floats).
+
+    Codebooks are PINNED to the ``n_codes`` md5-smallest corpus vectors
+    (seedless, replay-stable — the same trick that makes the IVF coarse
+    quantizer SQL-derivable), sliced per subspace. A k-means-refined codebook
+    drops in the same way ``kmeans_fit`` does for IVF; the md5 pin is what
+    lets the DuckDB oracle rebuild the exact codebook from the parquet."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[v[s * sub:(s + 1) * sub] for v in vecs] for s in range(m)]
+
+
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder: each vector → ``m`` small codes (argmin L2
+    per subspace, ties to the smaller code id). One vectorized numpy pass per
+    batch against the closure-captured (m, k, sub) codebook tensor — a
+    map-side column, no shuffle; at 100 TB the codes column (m bytes/row vs
+    4·dim) is what you persist and scan."""
+    cbs = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = cbs.shape
+
+    def _enc(vecs: pd.Series) -> pd.Series:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x.reshape(len(x), m, sub)
+        d = ((x[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)  # (b, m, k)
+        codes = d.argmin(-1).astype("int32")
+        return pd.Series([row.tolist() for row in codes])
+
+    return pandas_udf(_enc, ArrayType(IntegerType()))
+
+
+def pq_topk(
+    emb: DataFrame, queries: DataFrame, codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding", k: int = 5,
+) -> DataFrame:
+    """PQ-ADC ANN (asymmetric distance computation): corpus vectors are
+    scanned as ``m`` codes; each query carries a precomputed m×n_codes
+    distance table (squared L2 of its exact subvectors to every centroid,
+    built as JVM expressions BEFORE the broadcast join), and the approximate
+    distance is ``sum_s dtab[s][code_s]`` — O(m) adds per (query, vector),
+    never a dim-wide dot product against the corpus.
+
+    Scale shape: codes are a one-off map-side column (pq_encode_udf), the
+    tiny query side is broadcast, scoring is pure whole-stage-codegen
+    arithmetic, top-k is a per-query window. Composes with IVF cells
+    (classic IVF-PQ) by bucketing the code scan on the IVF cell id first.
+    All arithmetic is double with a fixed left-to-right summation order so
+    the DuckDB oracle is bit-identical (ties then break on vec_id)."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+
+    enc = pq_encode_udf(codebooks)
+    coded = emb.select(F.col(id_col), enc(F.col(vec_col)).alias("codes"))
+
+    # The flat (m·n_codes·sub)-double codebook rides as ONE array column on a
+    # broadcast 1-row frame, and the m×n_codes distance table is built with
+    # higher-order functions — a handful of expression nodes regardless of
+    # codebook size. (The first cut inlined 128 literal 8-term L2 trees: the
+    # generated Java blew janino's 64 KB method limit and the whole stage
+    # fell back to interpreted mode.) Summation stays left-to-right over i,
+    # bit-identical to the literal form and to the DuckDB oracle.
+    flat = [
+        float(x) for s in range(m) for j in range(n_codes) for x in codebooks[s][j]
+    ]
+    cb_df = queries.sparkSession.createDataFrame([(flat,)], "cb array<double>")
+
+    def cell_l2sq(qcol: Column, t: Column) -> Column:
+        s = F.floor(t / F.lit(n_codes))
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(qcol, (s * F.lit(sub) + i).cast("int")).cast("double")
+                - F.element_at(F.col("cb"), (t * F.lit(sub) + i).cast("int"))
+            )
+            * (
+                F.element_at(qcol, (s * F.lit(sub) + i).cast("int")).cast("double")
+                - F.element_at(F.col("cb"), (t * F.lit(sub) + i).cast("int"))
+            ),
+        )
+
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
+        lambda t: cell_l2sq(F.col(vec_col), t),
+    )
+    q = (
+        queries.crossJoin(F.broadcast(cb_df))
+        .select(F.col(id_col).alias("query_id"), dtab.alias("dtab"))
+    )
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("dtab"),
+            (s * F.lit(n_codes) + F.element_at(F.col("codes"), s + F.lit(1)) + F.lit(1)).cast("int"),
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, adc.alias("adc_l2sq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_l2sq", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

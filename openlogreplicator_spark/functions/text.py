@@ -203,3 +203,32 @@ def kgram_winnow_fingerprint(col: Column, k: int = 3) -> Column:
         lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, k))),
     )
     return F.array_min(grams)
+
+
+# ----------------------------------------------------------- PII redaction
+
+# One regex per PII class, kept to the Java∩RE2 common dialect so Spark
+# (java.util.regex) and DuckDB (RE2) match the exact same spans. Replacement
+# order matters and is fixed: emails first (their domains contain dots that
+# the IPv4 regex must not see), then IPv4, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4s", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phones", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """# matches of one PII pattern (JVM regexp_count, int like DuckDB's
+    CAST(len(regexp_extract_all(..)) AS INT))."""
+    return F.regexp_count(col, F.lit(pattern))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII span with its class token, in PII_PATTERNS order —
+    the standard C4/Dolma-style scrub pass. Pure JVM regexp_replace chain
+    (global by default, matching DuckDB's 'g' flag); no Python in the path."""
+    out = col
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out

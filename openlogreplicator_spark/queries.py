@@ -710,6 +710,43 @@ def docs_bpe_token_stats(spark, sf_dir):
     )
 
 
+@register(
+    "docs_top_tokens",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token,
+             doc_id
+      FROM documents)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def docs_top_tokens(spark, sf_dir):
+    """Corpus-wide token frequency top-k — the vocabulary head a tokenizer /
+    stopword-list builder reads first. Shape at 100 TB: explode → two-phase
+    partial-aggregated count (map-side combine absorbs the Zipf head before
+    the shuffle) → TakeOrderedAndProject; ties break on the token so the
+    top-100 cut is deterministic."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(100)
+    )
+
+
 # 8-hash / band_size-4 MinHash for the Jaccard-verified pipeline: TIGHTER
 # bands than the 4/2 recall query above — on templated web corpora loose
 # bands make bucket sizes (and thus the candidate count) quadratic; band
@@ -1157,6 +1194,68 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+_PQ_SQL = """
+    WITH ranked AS (
+      SELECT embedding AS v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS j
+      FROM embeddings),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT s, j,
+             list_transform(list_slice(v, s*8 + 1, s*8 + 8),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM ranked CROSS JOIN subs WHERE j < 16),
+    dists AS (
+      SELECT e.vec_id, c.s, c.j,
+             list_reduce(
+               [0.0::DOUBLE] || list_transform(range(1, 9),
+                 i -> (CAST(e.embedding[CAST(c.s*8 + i AS INT)] AS DOUBLE)
+                        - c.cvec[CAST(i AS INT)])
+                    * (CAST(e.embedding[CAST(c.s*8 + i AS INT)] AS DOUBLE)
+                        - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM embeddings e CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM dists) WHERE rn = 1),
+    terms AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.s, q.d
+      FROM dists q JOIN codes c ON q.s = c.s AND q.j = c.code
+      WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+    adc AS (
+      SELECT query_id, vec_id,
+             list_reduce([0.0::DOUBLE] || list(d ORDER BY s),
+                         (a, b) -> a + b) AS a
+      FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(a, 4) AS adc_l2sq
+    FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY a, vec_id) <= 5
+    """
+
+
+@register("ann_pq_topk", _PQ_SQL)
+def ann_pq_topk(spark, sf_dir):
+    """PQ-ADC ANN (IVF-PQ's other half): 8 subspaces × 16 centroids pinned to
+    the md5-smallest corpus vectors (SQL-derivable like the IVF quantizer),
+    corpus encoded to 8 small codes by the Arrow-batched argmin kernel
+    (map-side, no shuffle — at 100 TB you persist/scan the 8-byte codes, not
+    the 256-byte vectors), queries carry a JVM-built 8×16 ADC distance table,
+    approximate distance is 8 table lookups + adds per pair. Reference
+    analogue: none (the reference has no ANN); this is the training-data
+    similarity-search scale path from the task brief."""
+    from .functions.similarity import pq_codebooks, pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m=8, n_codes=16)
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 3), cbs, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("adc_l2sq", 4).alias("adc_l2sq")
+    )
+
+
 from .datagen import ensure_fixture, fixture_path  # noqa: E402
 
 _REPLAY_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -1224,6 +1323,111 @@ def engine_replay_state(spark, sf_dir):
     p.run_batch_replay()
     state = p.target_state()
     return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+
+
+# Time-travel twin: replay ONLY the first two (of four) fixture files — the
+# epochs confirmed by snapshot version chosen in engine_replay_state_asof.
+# All events there predate the DDL scenario (DDLs land at 60/75/90% of the
+# stream), so the as-of schema is v1: no fetch/http_status column exists yet.
+_REPLAY_ASOF_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet(['{_REPLAY_EVENTS}/events-00000.parquet',
+                                  '{_REPLAY_EVENTS}/events-00001.parquet'])
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_replay_state_asof", _REPLAY_ASOF_SQL)
+def engine_replay_state_asof(spark, sf_dir):
+    """Snapshot time travel (Iceberg-style; reference analogue: checkpoint
+    files let the replicator resume from ANY confirmed scn —
+    src/state/StateDisk.cpp + Metadata.cpp snapshot chain): replay the fixed
+    change log as four per-file epochs, then read the table AS OF the
+    snapshot that confirmed epoch 1. The time-traveled state must equal a
+    replay of only the first two files — including the DICTIONARY as of
+    then: the fetch_status/http_status columns added by later DDL epochs
+    must be absent."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.merge import read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_asof_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    from .operators.decode import EVENTS_DDL
+
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    # pick the newest snapshot whose confirmed epoch is 1 (time travel)
+    cur = LakeTable.load(spark, p.table_path)
+    ver = max(
+        v
+        for v in cur.versions()
+        if LakeTable.load(spark, p.table_path, version=v).last_epoch() == (1, True)
+    )
+    asof = LakeTable.load(spark, p.table_path, version=ver)
+    return read_state(asof).select("url", "warc_ts", "_seq", "text", "lang")
+
+
+_PII_SPEC = dict(seed=7, n_docs=400)
+_PII_DOCS = fixture_path(_REPLAY_BASE, "pii_docs", _PII_SPEC)
+
+
+def _ensure_pii_docs() -> str:
+    from .datagen import write_pii_docs
+
+    return ensure_fixture(
+        _PII_DOCS, lambda d: write_pii_docs(d, **{
+            "n_docs": _PII_SPEC["n_docs"], "seed": _PII_SPEC["seed"],
+        })
+    )
+
+
+def _pii_sql() -> str:
+    (_, email_re, _), (_, ip_re, _), (_, phone_re, _) = TXT.PII_PATTERNS
+    red = "text"
+    for _, pat, token in TXT.PII_PATTERNS:
+        red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, token)
+    return """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '%s')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '%s')) AS INT) AS n_ipv4s,
+           CAST(len(regexp_extract_all(text, '%s')) AS INT) AS n_phones,
+           md5(%s) AS redacted_md5
+    FROM read_parquet('%s/*.parquet')
+    """ % (email_re, ip_re, phone_re, red, _PII_DOCS)
+
+
+@register("docs_pii_redact", _pii_sql())
+def docs_pii_redact(spark, sf_dir):
+    """PII detection + redaction (emails / IPv4 / phone numbers) — the
+    standard web-text scrub pass, run on a deterministic PII-laced fixture
+    (the sf* documents are salad with no PII). Pure JVM regexp chain, one
+    scan, embarrassingly parallel at 100 TB; the md5 of the redacted text is
+    what the oracle value-hashes, so the exact replacement spans (not just
+    the counts) are cross-checked against DuckDB's RE2."""
+    d = spark.read.parquet(_ensure_pii_docs())
+    cols = [
+        TXT.pii_count(F.col("text"), pat).alias("n_" + name)
+        for name, pat, _ in TXT.PII_PATTERNS
+    ]
+    return d.select(
+        "doc_id",
+        *cols,
+        F.md5(TXT.redact_pii(F.col("text")).cast("binary")).alias("redacted_md5"),
+    )
 
 
 _DOMAIN_CHURN_SQL = f"""
