@@ -1652,3 +1652,74 @@ def docs_dedup_survivors(spark, sf_dir):
     return S.dup_cluster_survivors(
         d, comps, "doc_id", TXT.quality_score(F.col("text"))
     )
+
+
+_ASOF_SQL = """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           c.event_id AS click_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+           round(c.value, 2) AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+@register("events_asof_attribution", _ASOF_SQL)
+def events_asof_attribution(spark, sf_dir):
+    """Backward as-of join (last-touch attribution): every purchase gets the
+    user's newest click at-or-before it; purchases with no prior click keep
+    nulls. Spark has no ASOF JOIN — this is the union + one-shuffle window
+    composition (operators/asof.py), oracle-checked against DuckDB's native
+    ASOF LEFT JOIN. Reference analogue: each change resolves against the
+    dictionary version in force at its scn (Metadata.cpp schema chain)."""
+    from .operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    j = asof_join(purchases, clicks, on="user_id")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        "click_id_asof",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("lag_us"),
+        F.round("value_asof", 2).alias("click_value"),
+    ).withColumnsRenamed({"click_id_asof": "click_id"})
+
+
+@register("events_asof_attribution_bcast", _ASOF_SQL)
+def events_asof_attribution_bcast(spark, sf_dir):
+    """Broadcast twin of events_asof_attribution: the click side is packed
+    to one sorted chain per user and broadcast; matching is a map-side
+    array probe with ZERO shuffle of the purchase side — the plan when the
+    right side is dimension-sized (the reference's dictionary chain vs
+    10^10 changes). Same oracle SQL as the shuffle variant, so the driver
+    value-checks the two implementations against each other too."""
+    from .operators.asof import asof_join_broadcast
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    j = asof_join_broadcast(purchases, clicks, on="user_id")
+    return j.select(
+        "purchase_id",
+        "user_id",
+        F.col("click_id_asof").alias("click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("lag_us"),
+        F.round("value_asof", 2).alias("click_value"),
+    )
