@@ -832,3 +832,52 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# -------------------------------------------------- incremental (new-batch)
+
+
+def incremental_dedup_survivors(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the streaming-ingest
+    shape (every epoch arrives against 10^10 already-kept docs; re-running
+    all-pairs dedup over the union would be quadratic in epochs).
+
+    Two probes, both LEFT ANTI equi-joins against corpus-side sets that are
+    pre-aggregated to distinct keys (so the corpus contributes its key
+    space, not its row count, to the shuffle):
+
+    * exact: normalized md5 fingerprint — drops byte-identical bodies;
+    * near:  any shared MinHash LSH band (same signature/band parameters
+      as ``minhash_candidate_pairs``) — drops near-identical bodies.
+
+    Returns incoming rows that survive BOTH. At 100 TB the corpus band set
+    is a materialized bucketed table you maintain incrementally (append the
+    survivors' bands each epoch); here it is recomputed per call.
+    """
+    from .text import normalized_fingerprint
+
+    fp = normalized_fingerprint(F.col(text_col)).alias("_fp")
+    corpus_fp = corpus.select(fp).distinct()
+    exact_ok = incoming.withColumn("_fp", fp).join(
+        corpus_fp, "_fp", "left_anti"
+    ).drop("_fp")
+
+    inc_bands = minhash_bands(
+        minhash_signature(tokens(exact_ok, id_col, text_col), id_col, n_hashes),
+        id_col, n_hashes, band_size,
+    )
+    cor_bands = minhash_bands(
+        minhash_signature(tokens(corpus, id_col, text_col), id_col, n_hashes),
+        id_col, n_hashes, band_size,
+    ).select("band_id", "band_hash").distinct()
+    hit_ids = inc_bands.join(
+        cor_bands, ["band_id", "band_hash"], "left_semi"
+    ).select(id_col).distinct()
+    return exact_ok.join(hit_ids, id_col, "left_anti")

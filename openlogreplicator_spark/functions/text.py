@@ -232,3 +232,64 @@ def redact_pii(col: Column) -> Column:
     for _, pat, token in PII_PATTERNS:
         out = F.regexp_replace(out, pat, token)
     return out
+
+
+# ----------------------------------------------- Gopher-style rule filter
+
+# The 8 most frequent English words — the Gopher (Rae et al. 2021, §A1.1)
+# "minimum stop words" rule uses a fixed tiny list exactly like this.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style rule-based quality columns (all pure JVM expressions —
+    one codegen'd scan at any scale; the thresholds are the published
+    defaults). Returns the measured stats AND the per-rule booleans plus
+    the ANDed ``gopher_pass`` so a pipeline can log rejection reasons, the
+    same reporting split C4/Gopher/Dolma pipelines use."""
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    n = F.size(words).cast("long")
+    nf = n.cast("double")
+    mean_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+    ) / F.greatest(nf, F.lit(1.0))
+    symbols = (occurrence_count(col, "#") + occurrence_count(col, "...")).cast(
+        "double"
+    )
+    symbol_ratio = symbols / F.greatest(nf, F.lit(1.0))
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))).cast("double")
+        / F.greatest(nf, F.lit(1.0))
+    )
+    p = padded(col)
+    n_stop = sum(
+        F.when(p.contains(f" {sw} "), 1).otherwise(0) for sw in GOPHER_STOPWORDS
+    ).cast("int")
+    checks = {
+        "ok_n_words": (n >= min_words) & (n <= max_words),
+        "ok_mean_len": (mean_len >= min_mean_len) & (mean_len <= max_mean_len),
+        "ok_symbols": symbol_ratio <= max_symbol_ratio,
+        "ok_alpha": alpha_ratio >= min_alpha_ratio,
+        "ok_stopwords": n_stop >= min_stopwords,
+    }
+    gopher_pass = None
+    for c in checks.values():
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_ratio": alpha_ratio,
+        "n_stopwords": n_stop,
+        **checks,
+        "gopher_pass": gopher_pass,
+    }

@@ -1723,3 +1723,262 @@ def events_asof_attribution_bcast(spark, sf_dir):
         ).alias("lag_us"),
         F.round("value_asof", 2).alias("click_value"),
     )
+
+
+_GOPHER_SQL = """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS words,
+             ' ' || lower(text) || ' ' AS pad, text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE)))
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+             (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+              + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                     AS DOUBLE))
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_ratio,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE)
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_ratio,
+             CAST((CASE WHEN contains(pad, ' the ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' be ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' to ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' of ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' and ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' that ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' have ') THEN 1 ELSE 0 END)
+                + (CASE WHEN contains(pad, ' with ') THEN 1 ELSE 0 END)
+              AS INT) AS n_stopwords
+      FROM w)
+    SELECT doc_id, n_words, round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio, n_stopwords,
+           (n_words BETWEEN 50 AND 100000) AS ok_n_words,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (alpha_ratio >= 0.8) AS ok_alpha,
+           (n_stopwords >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)
+            AND (n_stopwords >= 2)) AS gopher_pass
+    FROM m
+    """
+
+
+@register("docs_gopher_filter", _GOPHER_SQL)
+def docs_gopher_filter(spark, sf_dir):
+    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality filter:
+    word-count band, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word ratio, minimum stopwords — the measured stats, the
+    per-rule booleans, and the ANDed verdict, so rejection reasons are
+    loggable. All pure JVM expressions: one codegen'd scan, embarrassingly
+    parallel at 100 TB. Reference analogue: none (the reference filters by
+    table/op, not content) — this is the web-text curation extension."""
+    d = T(spark, sf_dir, "documents")
+    r = TXT.gopher_rules(F.col("text"))
+    return d.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        F.round(r["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(r["symbol_ratio"], 4).alias("symbol_ratio"),
+        F.round(r["alpha_ratio"], 4).alias("alpha_ratio"),
+        r["n_stopwords"].alias("n_stopwords"),
+        *[r[k].alias(k) for k in (
+            "ok_n_words", "ok_mean_len", "ok_symbols", "ok_alpha",
+            "ok_stopwords", "gopher_pass",
+        )],
+    )
+
+
+_TFIDF_SQL = """
+    WITH tok AS (
+      SELECT lang, doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (
+      SELECT lang, token, count(*) AS tf
+      FROM tok WHERE length(token) > 0 GROUP BY 1, 2),
+    df AS (
+      SELECT token, count(DISTINCT doc_id) AS df
+      FROM tok WHERE length(token) > 0 GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.token,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf AS DOUBLE)
+               * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT lang, token, tf, df, round(tfidf, 4) AS tfidf
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY lang
+                               ORDER BY tfidf DESC, token) <= 5
+    """
+
+
+@register("docs_tfidf_by_lang", _TFIDF_SQL)
+def docs_tfidf_by_lang(spark, sf_dir):
+    """Top-5 most distinctive tokens per language by TF-IDF — the corpus
+    profiling pass a mixture/contamination analysis starts from. Shape at
+    100 TB: explode → two partial-aggregated counts (term frequency per
+    lang, document frequency corpus-wide), a broadcast of the df side if
+    the vocabulary is small or a shuffle join on token otherwise (left to
+    AQE), then a per-lang top-k window over lang-count rows (vocab × langs,
+    tiny next to the corpus)."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("lang", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(df, "token").select(
+        "lang",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .select("lang", "token", "tf", "df", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+_INCR_DEDUP_SQL = """
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    cor AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    cfp AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        AS fp FROM cor),
+    exact_ok AS (
+      SELECT * FROM inc
+      WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        NOT IN (SELECT fp FROM cfp)),
+    itok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM exact_ok),
+    isig AS (
+      SELECT doc_id,
+             min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3,
+             min(md5(token || '#4')) AS h4, min(md5(token || '#5')) AS h5,
+             min(md5(token || '#6')) AS h6, min(md5(token || '#7')) AS h7
+      FROM itok WHERE length(token) > 0 GROUP BY doc_id),
+    ibands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash
+      FROM isig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band_hash
+      FROM isig),
+    ctok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM cor),
+    csig AS (
+      SELECT doc_id,
+             min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3,
+             min(md5(token || '#4')) AS h4, min(md5(token || '#5')) AS h5,
+             min(md5(token || '#6')) AS h6, min(md5(token || '#7')) AS h7
+      FROM ctok WHERE length(token) > 0 GROUP BY doc_id),
+    cbands AS (
+      SELECT DISTINCT band_id, band_hash FROM (
+        SELECT 0 AS band_id, md5(h0 || h1 || h2 || h3) AS band_hash FROM csig
+        UNION ALL
+        SELECT 1 AS band_id, md5(h4 || h5 || h6 || h7) AS band_hash FROM csig)),
+    hits AS (
+      SELECT DISTINCT i.doc_id
+      FROM ibands i JOIN cbands c USING (band_id, band_hash))
+    SELECT e.doc_id, e.lang
+    FROM exact_ok e
+    WHERE e.doc_id NOT IN (SELECT doc_id FROM hits)
+    """
+
+
+@register("docs_incremental_dedup", _INCR_DEDUP_SQL)
+def docs_incremental_dedup(spark, sf_dir):
+    """Incremental (new-batch-vs-corpus) dedup — the streaming-ingest shape:
+    odd doc_ids arrive as the new batch, even doc_ids are the kept corpus;
+    survivors are incoming docs that are neither exact dups (normalized md5
+    anti-join) nor near dups (any shared MinHash LSH band, anti-join; 8
+    hashes x 4-hash bands — the tight-band setting, since loose bands on
+    templated web corpora flag everything) of a corpus doc. Both probes shuffle the corpus's DISTINCT key space, never
+    its row count, and nothing is quadratic in epochs — at 100 TB the
+    corpus band set is a bucketed table maintained incrementally."""
+    d = T(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    out = S.incremental_dedup_survivors(incoming, corpus, n_hashes=8, band_size=4)
+    return out.select("doc_id", "lang")
+
+
+_NET_EFFECT_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq, op
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IN ('c', 'u', 'd') AND NOT rolled_back AND url IS NOT NULL),
+    ranked AS (
+      SELECT url, op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts, seq) AS rn_a,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn_d,
+             count(*) OVER (PARTITION BY url) AS n_ops
+      FROM ev),
+    fl AS (
+      SELECT url, max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+             max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+             CAST(max(n_ops) AS BIGINT) AS n_ops
+      FROM ranked GROUP BY url)
+    SELECT url, first_op, last_op, n_ops,
+           CASE WHEN first_op = 'c' AND last_op = 'd' THEN 'none'
+                WHEN first_op = 'c' THEN 'insert'
+                WHEN last_op = 'd' THEN 'delete'
+                ELSE 'update' END AS net_effect
+    FROM fl
+    """
+
+
+@register("cdc_net_effect", _NET_EFFECT_SQL)
+def cdc_net_effect(spark, sf_dir):
+    """Net-effect batch collapse — the CDC merge-batch optimization: all of
+    a key's ops in a window reduce to one net change (create..delete =
+    no-op; create..update = insert with the final image; existing..delete =
+    delete; otherwise update). The reference's transaction assembly does
+    precisely this inside one txn (Transaction.cpp op override chain);
+    lifted here to the table/window level. Scale shape: ONE partial-agg
+    shuffle — min_by/max_by over the (warc_ts, seq) total order, never a
+    per-key sort (contrast the window-rank oracle, which is the readable
+    spec)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(_ensure_replay_events())
+    dml = ev.filter(
+        F.col("op").isin("c", "u", "d")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull()
+    )
+    order = F.struct(F.col("warc_ts"), F.col("seq"))
+    agg = dml.groupBy("url").agg(
+        F.min_by("op", order).alias("first_op"),
+        F.max_by("op", order).alias("last_op"),
+        F.count("*").alias("n_ops"),
+    )
+    net = (
+        F.when((F.col("first_op") == "c") & (F.col("last_op") == "d"), "none")
+        .when(F.col("first_op") == "c", "insert")
+        .when(F.col("last_op") == "d", "delete")
+        .otherwise("update")
+    )
+    return agg.select(
+        "url", "first_op", "last_op", "n_ops", net.alias("net_effect")
+    )
