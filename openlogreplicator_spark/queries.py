@@ -1982,3 +1982,43 @@ def cdc_net_effect(spark, sf_dir):
     return agg.select(
         "url", "first_op", "last_op", "n_ops", net.alias("net_effect")
     )
+
+
+_PACK_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS BIGINT) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS "offset"
+      FROM t)
+    SELECT doc_id, n_tokens, "offset",
+           CAST(floor("offset" / 2048.0) AS BIGINT) AS first_chunk,
+           CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 2048.0)
+             AS BIGINT) AS last_chunk,
+           CAST(floor(("offset" + greatest(n_tokens, 1) - 1) / 2048.0)
+              - floor("offset" / 2048.0) + 1 AS BIGINT) AS n_chunks
+    FROM placed
+    """
+
+
+@register("docs_pack_chunks", _PACK_SQL)
+def docs_pack_chunks(spark, sf_dir):
+    """Sequence packing (concatenate-then-chunk, ctx=2048): place every
+    document on the global token tape and report which context windows it
+    spans. The oracle's ``sum() OVER (ORDER BY ...)`` is the single-node
+    spec; the Spark impl is the distributed two-phase scan
+    (functions/packing.py): range shuffle + per-partition Arrow cumsum +
+    P-scalar driver cumulation broadcast back — never an empty-partition
+    window (which Spark executes in ONE task). Reference analogue: none;
+    training-data pipeline extension."""
+    from .functions.packing import pack_chunks
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select("doc_id", TXT.token_count(F.col("text")).alias("n_tokens"))
+    return pack_chunks(t, "doc_id", "n_tokens", ctx=2048)
