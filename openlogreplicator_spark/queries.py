@@ -2022,3 +2022,76 @@ def docs_pack_chunks(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     t = d.select("doc_id", TXT.token_count(F.col("text")).alias("n_tokens"))
     return pack_chunks(t, "doc_id", "n_tokens", ctx=2048)
+
+
+_FUNNEL_SQL = """
+    WITH v AS (
+      SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS first_view
+      FROM events),
+    c AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > first_view
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS first_click
+      FROM v),
+    p AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > first_click
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS first_purchase
+      FROM c)
+    SELECT DISTINCT user_id, first_view, first_click, first_purchase,
+           CASE WHEN first_purchase IS NOT NULL THEN 3
+                WHEN first_click IS NOT NULL THEN 2
+                WHEN first_view IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_stage
+    FROM p
+    """
+
+
+@register("events_funnel", _FUNNEL_SQL)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel per user: first view, first click AFTER
+    that view, first purchase AFTER that click (strict event-order funnel,
+    not mere presence). Three stacked unordered windows over the SAME
+    partition key — Catalyst plans ONE hash exchange on user_id and chains
+    the window operators without re-shuffling or sorting (unbounded frames
+    need no sort); the final distinct collapses per-user duplicates. At
+    100 TB: one shuffle of the events scan + one of user-sized rows."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    stage = (
+        F.when(F.col("first_purchase").isNotNull(), 3)
+        .when(F.col("first_click").isNotNull(), 2)
+        .when(F.col("first_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return staged.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        stage.alias("funnel_stage"),
+    ).distinct()
