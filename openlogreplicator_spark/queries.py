@@ -2095,3 +2095,95 @@ def events_funnel(spark, sf_dir):
         "user_id", "first_view", "first_click", "first_purchase",
         stage.alias("funnel_stage"),
     ).distinct()
+
+
+_RETENTION_SQL = """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', f.first_ts) AS cohort_week,
+             CAST(floor(date_diff('day', date_trunc('week', f.first_ts),
+                                  date_trunc('week', e.ts)) / 7.0)
+               AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT cohort_week, week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """
+
+
+@register("events_retention", _RETENTION_SQL)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by the week of their first
+    event; n_active_users at each week offset since. Shape at 100 TB: the
+    cohort assignment is a window-min over ONE hash shuffle on user_id
+    (no join back to a firsts table — the same exchange serves the window
+    and feeds the distinct), then a partial-agg count over (cohort, offset)
+    rows. Week arithmetic pinned to Monday-truncated dates so Spark and
+    DuckDB agree on boundaries."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.date_trunc("week", F.col("first_ts")).cast("date"),
+                )
+                / 7.0
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+_UNIGRAM_SQL = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+    tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+    tot AS (SELECT sum(tf) AS n FROM tf),
+    scored AS (
+      SELECT t.doc_id,
+             -ln(CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lp
+      FROM t JOIN tf USING (token) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 4) AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("docs_unigram_logprob", _UNIGRAM_SQL)
+def docs_unigram_logprob(spark, sf_dir):
+    """Unigram-LM cross-entropy per document — the perplexity-proxy quality
+    filter (CCNet filters on KenLM perplexity; the unigram LM is its
+    SQL-checkable core): fit p(token) on the corpus itself, score each doc
+    by -avg ln p over its token multiset; high = off-distribution/garbage.
+    Shape at 100 TB: one partial-agg shuffle builds the vocab-sized tf
+    table, the corpus total rides a 1-row cross join, the token->prob join
+    is vocab-vs-corpus (AQE broadcasts the tf side when it fits), then a
+    per-doc partial-agg avg. Nothing touches a per-doc Python loop."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    scored = tok.join(tf, "token").crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        (-F.log(F.col("tf").cast("double") / F.col("n").cast("double"))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("cross_entropy"),
+    )
