@@ -2187,3 +2187,182 @@ def docs_unigram_logprob(spark, sf_dir):
         F.count("*").alias("n_tokens"),
         F.round(F.avg("lp"), 4).alias("cross_entropy"),
     )
+
+
+_ZIPF_SQL = """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT token, count(*) AS freq FROM tok WHERE length(token) > 0
+           GROUP BY token),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM tf)
+    SELECT round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 4) AS zipf_slope,
+           round(regr_intercept(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 4) AS zipf_intercept,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 4) AS r2,
+           CAST(count(*) AS BIGINT) AS n_ranks
+    FROM ranked WHERE rnk <= 100
+    """
+
+
+@register("docs_zipf_fit", _ZIPF_SQL)
+def docs_zipf_fit(spark, sf_dir):
+    """Zipf fit of the vocabulary head: OLS slope/intercept/r² of ln(freq)
+    on ln(rank) over the top-100 tokens — the corpus-health diagnostic
+    (natural text ≈ -1 slope; templated/synthetic corpora flatten). Shape:
+    one partial-agg count to vocab rows, a distributed top-k
+    (TakeOrderedAndProject — never a full vocab sort) down to 100 rows,
+    rank assigned by window only over those 100, then built-in regr_*
+    aggregates (single reduce). Rank ties break on token so both engines
+    rank identically."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    head = tf.orderBy(F.desc("freq"), "token").limit(100)
+    ranked = head.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "token"))
+        .alias("rnk"),
+    )
+    y = F.log(F.col("freq").cast("double"))
+    x = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(y, x), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+        F.count("*").alias("n_ranks"),
+    )
+
+
+_ANOMALY_SQL = """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT *, avg(n) OVER (PARTITION BY event_type) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type) AS sd
+      FROM daily)
+    SELECT event_type, day, n, round((n - mu) / sd, 4) AS zscore
+    FROM stats
+    WHERE abs((n - mu) / sd) >= 2.0
+    """
+
+
+@register("events_anomaly_zscore", _ANOMALY_SQL)
+def events_anomaly_zscore(spark, sf_dir):
+    """Volume-anomaly days per event type: z-score of the daily count
+    against that type's own mean/stddev; |z| >= 2 flags the day (the CDC
+    ops dashboard "did ingest spike/stall" check). Heavy lifting is one
+    partial-agg count to (type, day) rows; the window statistics run over
+    ~types×days rows, noise at any corpus scale."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return (
+        daily.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) >= 2.0)
+        .select("event_type", "day", "n", F.round("zscore", 4).alias("zscore"))
+    )
+
+
+_PMI_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    uni AS (
+      SELECT unnest(toks) AS token FROM base),
+    un AS (SELECT token, count(*) AS c FROM uni WHERE length(token) > 0
+           GROUP BY token),
+    tot AS (SELECT sum(c) AS n FROM un),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM base WHERE len(toks) >= 2),
+    bn AS (SELECT bigram, count(*) AS bc FROM bi GROUP BY bigram),
+    btot AS (SELECT sum(bc) AS bn FROM bn),
+    scored AS (
+      SELECT b.bigram, CAST(b.bc AS BIGINT) AS n_bigram,
+             ln((CAST(b.bc AS DOUBLE) / btot.bn)
+                / ((CAST(a1.c AS DOUBLE) / tot.n)
+                   * (CAST(a2.c AS DOUBLE) / tot.n))) AS pmi
+      FROM bn b
+      JOIN un a1 ON a1.token = split_part(b.bigram, ' ', 1)
+      JOIN un a2 ON a2.token = split_part(b.bigram, ' ', 2)
+      CROSS JOIN tot CROSS JOIN btot
+      WHERE b.bc >= 5)
+    SELECT bigram, n_bigram, round(pmi, 4) AS pmi
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY pmi DESC, bigram) <= 20
+    """
+
+
+@register("docs_bigram_pmi", _PMI_SQL)
+def docs_bigram_pmi(spark, sf_dir):
+    """Collocation mining: top-20 bigrams by pointwise mutual information
+    (tokenizer-merge / phrase-vocabulary candidates). Bigrams come from a
+    pure-JVM transform over the token array (sequence guarded to len>=2 —
+    Spark's sequence(1, n<=0) DESCENDS rather than returning empty), then
+    two partial-agg counts; the unigram table joins back twice on the
+    bigram's parts (vocab-sized, AQE broadcasts); totals ride 1-row cross
+    joins; final top-20 is a distributed TakeOrderedAndProject, not a
+    global-window sort."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    un = (
+        base.select(F.explode("toks").alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = un.agg(F.sum("c").alias("n"))
+    bi = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("a"),
+                    F.element_at(F.col("toks"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    bn = (
+        bi.groupBy("a", "b").agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") >= 5)
+    )
+    btot_all = bi.agg(F.count("*").alias("bn"))
+    un_a = un.select(F.col("token").alias("a"), F.col("c").alias("ca"))
+    un_b = un.select(F.col("token").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        bn.join(un_a, "a").join(un_b, "b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot_all))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("bc").alias("n_bigram"),
+            F.log(
+                (F.col("bc").cast("double") / F.col("bn"))
+                / (
+                    (F.col("ca").cast("double") / F.col("n"))
+                    * (F.col("cb").cast("double") / F.col("n"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+        .select("bigram", "n_bigram", F.round("pmi", 4).alias("pmi"))
+    )

@@ -117,3 +117,19 @@ def test_events_scan_prunes_for_ddl_collect(spark, events_dir):
     scan = f[f.index("Scan parquet"):]
     rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
     assert "html" not in rs and "text" not in rs, rs
+
+
+def test_zipf_head_is_distributed_top_k(spark):
+    """docs_zipf_fit ranks only a TakeOrdered top-100 head — the global
+    row_number window must never sort the full vocabulary."""
+    p = plan_of(QUERIES["docs_zipf_fit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_bigram_pmi_top20_is_distributed_top_k(spark):
+    """docs_bigram_pmi's final top-20 is TakeOrderedAndProject (no global
+    sort of the scored bigram table) and the 1-row totals ride explicit
+    broadcast cross joins."""
+    p = plan_of(QUERIES["docs_bigram_pmi"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
