@@ -2366,3 +2366,130 @@ def docs_bigram_pmi(spark, sf_dir):
         .limit(20)
         .select("bigram", "n_bigram", F.round("pmi", 4).alias("pmi"))
     )
+
+
+_RECRAWL_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    gaps AS (
+      SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+             (epoch_us(warc_ts) - epoch_us(lag(warc_ts) OVER
+               (PARTITION BY url ORDER BY warc_ts, seq))) / 1e6 AS gap_s
+      FROM ev)
+    SELECT host, CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 4) AS avg_gap_s,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_gap_s,
+           round(max(gap_s), 4) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY host
+    """
+
+
+@register("cdc_recrawl_interval", _RECRAWL_SQL)
+def cdc_recrawl_interval(spark, sf_dir):
+    """Per-host recrawl-interval statistics over the committed change log:
+    the gap between consecutive changes of the same url (LSN order =
+    (warc_ts, seq), the engine's native per-key ordering), aggregated to
+    count/avg/p50/max seconds per host — the crawl-scheduling signal
+    ("how fast does this site churn"). Shape at scale: ONE shuffle on url
+    for the lag window (the same partitioning LWW already uses), then a
+    partial-agg groupBy on the extracted host; percentiles run per host
+    over already-windowed gap rows."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(
+        ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull()
+                  & F.col("warc_ts").isNotNull())
+    ).select("url", "warc_ts", "seq")
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    gaps = committed.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        (
+            (F.unix_micros("warc_ts")
+             - F.unix_micros(F.lag("warc_ts").over(w))) / F.lit(1e6)
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("host").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_gap_s"),
+        F.round(F.max("gap_s"), 4).alias("max_gap_s"),
+    )
+
+
+_DUP_NGRAM_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 4),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+      FROM base WHERE len(toks) >= 5),
+    dupg AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY gram)
+      WHERE dfc >= 2),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM g GROUP BY doc_id),
+    dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+            FROM g WHERE gram IN (SELECT gram FROM dupg) GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams,
+           COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+           round(COALESCE(d.n_dup, 0)::DOUBLE / t.n_grams, 4) AS dup_share
+    FROM tot t LEFT JOIN dup d USING (doc_id)
+    """
+
+
+@register("docs_dup_ngram_share", _DUP_NGRAM_SQL)
+def docs_dup_ngram_share(spark, sf_dir):
+    """Cross-document duplicated-5-gram share per doc: the fraction of a
+    document's 5-gram windows whose gram appears in >= 2 DISTINCT documents
+    — the MassiveText/Gopher "duplicate n-grams across documents" boilerplate
+    signal, complementing docs_repetition_stats (within-doc). Shape at
+    scale: explode is O(tokens); document frequency is two-phase
+    (dropDuplicates(doc, gram) partial-agg, then count per gram — never
+    countDistinct state on the driver); the dup-gram membership check is a
+    left-semi equi-join on gram (hot boilerplate grams are exactly what AQE
+    skew-join splits); both per-doc counts are partial-agg groupBys."""
+    n = 5
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    gram_of = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), gram_of)
+        ).alias("gram"),
+    )
+    dupg = (
+        grams.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc") >= 2)
+        .select("gram")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    dup = (
+        grams.join(dupg, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return tot.join(dup, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_dup"), F.lit(0).cast("long")).alias("n_dup"),
+        F.round(
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            / F.col("n_grams"),
+            4,
+        ).alias("dup_share"),
+    )
