@@ -133,3 +133,21 @@ def test_bigram_pmi_top20_is_distributed_top_k(spark):
     p = plan_of(QUERIES["docs_bigram_pmi"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p, p
     assert "BroadcastNestedLoopJoin" in p, p
+
+
+def test_recrawl_interval_scan_is_narrow(spark):
+    """cdc_recrawl_interval reads only (url, warc_ts, seq) + filter columns
+    from the wide replay log — the html/text payload must never be scanned."""
+    f = formatted(QUERIES["cdc_recrawl_interval"](spark, SF_DIR))
+    scan = f[f.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
+    assert "url" in rs and "warc_ts" in rs and "seq" in rs, rs
+    assert "html" not in rs and "text" not in rs and "before" not in rs, rs
+
+
+def test_dup_ngram_share_joins_are_equi(spark):
+    """docs_dup_ngram_share's dup-gram membership is a left-semi equi-join
+    on gram; no cartesian/nested-loop join may appear anywhere in the plan."""
+    p = plan_of(QUERIES["docs_dup_ngram_share"](spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
