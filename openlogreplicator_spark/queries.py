@@ -2493,3 +2493,200 @@ def docs_dup_ngram_share(spark, sf_dir):
             4,
         ).alias("dup_share"),
     )
+
+
+_MIX_SQL = """
+    WITH by_lang AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source, lang),
+    per_src AS (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             sum(c * log2(c))::DOUBLE AS c_log,
+             CAST(sum(chars) AS BIGINT) AS w
+      FROM by_lang GROUP BY source),
+    tot AS (SELECT sum(w)::DOUBLE AS big_w, sum(pow(w::DOUBLE, 0.7)) AS big_w7
+            FROM per_src)
+    SELECT source, n_docs, n_langs,
+           round(log2(n_docs::DOUBLE) - c_log / n_docs, 4) AS lang_entropy,
+           round(w / big_w, 6) AS p_raw,
+           round(pow(w::DOUBLE, 0.7) / big_w7, 6) AS p_temp,
+           round((pow(w::DOUBLE, 0.7) / big_w7) / (w / big_w), 4) AS boost
+    FROM per_src, tot
+    """
+
+
+@register("docs_source_mix_entropy", _MIX_SQL)
+def docs_source_mix_entropy(spark, sf_dir):
+    """Domain-mixture statistics per source: language-diversity entropy and
+    temperature-based resampling weights (the XLM-R / DoReMi-style
+    p_s ∝ w_s^alpha upweighting of small domains, alpha=0.7, weighted by
+    total chars). Shape at scale: two cascaded partial-agg groupBys
+    (source,lang → source); the corpus totals are a ONE-ROW aggregate
+    broadcast back via crossJoin — no second pass over the data and no
+    driver collect. Entropy uses the single-pass identity
+    H = log2(n) − Σ c·log2(c) / n so no per-group second scan is needed."""
+    alpha = 0.7
+    by_lang = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("c"), F.sum("n_chars").alias("chars"))
+    )
+    per_src = by_lang.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.col("c") * F.log2("c")).alias("c_log"),
+        F.sum("chars").alias("w"),
+    )
+    tot = per_src.agg(
+        F.sum(F.col("w").cast("double")).alias("big_w"),
+        F.sum(F.pow(F.col("w").cast("double"), F.lit(alpha))).alias("big_w7"),
+    )
+    w7 = F.pow(F.col("w").cast("double"), F.lit(alpha))
+    p_raw = F.col("w").cast("double") / F.col("big_w")
+    p_temp = w7 / F.col("big_w7")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(
+            F.log2(F.col("n_docs").cast("double"))
+            - F.col("c_log") / F.col("n_docs"),
+            4,
+        ).alias("lang_entropy"),
+        F.round(p_raw, 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / p_raw, 4).alias("boost"),
+    )
+
+
+_DDL_TIMELINE_SQL = f"""
+    SELECT schema_ver,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+           min(seq) AS first_seq, max(seq) AS last_seq,
+           min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
+    FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+    WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+    GROUP BY schema_ver
+    """
+
+
+@register("cdc_ddl_timeline", _DDL_TIMELINE_SQL)
+def cdc_ddl_timeline(spark, sf_dir):
+    """Dictionary-version timeline over the committed replay log: for each
+    schema_ver the DML volume, distinct-key reach, and the seq/ts span the
+    version was live — the engine-side view of the reference's schema
+    version tracking (SURVEY.md §2.9; DDLs bump schema_ver in-log exactly
+    like the reference replays dictionary changes in SCN order). Shape at
+    scale: one partial-agg groupBy on a handful of versions; the distinct
+    url count is Spark's standard two-phase distinct aggregate (shuffle on
+    (ver,url), never driver state); the scan is narrow — seq/warc_ts/url/
+    schema_ver plus filter columns only, payloads pruned."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(ev.filter(F.col("op").isNotNull()))
+    return committed.groupBy("schema_ver").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("url").alias("n_urls"),
+        F.min("seq").alias("first_seq"),
+        F.max("seq").alias("last_seq"),
+        F.min("warc_ts").alias("first_ts"),
+        F.max("warc_ts").alias("last_ts"),
+    )
+
+
+_CHANGED_COLS_SQL = f"""
+    WITH u AS (
+      SELECT url, text, lang,
+             unnest(map_entries(before), recursive := true)
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op = 'u' AND NOT rolled_back AND before IS NOT NULL)
+    SELECT key AS col_name,
+           CAST(count(*) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN decode(value) IS DISTINCT FROM
+                              (CASE key WHEN 'text' THEN text
+                                        WHEN 'lang' THEN lang
+                                        WHEN 'url'  THEN url END)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           round(sum(CASE WHEN decode(value) IS DISTINCT FROM
+                               (CASE key WHEN 'text' THEN text
+                                         WHEN 'lang' THEN lang
+                                         WHEN 'url'  THEN url END)
+                          THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+             AS changed_share
+    FROM u GROUP BY key
+    """
+
+
+@register("cdc_changed_columns", _CHANGED_COLS_SQL)
+def cdc_changed_columns(spark, sf_dir):
+    """Before-image diffing (P5): for every update's undo-vector column,
+    did the value actually change? The reference pairs undo (before) and
+    redo (after) vectors per column (SURVEY.md §2.2 P5 / §2.3 J1); this is
+    the corpus-level roll-up — per column: how many updates carried a
+    before-image and how many were real changes vs no-op writes. Shape at
+    scale: explode(before) is O(changed columns), the comparison is a pure
+    JVM expression against the same row's after-value (no join — undo and
+    redo ride one row by construction), one partial-agg groupBy on a
+    bounded key space (column names)."""
+    from .operators.decode import EVENTS_DDL
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    upd = ev.filter(
+        (F.col("op") == "u") & (~F.col("rolled_back")) & F.col("before").isNotNull()
+    )
+    e = upd.select(
+        "url", "text", "lang", F.explode("before").alias("col_name", "before_val")
+    )
+    new_val = (
+        F.when(F.col("col_name") == "text", F.col("text"))
+        .when(F.col("col_name") == "lang", F.col("lang"))
+        .when(F.col("col_name") == "url", F.col("url"))
+    )
+    changed = (~F.decode("before_val", "UTF-8").eqNullSafe(new_val)).cast("long")
+    return e.groupBy("col_name").agg(
+        F.count("*").alias("n_before"),
+        F.sum(changed).alias("n_changed"),
+        F.round(F.sum(changed).cast("double") / F.count("*"), 4).alias(
+            "changed_share"
+        ),
+    )
+
+
+_TEMPLATE_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    p AS (
+      SELECT doc_id, array_to_string(toks[1:3], ' ') AS prefix
+      FROM base WHERE len(toks) >= 3)
+    SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM p GROUP BY prefix HAVING count(*) >= 2
+    """
+
+
+@register("docs_template_prefix_dups", _TEMPLATE_SQL)
+def docs_template_prefix_dups(spark, sf_dir):
+    """Boilerplate-template detection: documents sharing an identical
+    3-token prefix (scraped pages stamped from one template open
+    identically — cookie banners, nav headers). Prefix length is the
+    sensitivity dial; 3 suits the synthetic corpus' vocabulary. Shape at
+    scale: the prefix is a pure JVM expression (no explode — O(1) per doc,
+    not O(tokens)), one partial-agg groupBy on the prefix; hot template
+    prefixes are exactly the skewed keys AQE skew-join/agg splitting
+    handles."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 3)
+    return (
+        base.select("doc_id", F.concat_ws(" ", F.slice("toks", 1, 3)).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -151,3 +151,46 @@ def test_dup_ngram_share_joins_are_equi(spark):
     p = plan_of(QUERIES["docs_dup_ngram_share"](spark, SF_DIR))
     assert "LeftSemi" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_source_mix_totals_are_broadcast(spark):
+    """docs_source_mix_entropy joins per-source rows to a ONE-ROW corpus
+    total via a broadcast cross join (never a shuffle), and its scan must
+    prune the text payload — only source/lang/n_chars are read."""
+    f = formatted(QUERIES["docs_source_mix_entropy"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in f, f
+    scan = f[f.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
+    assert "source" in rs and "lang" in rs and "n_chars" in rs, rs
+    assert "text" not in rs, rs
+
+
+def test_ddl_timeline_scan_is_narrow(spark):
+    """cdc_ddl_timeline aggregates version spans from (schema_ver, seq,
+    warc_ts, url) — the html/text/before payloads must be pruned."""
+    f = formatted(QUERIES["cdc_ddl_timeline"](spark, SF_DIR))
+    scan = f[f.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
+    assert "schema_ver" in rs and "seq" in rs and "url" in rs, rs
+    assert "html" not in rs and "text:" not in rs and "before" not in rs, rs
+
+
+def test_changed_columns_has_no_join(spark):
+    """cdc_changed_columns compares undo vs redo on the SAME row (explode of
+    the before map) — there must be no join anywhere in the plan, and the
+    html payload must not be scanned."""
+    f = formatted(QUERIES["cdc_changed_columns"](spark, SF_DIR))
+    assert "Join" not in f, f
+    assert "Generate" in f, f
+    scan = f[f.index("Scan parquet"):]
+    rs = scan[scan.index("ReadSchema:"):scan.index("\n", scan.index("ReadSchema:"))]
+    assert "html" not in rs, rs
+
+
+def test_template_prefix_has_no_explode(spark):
+    """docs_template_prefix_dups derives the prefix as a pure expression —
+    O(1) per document, never an O(tokens) Generate/explode."""
+    p = plan_of(QUERIES["docs_template_prefix_dups"](spark, SF_DIR))
+    assert "Generate" not in p, p
+    n_aggs = p.count("HashAggregate") + p.count("ObjectHashAggregate")
+    assert n_aggs >= 2, p
