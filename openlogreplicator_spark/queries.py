@@ -2690,3 +2690,179 @@ def docs_template_prefix_dups(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+_SHARED_SPAN_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 9)) AS pos,
+             unnest(list_transform(generate_series(1, len(toks) - 9),
+                    i -> array_to_string(toks[i:i+9], ' '))) AS gram
+      FROM base WHERE len(toks) >= 10),
+    ok AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY gram)
+      WHERE dfc BETWEEN 2 AND 64),
+    gg AS (SELECT * FROM g WHERE gram IN (SELECT gram FROM ok)),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa,
+             a.pos - b.pos AS diag
+      FROM gg a JOIN gg b USING (gram) WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT da, db, diag,
+             pa - row_number() OVER (PARTITION BY da, db, diag
+                                     ORDER BY pa) AS grp
+      FROM pairs),
+    rl AS (
+      SELECT da, db, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs GROUP BY da, db, diag, grp)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(sum(run_len) AS BIGINT) AS n_shared_grams,
+           CAST(max(run_len) + 9 AS BIGINT) AS longest_span_tokens
+    FROM rl GROUP BY da, db
+    """
+
+
+@register("docs_shared_span_dups", _SHARED_SPAN_SQL)
+def docs_shared_span_dups(spark, sf_dir):
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for every
+    candidate document pair, the LONGEST exactly-shared token run and the
+    total count of shared 10-gram windows — the span-level complement of
+    the set-level near-dup family (MinHash/SimHash/Jaccard). Matching
+    10-gram positions extend to maximal runs via islands detection on the
+    position diagonal (pa − pb): consecutive pa within one (pair, diag)
+    group form one duplicated span of pa-run + 9 tokens. Shape at scale:
+    seed grams are document-frequency-capped (DF∈[2,64] — the hot-gram
+    quadratic guard shared with docs_ngram_jaccard_near_dup); the
+    candidate join is an equi-join on gram; islands detection is ONE
+    window shuffle keyed (doc_a, doc_b, diag) over match rows only —
+    never all-pairs, never a suffix array in driver memory."""
+    k = 10
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
+    gram_of = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (k - 1)), gram_of)
+        ).alias("pos", "gram"),
+    )
+    seeds = (
+        grams.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram")
+        .agg(F.count("*").alias("dfc"))
+        .filter(F.col("dfc").between(2, 64))
+        .select("gram")
+    )
+    gg = grams.join(seeds, "gram", "left_semi")
+    a, b = gg.alias("a"), gg.alias("b")
+    pairs = a.join(b, "gram").filter(F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.col("a.pos").alias("pa"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = pairs.select(
+        "da", "db", "diag", (F.col("pa") - F.row_number().over(w)).alias("grp")
+    )
+    rl = runs.groupBy("da", "db", "diag", "grp").agg(
+        F.count("*").alias("run_len")
+    )
+    return rl.groupBy("da", "db").agg(
+        F.sum("run_len").alias("n_shared_grams"),
+        (F.max("run_len") + (k - 1)).alias("longest_span_tokens"),
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "n_shared_grams",
+        "longest_span_tokens",
+    )
+
+
+_MINHASH_CALIB_SQL = f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b),
+    est AS (
+      SELECT c.a, c.b,
+             ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h4 = sb.h4 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h5 = sb.h5 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h6 = sb.h6 THEN 1 ELSE 0 END)
+            + (CASE WHEN sa.h7 = sb.h7 THEN 1 ELSE 0 END)) / 8.0 AS est_j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a
+      JOIN sig sb ON sb.doc_id = c.b)
+    SELECT e.a, e.b,
+           round(e.est_j, 4) AS est_jaccard,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard,
+           round(abs(e.est_j
+                     - i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter)), 4)
+             AS abs_err
+    FROM est e
+    JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN sizes sa ON sa.doc_id = e.a
+    JOIN sizes sb ON sb.doc_id = e.b
+    """
+
+
+@register("docs_minhash_est_vs_exact", _MINHASH_CALIB_SQL)
+def docs_minhash_est_vs_exact(spark, sf_dir):
+    """MinHash calibration: for every LSH candidate pair, the signature's
+    Jaccard ESTIMATE (matching components / k) against the EXACT token-set
+    Jaccard — the diagnostic a pipeline reads to size its signature (k) and
+    band layout before trusting estimate-thresholded dedup at scale. Shape:
+    the signature is one partial-agg groupBy (signatures are computed once
+    and reused for both banding and estimation); the estimate join touches
+    candidates only (two broadcast-or-shuffle equi-joins on doc id); the
+    exact pass is the shared candidates-only Jaccard kernel — never
+    all-pairs. Same bounded id-range sample as docs_jaccard_verified_dups."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    sig = S.minhash_signature(tok, "doc_id", n_hashes=8)
+    cand = (
+        S.minhash_bands(sig, "doc_id", n_hashes=8, band_size=4)
+        .alias("l")
+        .join(
+            S.minhash_bands(sig, "doc_id", n_hashes=8, band_size=4).alias("r"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        for k in range(8)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select("a", "b", (matches / F.lit(8.0)).alias("est_j"))
+    )
+    exact = S.jaccard_pairs(d, cand, "doc_id", "text").select(
+        "a", "b", F.col("jaccard").alias("exact_j")
+    )
+    return est.join(exact, ["a", "b"]).select(
+        "a",
+        "b",
+        F.round("est_j", 4).alias("est_jaccard"),
+        F.round("exact_j", 4).alias("jaccard"),
+        F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias("abs_err"),
+    )

@@ -4,3 +4,4 @@ commit-snapshot dedup, ordered mid-stream schema evolution, lineage metrics.
 """
 
 from .pipeline import CdcPipeline, TARGET_BASE_FIELDS  # noqa: F401
+from .dedup import first_seen_only  # noqa: F401

@@ -194,3 +194,18 @@ def test_template_prefix_has_no_explode(spark):
     assert "Generate" not in p, p
     n_aggs = p.count("HashAggregate") + p.count("ObjectHashAggregate")
     assert n_aggs >= 2, p
+
+
+def test_shared_span_never_all_pairs(spark):
+    """docs_shared_span_dups: the candidate join must be an equi-join on the
+    seed gram (never cartesian), and islands detection must be windowed."""
+    p = plan_of(QUERIES["docs_shared_span_dups"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
+
+
+def test_minhash_calibration_joins_are_equi(spark):
+    """docs_minhash_est_vs_exact: estimate + exact passes touch candidate
+    pairs via equi-joins only — no cartesian anywhere in the plan."""
+    p = plan_of(QUERIES["docs_minhash_est_vs_exact"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
