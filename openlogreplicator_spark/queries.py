@@ -751,11 +751,11 @@ def docs_top_tokens(spark, sf_dir):
 # bands than the 4/2 recall query above — on templated web corpora loose
 # bands make bucket sizes (and thus the candidate count) quadratic; band
 # tightness is a dial that must scale with corpus duplication.
-_MINHASH_CAND_SQL = """
+_MINHASH_CAND_TMPL = """
     raw AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
-      FROM documents WHERE doc_id < 2000),
+      FROM documents WHERE doc_id < {id_cap}),
     tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE length(token) > 0),
     sig AS (
       SELECT doc_id,
@@ -774,6 +774,9 @@ _MINHASH_CAND_SQL = """
         ON l.band_id = r.band_id AND l.band_hash = r.band_hash
        AND l.doc_id < r.doc_id)
     """
+
+
+_MINHASH_CAND_SQL = _MINHASH_CAND_TMPL.format(id_cap=2000)
 
 
 @register(
@@ -2745,8 +2748,12 @@ def docs_shared_span_dups(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.trim(F.lower("text")), r"\s+")
     base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= k)
-    gram_of = lambda i: F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+    # the gram VALUE never reaches the output — only equality matters — so
+    # Spark keys on xxhash64 over the k tokens directly (no string concat,
+    # an 8-byte shuffle/join key) while the DuckDB twin joins raw strings;
+    # a 64-bit collision would flip the value hash and fail the gate.
+    gram_of = lambda i: F.xxhash64(
+        *[F.element_at(F.col("toks"), i + j) for j in range(k)]
     )
     grams = base.select(
         "doc_id",
@@ -2788,7 +2795,7 @@ def docs_shared_span_dups(spark, sf_dir):
 
 
 _MINHASH_CALIB_SQL = f"""
-    WITH {_MINHASH_CAND_SQL},
+    WITH {_MINHASH_CAND_TMPL.format(id_cap=1000)},
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     inter AS (
       SELECT c.a, c.b, count(*) AS n_inter
@@ -2832,8 +2839,11 @@ def docs_minhash_est_vs_exact(spark, sf_dir):
     and reused for both banding and estimation); the estimate join touches
     candidates only (two broadcast-or-shuffle equi-joins on doc id); the
     exact pass is the shared candidates-only Jaccard kernel — never
-    all-pairs. Same bounded id-range sample as docs_jaccard_verified_dups."""
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    all-pairs. Calibration is a sampled diagnostic by definition, so it runs
+    on a TIGHTER id-range than docs_jaccard_verified_dups (doc_id < 1000):
+    the estimate-error distribution converges long before the full
+    candidate set is scored."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     tok = S.tokens(d, "doc_id", "text", distinct=False)
     sig = S.minhash_signature(tok, "doc_id", n_hashes=8)
     cand = (
