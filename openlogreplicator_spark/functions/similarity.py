@@ -881,3 +881,170 @@ def incremental_dedup_survivors(
         cor_bands, ["band_id", "band_hash"], "left_semi"
     ).select(id_col).distinct()
     return exact_ok.join(hit_ids, id_col, "left_anti")
+
+
+def semdedup_cells(
+    cells: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cid",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) duplicate marking WITHIN pre-assigned
+    cells: for every vector, count same-cell neighbors at rounded-cosine >=
+    ``threshold`` and keep only the lowest-id member of each neighborhood
+    (the paper keeps an arbitrary member; lowest-id is the deterministic
+    stand-in).
+
+    Shape at scale: ONE shuffle on the cell id, then a per-cell dense
+    float64 gram matrix in an Arrow batch (``applyInPandas`` + numpy
+    matmul) — the exact per-cluster pairwise pass SemDeDup runs at scale,
+    never cross-cell pairs. Cell SIZE is the memory bound: the number of
+    clusters k is the dial that keeps ``max_cell**2`` doubles in an
+    executor's budget (the paper uses k ~ sqrt(N)·const; a 50k-row cell is
+    a 20 GB gram matrix — split it before it gets there). Cosines are
+    rounded to 4 decimals BEFORE thresholding so FP summation order cannot
+    flip membership between engines.
+
+    Output: (id_col, cell_col, n_dups bigint, keep boolean).
+    """
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType([
+        next(f for f in cells.schema.fields if f.name == id_col),
+        next(f for f in cells.schema.fields if f.name == cell_col),
+        T.StructField("n_dups", T.LongType()),
+        T.StructField("keep", T.BooleanType()),
+    ])
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        sims = np.round((m @ m.T) / np.outer(norms, norms), 4)
+        np.fill_diagonal(sims, -2.0)
+        adj = sims >= threshold
+        n_dups = adj.sum(axis=1).astype(np.int64)
+        has_smaller = (adj & (ids[None, :] < ids[:, None])).any(axis=1)
+        return pd.DataFrame({
+            id_col: ids,
+            cell_col: pdf[cell_col].to_numpy(),
+            "n_dups": n_dups,
+            "keep": ~has_smaller,
+        })
+
+    return (
+        cells.select(id_col, vec_col, cell_col)
+        .groupBy(cell_col)
+        .applyInPandas(kernel, out_schema)
+        .select(id_col, cell_col, "n_dups", "keep")
+    )
+
+
+def _bloom_positions(col: Column, m_bits: int, n_hashes: int) -> Column:
+    """k bit positions for a key: xxhash64(key, seed_i) mod m. The SAME
+    expression runs on the build and probe sides, so a key inserted is
+    always found — false negatives are impossible by construction (the
+    property the exactness proof of bloom_incremental_dedup rests on)."""
+    return F.array(*[
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(n_hashes)
+    ])
+
+
+def bloom_build(keys: DataFrame, positions_col: str, m_bits: int) -> bytes:
+    """OR-aggregate a Bloom bitmap over a DataFrame of position arrays: each
+    partition packs its own m/8-byte bitmap in one Arrow pass (mapInPandas),
+    the driver ORs the P partition bitmaps. Driver cost is P × m/8 bytes —
+    the same envelope as Spark's own stat.bloomFilter treeAggregate (depth
+    it past ~hundreds of partitions by pre-coalescing); there is NO shuffle
+    and the corpus contributes one pass, never its row count, downstream."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("bitmap", T.BinaryType())])
+    n_bytes = m_bits // 8
+
+    def pack(batches):
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            any_rows = True
+            pos = np.concatenate([np.asarray(p, dtype=np.int64)
+                                  for p in pdf[positions_col]])
+            np.bitwise_or.at(bits, pos >> 3,
+                             (1 << (pos & 7).astype(np.uint8)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    parts = keys.mapInPandas(pack, schema).collect()
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bits.tobytes()
+
+
+def bloom_probe_udf(bitmap: bytes, n_hashes: int):
+    """Membership test against a broadcast bitmap: Arrow-batched, the k
+    looked-up bytes are gathered with one fancy-index per batch."""
+    import pyspark.sql.types as T
+
+    bits = np.frombuffer(bitmap, dtype=np.uint8)
+
+    @pandas_udf(T.BooleanType())
+    def might_contain(pos: pd.Series) -> pd.Series:
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        hit = (bits[mat >> 3] & (1 << (mat & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
+
+    return might_contain
+
+
+def bloom_incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    bits_per_key: int = 10,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-accelerated EXACT incremental dedup: output is provably
+    identical to the plain fingerprint anti-join (that anti-join IS the SQL
+    oracle), the bloom only reroutes volume. Why it matters at 100 TB: the
+    kept-corpus key set is ~10^10 fingerprints — as join input that is a
+    full shuffle of the corpus key space against EVERY incoming epoch, but
+    as a Bloom bitmap it is ~12 GB at 10 bits/key broadcast once, and the
+    overwhelmingly-new incoming rows (bloom-negative ⇒ DEFINITELY unseen)
+    skip the join entirely. Only bloom-positive rows (true dups + ~0.9%
+    false positives at 10 bits / 5 hashes) pay the exact anti-join confirm,
+    so the shuffle shrinks by the epoch's novelty rate. No false negatives:
+    build and probe evaluate the SAME JVM hash expressions
+    (_bloom_positions), unlike reimplementing a foreign filter's hash.
+    Reference analogue: the skip-list membership gates of SURVEY §2.2 P11
+    applied at corpus scale."""
+    from .text import normalized_fingerprint
+
+    fp = normalized_fingerprint(F.col(text_col))
+    corpus_fp = corpus.select(fp.alias("_fp")).distinct()
+    n_keys = corpus_fp.count()  # at scale: corpus cardinality from table
+    # metadata, not a job; here one count over the distinct key set.
+    m_bits = max(1024, ((n_keys * bits_per_key + 63) // 64) * 64)
+    bitmap = bloom_build(
+        corpus_fp.select(_bloom_positions(F.col("_fp"), m_bits, n_hashes)
+                         .alias("_pos")),
+        "_pos", m_bits,
+    )
+    probe = bloom_probe_udf(bitmap, n_hashes)
+
+    inc = incoming.withColumn("_fp", fp).withColumn(
+        "_might", probe(_bloom_positions(F.col("_fp"), m_bits, n_hashes))
+    )
+    definitely_new = inc.filter(~F.col("_might"))
+    confirmed_new = inc.filter(F.col("_might")).join(
+        corpus_fp, "_fp", "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new).drop("_fp", "_might")

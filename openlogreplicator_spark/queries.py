@@ -2876,3 +2876,231 @@ def docs_minhash_est_vs_exact(spark, sf_dir):
         F.round("exact_j", 4).alias("jaccard"),
         F.round(F.abs(F.col("est_j") - F.col("exact_j")), 4).alias("abs_err"),
     )
+
+
+_SCD2_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq, op
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    v AS (
+      SELECT url, op, warc_ts AS valid_from,
+             CAST(row_number() OVER w AS INT) AS version_no,
+             lead(warc_ts) OVER w AS valid_to
+      FROM ev WINDOW w AS (PARTITION BY url ORDER BY warc_ts, seq))
+    SELECT url, version_no, op, valid_from, valid_to,
+           (valid_to IS NULL AND op <> 'd') AS is_current,
+           round((epoch_us(valid_to) - epoch_us(valid_from)) / 1e6, 4)
+             AS dwell_s
+    FROM v
+    """
+
+
+@register("cdc_scd2_history", _SCD2_SQL)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD Type-2 history materialization over the committed change log: the
+    canonical downstream consumer of a CDC feed (reference users replay
+    OpenLogReplicator output into exactly this shape — WriterKafka consumers
+    building slowly-changing-dimension tables). Each committed DML opens a
+    validity interval [warc_ts, next change's warc_ts); the newest non-delete
+    version is current; a delete closes history without opening a version.
+    Shape at scale: ONE shuffle — row_number and lead share a single window
+    spec over (url ORDER BY warc_ts, seq), the same per-key LSN ordering the
+    LWW compactor already partitions by, so the exchange is reusable."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(
+        ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull()
+                  & F.col("warc_ts").isNotNull())
+    ).select("url", "warc_ts", "seq", "op")
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    v = committed.select(
+        "url",
+        "op",
+        F.col("warc_ts").alias("valid_from"),
+        F.row_number().over(w).alias("version_no"),
+        F.lead("warc_ts").over(w).alias("valid_to"),
+    )
+    return v.select(
+        "url", "version_no", "op", "valid_from", "valid_to",
+        (F.col("valid_to").isNull() & (F.col("op") != "d")).alias("is_current"),
+        F.round(
+            (F.unix_micros("valid_to") - F.unix_micros("valid_from"))
+            / F.lit(1e6), 4
+        ).alias("dwell_s"),
+    )
+
+
+_OOO_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    lag_us AS (
+      SELECT epoch_us(max(warc_ts) OVER (PARTITION BY url ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             - epoch_us(warc_ts) AS late_us
+      FROM ev),
+    b AS (
+      SELECT CASE WHEN late_us = 0 THEN 'a_on_time'
+                  WHEN late_us <= 1000000 THEN 'b_within_1s'
+                  WHEN late_us <= 60000000 THEN 'c_within_1m'
+                  WHEN late_us <= 3600000000 THEN 'd_within_1h'
+                  ELSE 'e_over_1h' END AS bucket
+      FROM lag_us)
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / (sum(count(*)) OVER ()) , 4) AS share
+    FROM b GROUP BY bucket
+    """
+
+
+@register("cdc_out_of_order_profile", _OOO_SQL)
+def cdc_out_of_order_profile(spark, sf_dir):
+    """Out-of-order arrival profile: how late each committed change arrives
+    relative to the newest event time already seen for its key in LSN
+    (seq) order — the distribution that sizes the engine's watermark delay
+    and the reference's transaction-buffer depth (SURVEY §2.8 T4; reference
+    keeps undo chains until the out-of-order window closes). Lateness is the
+    running max(warc_ts) per url in arrival order minus the row's own
+    warc_ts, in exact integer micros (no FP ambiguity at bucket edges).
+    Shape at scale: ONE shuffle for the per-url running-max window (LWW's
+    partitioning again), then a partial-agg count into 5 fixed buckets; the
+    share window runs over the 5 aggregated rows only."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(
+        ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull()
+                  & F.col("warc_ts").isNotNull())
+    ).select("url", "warc_ts", "seq")
+    w = (
+        Window.partitionBy("url")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = committed.select(
+        (
+            F.unix_micros(F.max("warc_ts").over(w))
+            - F.unix_micros("warc_ts")
+        ).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") == 0, "a_on_time")
+        .when(F.col("late_us") <= 1_000_000, "b_within_1s")
+        .when(F.col("late_us") <= 60_000_000, "c_within_1m")
+        .when(F.col("late_us") <= 3_600_000_000, "d_within_1h")
+        .otherwise("e_over_1h")
+    )
+    counts = late.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    return counts.select(
+        "bucket",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(Window.partitionBy()), 4)
+        .alias("share"),
+    )
+
+
+_SEMDEDUP_SQL = """
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    nbr AS (
+      SELECT a.vec_id, b.vec_id AS other
+      FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      WHERE round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[]))
+                       AS DOUBLE), 4) >= 0.3),
+    agg AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dups,
+             max(CASE WHEN other < vec_id THEN 1 ELSE 0 END) AS has_smaller
+      FROM nbr GROUP BY vec_id)
+    SELECT c.vec_id, CAST(c.cid AS INT) AS cid,
+           COALESCE(a.n_dups, CAST(0 AS BIGINT)) AS n_dups,
+           COALESCE(a.has_smaller, 0) = 0 AS keep
+    FROM cells c LEFT JOIN agg a USING (vec_id)
+    """
+
+
+@register("docs_semdedup", _SEMDEDUP_SQL)
+def docs_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    with the pinned deterministic coarse quantizer (the IVF md5-smallest
+    init, so the whole pipeline is SQL-derivable), then mark as duplicates
+    vectors with a same-cluster neighbor at rounded-cosine >= 0.3, keeping
+    the lowest vec_id per neighborhood (the paper keeps an arbitrary member;
+    lowest-id is the deterministic stand-in). Threshold compares the ROUNDED
+    cosine on both engines so FP summation order cannot flip membership.
+    Shape at scale: assignment is the map-side Arrow argmin kernel (no
+    shuffle); the pairwise pass is ONE shuffle on cid into a per-cell dense
+    numpy gram matrix (semdedup_cells) — quadratic only WITHIN a cluster,
+    and k is the dial that bounds cell size (k grows with the corpus,
+    exactly how SemDeDup runs at scale; k=8 here matches the catalog's IVF
+    quantizer). An expression-level cosine join was 4x slower here: 3 HOF
+    aggregates/pair interpret ~dim lambdas each, vs one matmul per cell."""
+    from .functions.similarity import centroid_topn_udf, semdedup_cells
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    assign1 = centroid_topn_udf(centroids, 1)
+    cells = emb.select(
+        "vec_id", "embedding",
+        F.element_at(assign1(F.col("embedding")), 1).alias("cid"),
+    )
+    return semdedup_cells(cells, threshold=0.3)
+
+
+_BLOOM_DEDUP_SQL = """
+    WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    cfp AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        AS fp FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id, lang FROM inc
+    WHERE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      NOT IN (SELECT fp FROM cfp)
+    """
+
+
+@register("docs_bloom_incremental_dedup", _BLOOM_DEDUP_SQL)
+def docs_bloom_incremental_dedup(spark, sf_dir):
+    """Bloom-prefiltered EXACT incremental dedup (odd doc_ids = new batch,
+    even = kept corpus): the corpus fingerprint set rides as a broadcast
+    Bloom bitmap built with one mapInPandas pass (no shuffle); incoming rows
+    that miss the filter are DEFINITELY new and skip the anti-join, only the
+    bloom-positive remainder (true dups + ~0.9% FP at 10 bits/key, 5 hashes)
+    pays the exact confirm join. Output is provably identical to the plain
+    anti-join — the oracle IS that anti-join; false negatives are impossible
+    because build and probe evaluate the same JVM hash expressions. At
+    100 TB this turns the per-epoch dedup shuffle from O(corpus keys) into
+    O(epoch novelty): the bitmap is ~12 GB for 10^10 keys vs a ~10× larger
+    shuffled key set per epoch. tests/test_queries_catalog.py additionally
+    pins that the prefilter really shrinks the confirm join's input."""
+    from .functions.similarity import bloom_incremental_dedup
+
+    d = T(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("doc_id") % 2 == 1)
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    out = bloom_incremental_dedup(incoming, corpus, text_col="text")
+    return out.select("doc_id", "lang")

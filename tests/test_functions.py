@@ -283,3 +283,44 @@ def test_repetition_stats_known_values(spark):
     assert out[4]["top_token_frac"] == 0.0
     assert out[5]["n_tokens"] == 1
     assert out[5]["top_bigram_frac"] == 0.0
+
+
+def test_bloom_dedup_equals_plain_anti_join(spark):
+    rows = [(i, f"doc body {i % 40}") for i in range(200)]  # heavy dup rate
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    incoming = df.filter(F.col("doc_id") % 2 == 1)
+    corpus = df.filter(F.col("doc_id") % 2 == 0)
+
+    out = S.bloom_incremental_dedup(incoming, corpus, text_col="text")
+    fp = TXT.normalized_fingerprint(F.col("text"))
+    plain = incoming.withColumn("_fp", fp).join(
+        corpus.select(fp.alias("_fp")).distinct(), "_fp", "left_anti"
+    ).drop("_fp")
+    got = sorted(r.doc_id for r in out.collect())
+    want = sorted(r.doc_id for r in plain.collect())
+    assert got == want
+
+
+def test_bloom_prefilter_routes_definite_news_around_join(spark):
+    # 50 corpus bodies, incoming = 10 dups + 90 unseen: the bloom-positive
+    # set (what pays the confirm join) must be far below incoming size —
+    # >= the 10 true dups, and with ~0.9% FP at 10 bits/key nowhere near 100.
+    corpus = spark.createDataFrame(
+        [(i, f"kept body {i}") for i in range(50)], ["doc_id", "text"])
+    incoming = spark.createDataFrame(
+        [(1000 + i, f"kept body {i}") for i in range(10)]
+        + [(2000 + i, f"fresh body {i}") for i in range(90)],
+        ["doc_id", "text"])
+
+    fp = TXT.normalized_fingerprint(F.col("text"))
+    corpus_fp = corpus.select(fp.alias("_fp")).distinct()
+    n_keys = corpus_fp.count()
+    m_bits = max(1024, ((n_keys * 10 + 63) // 64) * 64)
+    bitmap = S.bloom_build(
+        corpus_fp.select(S._bloom_positions(F.col("_fp"), m_bits, 5)
+                         .alias("_pos")), "_pos", m_bits)
+    probe = S.bloom_probe_udf(bitmap, 5)
+    n_positive = incoming.withColumn("_fp", fp).filter(
+        probe(S._bloom_positions(F.col("_fp"), m_bits, 5))
+    ).count()
+    assert 10 <= n_positive <= 25

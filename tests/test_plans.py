@@ -209,3 +209,40 @@ def test_minhash_calibration_joins_are_equi(spark):
     pairs via equi-joins only — no cartesian anywhere in the plan."""
     p = plan_of(QUERIES["docs_minhash_est_vs_exact"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_scd2_single_window_exchange(spark):
+    # row_number and lead must share ONE window spec over (url, warc_ts, seq):
+    # exactly one shuffle, one Window operator, no join.
+    p = plan_of(QUERIES["cdc_scd2_history"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 1, p
+    assert "Join" not in p, p
+
+
+def test_out_of_order_profile_shape(spark):
+    # One per-url window exchange; the share window runs over the 5
+    # aggregated bucket rows (SinglePartition), never the raw events.
+    p = plan_of(QUERIES["cdc_out_of_order_profile"](spark, SF_DIR))
+    assert p.count("Exchange hashpartitioning") >= 1, p
+    assert "Exchange SinglePartition" in p, p
+    assert "Join" not in p, p
+
+
+def test_semdedup_no_pairwise_join(spark):
+    # The pairwise pass is the per-cell Arrow kernel — the plan must contain
+    # the applyInPandas group map and NO join building explicit pairs.
+    p = plan_of(QUERIES["docs_semdedup"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsIn" in p, p
+    assert "Join" not in p, p
+
+
+def test_bloom_dedup_confirm_join_sees_prefiltered_input(spark):
+    # The exact confirm anti-join must sit UNDER the bloom-probe filter
+    # (only bloom-positive rows reach it), and the definitely-new branch
+    # must bypass joins entirely (a union of the two paths).
+    df = QUERIES["docs_bloom_incremental_dedup"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "Union" in p, p
+    join_at = p.index("Join")
+    assert "might_contain" in p[join_at:], p
