@@ -1030,12 +1030,18 @@ def bloom_incremental_dedup(
 
     fp = normalized_fingerprint(F.col(text_col))
     corpus_fp = corpus.select(fp.alias("_fp")).distinct()
-    n_keys = corpus_fp.count()  # at scale: corpus cardinality from table
-    # metadata, not a job; here one count over the distinct key set.
+    # Size the bitmap from the corpus ROW count (>= key count, so FPP only
+    # improves): an upper bound is enough, so no distinct-count shuffle —
+    # at scale this is table-metadata cardinality, not a job.
+    n_keys = max(1, corpus.count())
     m_bits = max(1024, ((n_keys * bits_per_key + 63) // 64) * 64)
+    # Build over RAW fingerprints: a Bloom insert is idempotent, so dup keys
+    # cost nothing and the build stays map-side — no distinct shuffle. Only
+    # the confirm anti-join keeps the distinct key set (that one bounds its
+    # shuffle to the corpus key space, and at 100 TB it is a materialized
+    # key table, not a recompute).
     bitmap = bloom_build(
-        corpus_fp.select(_bloom_positions(F.col("_fp"), m_bits, n_hashes)
-                         .alias("_pos")),
+        corpus.select(_bloom_positions(fp, m_bits, n_hashes).alias("_pos")),
         "_pos", m_bits,
     )
     probe = bloom_probe_udf(bitmap, n_hashes)
