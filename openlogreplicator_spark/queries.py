@@ -3104,3 +3104,66 @@ def docs_bloom_incremental_dedup(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 2 == 0)
     out = bloom_incremental_dedup(incoming, corpus, text_col="text")
     return out.select("doc_id", "lang")
+
+
+_SEQ_GAPS_SQL = f"""
+    WITH ev AS (
+      SELECT seq FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL),
+    nxt AS (SELECT seq, lead(seq) OVER (ORDER BY seq) AS nxt FROM ev)
+    SELECT seq + 1 AS gap_start, nxt - 1 AS gap_end,
+           nxt - seq - 1 AS missing
+    FROM nxt WHERE nxt > seq + 1
+    """
+
+
+@register("cdc_seq_gaps", _SEQ_GAPS_SQL)
+def cdc_seq_gaps(spark, sf_dir):
+    """Sequence-gap detection over the committed DML log: the contiguous
+    LSN ranges consumed by rollbacks/DDL/untracked objects — the continuity
+    monitor behind the reference's ordered archive drain (it sleeps and
+    retries on a sequence gap rather than skip ahead, SURVEY §2.1 S3;
+    Replicator.cpp:683-794). Spark's naive spelling is lead(seq) over a
+    GLOBAL order — the empty-partition-key window that drags the whole log
+    into one task. The scalable shape used here: a gap START is s+1 where
+    s+1 is absent (LEFT ANTI self equi-join), a gap END is t-1 where t-1 is
+    absent — both fully distributed over the log — and only the BOUNDARY
+    rows (~the rollback count, orders of magnitude below the log) pay a
+    row_number window to zip i-th start with i-th end (sorted starts and
+    ends of disjoint gaps interleave strictly, so rank pairing is exact)."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    s = dml_events(
+        ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull())
+    ).select("seq")
+    bounds = s.agg(
+        F.min("seq").alias("_lo"), F.max("seq").alias("_hi")
+    )
+    starts = (
+        s.select((F.col("seq") + 1).alias("gap_start"))
+        .join(s.withColumnRenamed("seq", "gap_start"), "gap_start", "left_anti")
+        .crossJoin(bounds)
+        .filter(F.col("gap_start") < F.col("_hi"))
+        .select("gap_start")
+    )
+    ends = (
+        s.select((F.col("seq") - 1).alias("gap_end"))
+        .join(s.withColumnRenamed("seq", "gap_end"), "gap_end", "left_anti")
+        .crossJoin(bounds)
+        .filter(F.col("gap_end") > F.col("_lo"))
+        .select("gap_end")
+    )
+    rn_s = starts.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("gap_start")))
+    rn_e = ends.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("gap_end")))
+    return (
+        rn_s.join(rn_e, "_rn")
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
+        )
+    )

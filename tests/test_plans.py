@@ -246,3 +246,11 @@ def test_bloom_dedup_confirm_join_sees_prefiltered_input(spark):
     assert "Union" in p, p
     join_at = p.index("Join")
     assert "might_contain" in p[join_at:], p
+
+
+def test_seq_gaps_boundaries_via_anti_joins(spark):
+    # Gap starts/ends come from two LEFT ANTI self equi-joins over the log
+    # (distributed); the only sort-based windows run over boundary rows.
+    p = plan_of(QUERIES["cdc_seq_gaps"](spark, SF_DIR))
+    assert p.count("LeftAnti") == 2, p
+    assert "CartesianProduct" not in p, p
