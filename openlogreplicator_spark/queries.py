@@ -3167,3 +3167,387 @@ def cdc_seq_gaps(spark, sf_dir):
             (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
         )
     )
+
+
+# =========================================================================
+# Round-3 late additions II: ANN quality measurement, skew/state profiling,
+# CCNet perplexity bucketing, per-source dedup-impact reporting
+# =========================================================================
+
+_RECALL_K = 10
+
+_RECALL_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+               FROM embeddings WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id
+      FROM q, embeddings
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        <= {_RECALL_K}),
+    b AS ({{lsh_tables}}),
+    qb AS (SELECT vec_id AS query_id, embedding AS qvec, table_id, bucket
+           FROM b WHERE vec_id < 32),
+    cand AS (
+      SELECT DISTINCT qb.query_id, qb.qvec, b.vec_id, b.embedding
+      FROM qb JOIN b ON qb.table_id = b.table_id AND qb.bucket = b.bucket
+      WHERE b.vec_id <> qb.query_id),
+    approx AS (
+      SELECT query_id, vec_id
+      FROM cand
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        <= {_RECALL_K}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {_RECALL_K}.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """
+
+
+@register("ann_recall_eval", _RECALL_SQL.format(lsh_tables=_lsh_tables_sql("embeddings")))
+def ann_recall_eval(spark, sf_dir):
+    """Recall@k of the LSH-bucketed ANN against the exact brute-force top-k
+    — 'measure, don't guess': the acceptance gate that must run whenever
+    the LSH spec (n_bits × n_tables) is re-dialed for a bigger corpus.
+    Per-query recall keeps the hash surface wide (a macro average could
+    mask a dead bucket). Shape at 100 TB: the exact side stays a broadcast
+    of the (small, fixed) evaluation query set — recall evaluation never
+    needs the full corpus as queries — and the approx side is the
+    production equi-join path itself; the hit join is top-k×queries-sized.
+    Reference analogue: the dump-diff harness measures the engine against
+    ground truth rather than trusting the implementation (SURVEY §5)."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.lsh_bucketed_topk(
+        emb, q, k=_RECALL_K,
+        n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM,
+    ).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_RECALL_K), 4)
+            .alias("recall"),
+        )
+    )
+
+
+_HOT_KEYS_SQL = """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes
+               FROM events GROUP BY user_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM events),
+    top AS (SELECT * FROM c ORDER BY n_changes DESC, user_id LIMIT 20)
+    SELECT user_id, n_changes,
+           round(n_changes / CAST(t AS DOUBLE), 6) AS share,
+           round(sum(n_changes) OVER (ORDER BY n_changes DESC, user_id
+                                      ROWS UNBOUNDED PRECEDING)
+                 / CAST(t AS DOUBLE), 6) AS cum_share
+    FROM top, tot
+    """
+
+
+@register("cdc_hot_keys", _HOT_KEYS_SQL)
+def cdc_hot_keys(spark, sf_dir):
+    """Hot-key skew profile: the top-20 most-changed keys with their share
+    and cumulative share of total change volume — the measurement that
+    decides whether the LWW/merge shuffles need salting (operators/lww.py's
+    salted path) before the skew becomes a straggler task. Shape at 100 TB:
+    per-key counts are ONE partial-agg shuffle, the top-20 cut is
+    TakeOrderedAndProject (never a global sort), the total rides a 1-row
+    broadcast cross join, and the cumulative window runs on the 20-row
+    result only — the single-partition window never sees the corpus."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n_changes"))
+    total = ev.agg(F.count("*").alias("_t"))
+    top = counts.orderBy(F.desc("n_changes"), "user_id").limit(20)
+    w = (
+        Window.orderBy(F.desc("n_changes"), "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_changes",
+            F.round(F.col("n_changes") / F.col("_t").cast("double"), 6)
+            .alias("share"),
+            F.round(
+                F.sum("n_changes").over(w) / F.col("_t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )
+
+
+_TXN_SIZE_SQL = """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           round(avg(n), 4) AS avg_versions,
+           round(quantile_cont(n, 0.5), 4) AS p50,
+           round(quantile_cont(n, 0.9), 4) AS p90,
+           round(quantile_cont(n, 0.99), 4) AS p99,
+           CAST(max(n) AS BIGINT) AS max_versions
+    FROM c
+    """
+
+
+@register("cdc_txn_size_profile", _TXN_SIZE_SQL)
+def cdc_txn_size_profile(spark, sf_dir):
+    """Per-key version-count distribution (exact interpolated percentiles +
+    max) — the state-sizing input for MoR compaction cadence and the
+    stateful store's per-key memory budget (a p99/max gap this wide means
+    a few keys dominate the delta log; see lake/merge.py dirty-bucket
+    compaction). Shape at 100 TB: per-key counts partial-aggregate into
+    one shuffle; the percentile pass runs over the (keys-sized, not
+    events-sized) count column, swapping to approx_percentile when even
+    keys don't fit — the oracle pins the exact form."""
+    ev = T(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.round(F.avg("n"), 4).alias("avg_versions"),
+        F.round(F.expr("percentile(n, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n, 0.99)"), 4).alias("p99"),
+        F.max("n").alias("max_versions"),
+    )
+
+
+_EMB_OUTLIERS_SQL = """
+    WITH comp AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     AS val,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY label, pos),
+    cent AS (SELECT label, list(c ORDER BY pos) AS centroid
+             FROM comp GROUP BY label),
+    scored AS (
+      SELECT vec_id, e.label,
+             list_cosine_similarity(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)), centroid)
+               AS cosc
+      FROM embeddings e JOIN cent USING (label))
+    SELECT vec_id, label, round(CAST(cosc AS DOUBLE), 4) AS cos_to_centroid
+    FROM scored
+    QUALIFY row_number() OVER (ORDER BY cosc ASC, vec_id) <= 20
+    """
+
+
+@register("emb_outliers", _EMB_OUTLIERS_SQL)
+def emb_outliers(spark, sf_dir):
+    """Embedding outlier detection: the 20 vectors farthest (lowest cosine)
+    from their own label's centroid — the quality filter that catches
+    mislabeled / degenerate embeddings before they poison ANN buckets or
+    SemDeDup cells. Centroid components are rounded to 6 dp on BOTH sides
+    before the cosine so cross-engine FP summation order in the avg cannot
+    flip the top-k threshold. Shape at 100 TB: centroids partial-aggregate
+    per (label, pos) — labels×dim rows, tiny — re-assemble via
+    array_sort(collect_list), broadcast-join back to the corpus (map-side
+    cosine), and the global bottom-20 is TakeOrderedAndProject."""
+    emb = T(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label", (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", S.cosine(v, F.col("centroid")).alias("cosc"))
+    )
+    return (
+        scored.orderBy("cosc", "vec_id").limit(20)
+        .select("vec_id", "label",
+                F.round(F.col("cosc"), 4).alias("cos_to_centroid"))
+    )
+
+
+_CCNET_BUCKET_SQL = """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, lang, token FROM tok WHERE length(token) > 0),
+    tf AS (SELECT token, count(*) AS tf FROM t GROUP BY token),
+    tot AS (SELECT sum(tf) AS n FROM tf),
+    ce AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             round(avg(-ln(CAST(tf.tf AS DOUBLE) / CAST(tot.n AS DOUBLE))), 4)
+               AS ce
+      FROM t JOIN tf USING (token) CROSS JOIN tot
+      GROUP BY doc_id),
+    bucketed AS (
+      SELECT lang, ce,
+             CAST(ntile(3) OVER (PARTITION BY lang ORDER BY ce, doc_id)
+               AS INTEGER) AS bucket
+      FROM ce)
+    SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ce), 4) AS avg_ce
+    FROM bucketed GROUP BY lang, bucket
+    """
+
+
+@register("docs_ccnet_bucket", _CCNET_BUCKET_SQL)
+def docs_ccnet_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: per-language head/middle/tail
+    tertiles of the unigram-LM cross-entropy (CCNet cuts the corpus into
+    thirds by KenLM perplexity and trains mostly on the head; the unigram
+    LM is its SQL-checkable core — see docs_unigram_logprob). The
+    cross-entropy is rounded to 4 dp BEFORE the ntile order (doc_id breaks
+    the remaining ties) so cross-engine FP summation order cannot migrate
+    a boundary doc between buckets. Shape at 100 TB: scoring is the
+    unigram pipeline's partial-agg shuffles; the ntile windows partition
+    by lang — per-language skew is real (one lang can dominate a crawl),
+    so at production scale the ntile swaps to a two-pass quantile cut
+    (percentile_approx thresholds + a map-side bucket column), which this
+    catalog entry's oracle validates the exact form of."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    ce = (
+        tok.join(tf, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.round(
+                F.avg(-F.log(F.col("tf").cast("double") / F.col("n").cast("double"))),
+                4,
+            ).alias("ce"),
+        )
+    )
+    bucketed = ce.select(
+        "lang", "ce",
+        F.ntile(3).over(Window.partitionBy("lang").orderBy("ce", "doc_id"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("ce"), 4).alias("avg_ce")
+    )
+
+
+_DEDUP_RATE_SQL = """
+    WITH per AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             count(*) AS n
+      FROM documents GROUP BY source, fp)
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS dup_rate
+    FROM per GROUP BY source
+    """
+
+
+@register("docs_dedup_rate_by_source", _DEDUP_RATE_SQL)
+def docs_dedup_rate_by_source(spark, sf_dir):
+    """Dedup-impact report per source: document count, distinct normalized
+    fingerprints, and the duplicate rate — the per-crawl health metric a
+    curation pipeline publishes after every ingest (which sources are
+    recycling content). Shape at 100 TB: distinct-per-group is the
+    two-phase spelling — partial-agg on (source, fp), then partial-agg on
+    source — never a countDistinct (no per-group hash sets at the
+    aggregator) and never a global distinct."""
+    d = T(spark, sf_dir, "documents")
+    per = (
+        d.select("source", TXT.normalized_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count("*").alias("n"))
+    )
+    return per.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_unique"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("n").cast("double"), 4)
+        .alias("dup_rate"),
+    )
+
+
+_TRAIN_SPLIT_SQL = """
+    WITH assigned AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 95 THEN 'valid'
+               ELSE 'test'
+             END AS split
+      FROM documents),
+    tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_split
+            FROM assigned GROUP BY split)
+    SELECT a.split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / CAST(any_value(n_split) AS DOUBLE), 4)
+             AS lang_share
+    FROM assigned a JOIN tot ON a.split = tot.split
+    GROUP BY a.split, lang
+    """
+
+
+@register("docs_train_split", _TRAIN_SPLIT_SQL)
+def docs_train_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/valid/test split by content-independent
+    key hash (md5 of doc_id — never random(): the split must be stable
+    across re-runs, re-shards, and engines), reported as per-(split, lang)
+    counts and language shares — the drift check that catches a split
+    accidentally correlated with language or source. Shape at 100 TB: the
+    split is a map-side column (zero shuffle to assign), the report is two
+    partial-agg passes; the split-total join is splits-sized (3 rows,
+    broadcast)."""
+    d = T(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = d.select(
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    tot = assigned.groupBy("split").agg(F.count("*").alias("n_split"))
+    return (
+        assigned.join(F.broadcast(tot), "split")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.count("*") / F.any_value(F.col("n_split")).cast("double"), 4
+            ).alias("lang_share"),
+        )
+    )

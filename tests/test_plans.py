@@ -254,3 +254,40 @@ def test_seq_gaps_boundaries_via_anti_joins(spark):
     p = plan_of(QUERIES["cdc_seq_gaps"](spark, SF_DIR))
     assert p.count("LeftAnti") == 2, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hot_keys_topk_is_distributed(spark):
+    """cdc_hot_keys: the top-20 cut must be TakeOrderedAndProject (never a
+    global sort of the per-key counts) and the corpus total must ride a
+    broadcast — the single-partition cumulative window sees only 20 rows."""
+    p = plan_of(QUERIES["cdc_hot_keys"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_emb_outliers_centroids_broadcast_and_topk(spark):
+    """emb_outliers: centroid arrays (labels-sized) broadcast back to the
+    corpus — the cosine is map-side — and the global bottom-20 is
+    TakeOrderedAndProject, never a full sort of the scored corpus."""
+    p = plan_of(QUERIES["emb_outliers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_recall_eval_approx_side_is_equi_join(spark):
+    """ann_recall_eval: the production (approx) side must stay the bucketed
+    equi-join — no corpus-vs-corpus nested-loop anywhere; the only
+    nested-loop allowed is the exact baseline's broadcast of the fixed
+    32-query evaluation set."""
+    p = plan_of(QUERIES["ann_recall_eval"](spark, SF_DIR))
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_dedup_rate_is_two_phase_distinct(spark):
+    """docs_dedup_rate_by_source: distinct-per-group spelled as two stacked
+    hash aggregations (partial-agg friendly) — no expand/countDistinct."""
+    p = plan_of(QUERIES["docs_dedup_rate_by_source"](spark, SF_DIR))
+    assert "Expand" not in p, p
+    n_aggs = p.count("HashAggregate")
+    assert n_aggs >= 4, p  # two phases x (partial + final)
