@@ -76,3 +76,42 @@ def sample_case_sql(
         f"WHEN '{s}' THEN '{rate_threshold(r)}'" for s, r in sorted(rates.items())
     )
     return f"CASE {strata_col} {whens} ELSE '{rate_threshold(default_rate)}' END"
+
+
+def quantile_buckets(
+    df: DataFrame,
+    part_col: str,
+    val_col: str,
+    n_buckets: int = 3,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale path for per-group quantile bucketing (the CCNet head/middle/
+    tail cut — see queries.docs_ccnet_bucket for the exact-ntile form the
+    oracle validates): ntile needs a SORT of every group inside one window
+    exchange, and web-crawl language groups are exactly the skewed case
+    where one group swamps a task. This two-pass spelling never sorts:
+
+    pass 1 — per-group `percentile_approx` over the (n_buckets-1) interior
+    cut points; the result is groups-sized (one row per group, tiny);
+    pass 2 — broadcast the thresholds back and assign the bucket as a
+    map-side comparison column (zero shuffle to assign).
+
+    Boundary semantics differ from ntile only within the approximation
+    error at the cut points (ntile also balances bucket SIZES exactly,
+    while quantile cuts balance them up to value ties); both converge on
+    continuous-valued scores. Returns ``df`` plus a ``bucket`` column in
+    [1, n_buckets].
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.groupBy(part_col).agg(
+        F.percentile_approx(
+            val_col, F.array(*[F.lit(x) for x in fracs]), accuracy
+        ).alias("_cuts")
+    )
+    joined = df.join(F.broadcast(cuts), part_col)
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + F.when(
+            F.col(val_col) > F.element_at("_cuts", i + 1), 1
+        ).otherwise(0)
+    return joined.withColumn("bucket", bucket.cast("int")).drop("_cuts")

@@ -3427,9 +3427,12 @@ def docs_ccnet_bucket(spark, sf_dir):
     a boundary doc between buckets. Shape at 100 TB: scoring is the
     unigram pipeline's partial-agg shuffles; the ntile windows partition
     by lang — per-language skew is real (one lang can dominate a crawl),
-    so at production scale the ntile swaps to a two-pass quantile cut
-    (percentile_approx thresholds + a map-side bucket column), which this
-    catalog entry's oracle validates the exact form of."""
+    so at production scale the ntile swaps to the two-pass quantile cut
+    implemented in functions/sampling.quantile_buckets (per-lang
+    percentile_approx thresholds broadcast back, bucket assigned as a
+    map-side comparison — no window, no sort; plan-pinned in
+    tests/test_sampling_decontam.py), which this catalog entry's oracle
+    validates the exact form of."""
     d = T(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", "lang",

@@ -130,3 +130,37 @@ def test_contamination_uses_broadcast_join(spark):
     bench = spark.createDataFrame([(2, "a b c d e")], ["doc_id", "text"])
     plan = contamination_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_quantile_buckets_matches_ntile_and_never_sorts(spark):
+    """The two-pass quantile cut (scale path for CCNet bucketing) must agree
+    with exact ntile on continuous distinct values, assign buckets
+    monotonically in the score, and plan WITHOUT any window/sort — the
+    whole point is removing the per-group sort exchange."""
+    from pyspark.sql import Window
+
+    from openlogreplicator_spark.functions.sampling import quantile_buckets
+
+    rows = [(g, float(v)) for g in ("en", "de") for v in range(1, 91)]
+    df = spark.createDataFrame(rows, "lang string, ce double")
+    got = quantile_buckets(df, "lang", "ce", n_buckets=3)
+
+    exact = df.withColumn(
+        "bucket",
+        F.ntile(3).over(Window.partitionBy("lang").orderBy("ce")),
+    )
+    g = {(r["lang"], r["bucket"]): 1 for r in got.collect()}
+    got_counts = (
+        got.groupBy("lang", "bucket").count().orderBy("lang", "bucket").collect()
+    )
+    exact_counts = (
+        exact.groupBy("lang", "bucket").count().orderBy("lang", "bucket").collect()
+    )
+    assert [tuple(r) for r in got_counts] == [tuple(r) for r in exact_counts]
+
+    pdf = got.toPandas().sort_values(["lang", "ce"])
+    for _, grp in pdf.groupby("lang"):
+        assert grp["bucket"].is_monotonic_increasing
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "ntile(" not in plan and "Sort" not in plan, plan
