@@ -30,17 +30,27 @@ from pyspark.sql.types import ArrayType, IntegerType
 
 
 def tokens(
-    df: DataFrame, id_col: str, text_col: str, distinct: bool = True
+    df: DataFrame, id_col: str | None, text_col: str,
+    distinct: bool = True, extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, token) pairs, whitespace tokenization on lower(text).
+    """(id, token) pairs, whitespace tokenization on lower(text) — THE
+    tokenizer for every catalog operator (dedup, similarity, profiling): a
+    normalization change here must move them all together, so no call site
+    may inline its own explode/split/filter copy.
 
     ``distinct=True`` (set semantics — required by Jaccard and SimHash's
     per-distinct-token votes) costs one shuffle on (id, token). Pass
     ``distinct=False`` for consumers whose aggregate is duplicate-insensitive
     (MinHash: min() of a multiset equals min() of its set) — the explode then
-    feeds partial aggregation directly and no (id, token) shuffle happens."""
+    feeds partial aggregation directly and no (id, token) shuffle happens.
+    ``id_col=None`` drops the id (corpus-wide vocabulary consumers);
+    ``extra_cols`` carries additional grouping columns (e.g. lang) through
+    the explode."""
+    cols = ([F.col(id_col)] if id_col is not None else []) + [
+        F.col(c) for c in extra_cols
+    ]
     tok = df.select(
-        F.col(id_col),
+        *cols,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     ).filter(F.length("token") > 0)
     return tok.distinct() if distinct else tok
@@ -435,10 +445,13 @@ def dup_cluster_survivors(
     members = docs.select(
         F.col(id_col), q.cast("double").alias("_q")
     ).join(components.withColumnRenamed("id", id_col), id_col)
-    best = F.struct(F.col("_q").alias("q"), (-F.col(id_col)).alias("negid"))
+    # min_by over (-q, id): highest quality, ties to SMALLEST id — spelled
+    # without negating the id so string/url keys work too (negating a string
+    # id yields NULL with ANSI off and errors with ANSI on)
+    worst_first = F.struct((-F.col("_q")).alias("negq"), F.col(id_col).alias("id"))
     return members.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.max_by(F.col(id_col), best).alias("survivor_doc_id"),
+        F.min_by(F.col(id_col), worst_first).alias("survivor_doc_id"),
         F.max("_q").alias("survivor_quality"),
     )
 

@@ -397,7 +397,11 @@ class LakeTable:
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
                 rel = os.path.join("_snapshots", "manifests", fn)
-                if fn.endswith(".json") and rel not in retained_manifests:
+                # .json.tmp: a crash between _write_manifest's tmp write and
+                # its os.replace leaves an orphan no snapshot can reference
+                if fn.endswith(".json.tmp") or (
+                    fn.endswith(".json") and rel not in retained_manifests
+                ):
                     os.remove(os.path.join(mdir, fn))
         data_root = os.path.join(self.path, "data")
         for root, _dirs, files in os.walk(data_root):

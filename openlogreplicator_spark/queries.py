@@ -732,10 +732,7 @@ def docs_top_tokens(spark, sf_dir):
     the shuffle) → TakeOrderedAndProject; ties break on the token so the
     top-100 cut is deterministic."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
-    ).filter(F.length("token") > 0)
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
     return (
         tok.groupBy("token")
         .agg(
@@ -1832,11 +1829,7 @@ def docs_tfidf_by_lang(spark, sf_dir):
     AQE), then a per-lang top-k window over lang-count rows (vocab × langs,
     tiny next to the corpus)."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "lang",
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
-    ).filter(F.length("token") > 0)
+    tok = S.tokens(d, "doc_id", "text", distinct=False, extra_cols=("lang",))
     tf = tok.groupBy("lang", "token").agg(F.count("*").alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()
@@ -2176,10 +2169,7 @@ def docs_unigram_logprob(spark, sf_dir):
     is vocab-vs-corpus (AQE broadcasts the tf side when it fits), then a
     per-doc partial-agg avg. Nothing touches a per-doc Python loop."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
-    ).filter(F.length("token") > 0)
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
     tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
     tot = tf.agg(F.sum("tf").alias("n"))
     scored = tok.join(tf, "token").crossJoin(F.broadcast(tot)).select(
@@ -2223,9 +2213,7 @@ def docs_zipf_fit(spark, sf_dir):
     aggregates (single reduce). Rank ties break on token so both engines
     rank identically."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
-    ).filter(F.length("token") > 0)
+    tok = S.tokens(d, None, "text", distinct=False)
     tf = tok.groupBy("token").agg(F.count("*").alias("freq"))
     head = tf.orderBy(F.desc("freq"), "token").limit(100)
     ranked = head.select(
@@ -2322,9 +2310,13 @@ def docs_bigram_pmi(spark, sf_dir):
     global-window sort."""
     d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.trim(F.lower("text")), r"\s+")
-    base = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    # unigram counts come from ALL non-empty docs (the len>=2 guard applies
+    # only to the bigram build) — the oracle's `uni` CTE draws from `base`
+    # unfiltered, and a 1-token doc must still count toward p(token)
+    all_toks = d.select(toks.alias("toks"))
+    base = all_toks.filter(F.size("toks") >= 2)
     un = (
-        base.select(F.explode("toks").alias("token"))
+        all_toks.select(F.explode("toks").alias("token"))
         .filter(F.length("token") > 0)
         .groupBy("token")
         .agg(F.count("*").alias("c"))
@@ -3135,9 +3127,12 @@ def cdc_seq_gaps(spark, sf_dir):
     from .operators.decode import EVENTS_DDL, dml_events
 
     ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    # distinct: duplicate seq values (possible in a merged multi-source log)
+    # would emit duplicated boundary rows and mispair the rank zip below —
+    # gap detection is a set property of the seq values
     s = dml_events(
         ev.filter(F.col("op").isNotNull() & F.col("url").isNotNull())
-    ).select("seq")
+    ).select("seq").distinct()
     bounds = s.agg(
         F.min("seq").alias("_lo"), F.max("seq").alias("_hi")
     )
@@ -3434,10 +3429,7 @@ def docs_ccnet_bucket(spark, sf_dir):
     tests/test_sampling_decontam.py), which this catalog entry's oracle
     validates the exact form of."""
     d = T(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id", "lang",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
-    ).filter(F.length("token") > 0)
+    tok = S.tokens(d, "doc_id", "text", distinct=False, extra_cols=("lang",))
     tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
     tot = tf.agg(F.sum("tf").alias("n"))
     ce = (

@@ -166,6 +166,16 @@ class NetworkConfirmSink:
         )
 
         def _send_partition(rows) -> None:
+            # partition id rides in every header: a Spark task RETRY re-streams
+            # the same partition on a fresh connection, and the consumer must
+            # be able to collapse the two deliveries (commit-on-PARTITION_END,
+            # last complete delivery of (epoch, part) wins) — without the id,
+            # retried frames are indistinguishable from another partition's
+            # and the epoch double-counts, breaking exactly-once
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            part = int(ctx.partitionId()) if ctx is not None else 0
             chan = open_transport(host, port, timeout, framing)
             try:
                 seq = 0
@@ -176,13 +186,15 @@ class NetworkConfirmSink:
                     if isinstance(m, str):
                         m = m.encode()
                     head = json.dumps(
-                        {"code": "REDO", "epoch": epoch_id, "seq": seq}
+                        {"code": "REDO", "epoch": epoch_id,
+                         "part": part, "seq": seq}
                     ).encode()
                     chan.send(head)
                     chan.send(bytes(m))
                     seq += 1
                 chan.send(json.dumps(
-                    {"code": "PARTITION_END", "epoch": epoch_id, "n": seq}
+                    {"code": "PARTITION_END", "epoch": epoch_id,
+                     "part": part, "n": seq}
                 ).encode())
             finally:
                 chan.close()

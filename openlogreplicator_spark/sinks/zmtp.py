@@ -80,15 +80,27 @@ def encode_ready(socket_type: bytes = b"PAIR", **metadata: bytes) -> bytes:
 
 
 def parse_command(body: bytes) -> tuple[str, dict[str, bytes]]:
+    """Raises ZmtpError (never IndexError/struct.error) on truncated or
+    malformed command bodies — callers catch ZmtpError only, and a
+    misbehaving peer must not kill the executor task with a raw parse
+    traceback."""
+    if not body:
+        raise ZmtpError("empty command body")
     n = body[0]
+    if 1 + n > len(body):
+        raise ZmtpError("truncated command name")
     name = body[1:1 + n].decode("ascii", "replace")
     meta: dict[str, bytes] = {}
     i = 1 + n
     while i < len(body):
         k_len = body[i]
+        if i + 1 + k_len + 4 > len(body):
+            raise ZmtpError(f"truncated metadata in command {name!r}")
         key = body[i + 1:i + 1 + k_len].decode("ascii", "replace")
         i += 1 + k_len
         (v_len,) = struct.unpack(">I", body[i:i + 4])
+        if i + 4 + v_len > len(body):
+            raise ZmtpError(f"truncated metadata value in command {name!r}")
         meta[key] = body[i + 4:i + 4 + v_len]
         i += 4 + v_len
     return name, meta

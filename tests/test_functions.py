@@ -324,3 +324,20 @@ def test_bloom_prefilter_routes_definite_news_around_join(spark):
         probe(S._bloom_positions(F.col("_fp"), m_bits, 5))
     ).count()
     assert 10 <= n_positive <= 25
+
+
+def test_dup_cluster_survivors_string_ids(spark):
+    """The tie-break must work for NON-numeric ids too (url-keyed dedup):
+    negating a string id yields NULL (ANSI off) or errors (ANSI on), so the
+    pick is spelled min_by over (-quality, id)."""
+    docs = spark.createDataFrame(
+        [("b.com", 1.0), ("a.com", 1.0), ("z.com", 0.5)], "url string, q double"
+    )
+    comps = spark.createDataFrame(
+        [("b.com", 1), ("a.com", 1), ("z.com", 1)], "id string, component int"
+    )
+    out = S.dup_cluster_survivors(docs, comps, "url", F.col("q")).collect()
+    assert len(out) == 1
+    # quality tie at 1.0 -> lexicographically smallest id, deterministically
+    assert out[0]["survivor_doc_id"] == "a.com"
+    assert out[0]["n_members"] == 3

@@ -225,3 +225,15 @@ def test_orphans_from_crashed_commit_are_invisible_and_gcable(
     assert stats["data_files_removed"] >= len(orphans)
     assert not any(os.path.exists(f) for f in orphans)
     assert p.target_state().count() == state_rows
+
+
+def test_expire_snapshots_gcs_orphan_tmp_manifests(spark, replayed):
+    """A crash between _write_manifest's tmp write and its os.replace leaves
+    a .json.tmp no snapshot references; expire_snapshots must remove it."""
+    t = LakeTable.load(spark, replayed.table_path)
+    mdir = os.path.join(t.path, "_snapshots", "manifests")
+    orphan = os.path.join(mdir, "m99999999-deadbeef.json.tmp")
+    with open(orphan, "w") as f:
+        f.write("{}")
+    t.expire_snapshots(keep_last=2)
+    assert not os.path.exists(orphan)
