@@ -3546,3 +3546,79 @@ def docs_train_split(spark, sf_dir):
             ).alias("lang_share"),
         )
     )
+
+
+_EMB_DIM_STATS_SQL = """
+    WITH e AS (
+      SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings)
+    SELECT pos,
+           round(avg(val), 6) AS mean,
+           round(stddev_samp(val), 6) AS std,
+           round(min(val), 6) AS min_val,
+           round(max(val), 6) AS max_val,
+           CAST(count(*) FILTER (WHERE val = 0.0) AS BIGINT) AS n_zero
+    FROM e GROUP BY pos
+    """
+
+
+@register("emb_dim_stats", _EMB_DIM_STATS_SQL)
+def emb_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health stats (mean/std/min/max/zero count) —
+    the check that catches dead or saturated dimensions before they waste
+    ANN bucket entropy (a zero-variance dim contributes nothing to any
+    sign-projection or PQ codebook). Shape at 100 TB: posexplode →
+    partial-agg on pos (dim-sized key space, perfectly balanced); output is
+    dim rows regardless of corpus size."""
+    emb = T(spark, sf_dir, "embeddings")
+    v = (
+        emb.select(F.posexplode("embedding").alias("pos0", "val"))
+        .select((F.col("pos0") + 1).cast("long").alias("pos"),
+                F.col("val").cast("double").alias("val"))
+    )
+    return v.groupBy("pos").agg(
+        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.stddev_samp("val"), 6).alias("std"),
+        F.round(F.min("val"), 6).alias("min_val"),
+        F.round(F.max("val"), 6).alias("max_val"),
+        F.sum(F.when(F.col("val") == 0.0, 1).otherwise(0))
+        .cast("long").alias("n_zero"),
+    )
+
+
+_LEN_HIST_SQL = """
+    SELECT lang,
+           CAST(CASE WHEN n_chars <= 0 THEN 0
+                     ELSE floor(ln(n_chars) / ln(2)) END AS BIGINT)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, log2_bucket
+    """
+
+
+@register("docs_length_histogram", _LEN_HIST_SQL)
+def docs_length_histogram(spark, sf_dir):
+    """Per-language log2-bucketed document-length histogram — the first
+    profiling pass over any new crawl (length filters, truncation budgets
+    and packing chunk sizes are all read off this shape). log2 buckets keep
+    the output bounded (~60 rows per lang at any corpus size) and the
+    whole query is a map-side bucket column + one partial-agg shuffle.
+    floor(ln/ln 2) rather than a log2 builtin so Spark and DuckDB evaluate
+    the identical IEEE expression at bucket boundaries."""
+    d = T(spark, sf_dir, "documents")
+    bucket = F.when(F.col("n_chars") <= 0, F.lit(0)).otherwise(
+        F.floor(F.log(F.col("n_chars").cast("double")) / F.log(F.lit(2.0)))
+    )
+    return (
+        d.select("lang", bucket.cast("long").alias("log2_bucket"), "n_chars")
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
