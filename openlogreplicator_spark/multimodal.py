@@ -1,11 +1,17 @@
 """Multimodal column handling: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries ship in
-this container): each stage tries the real library first and otherwise uses
-a deterministic fake that parses this module's own FAKE container header.
+Decode is REAL for uncompressed public container formats — binary PPM (P6)
+and 24-bit BMP images, 16-bit PCM WAV audio — via the pure-numpy codecs in
+``media_codecs`` (this container ships numpy; no media library needed), and
+the extracted embedding for those is content-real (grid grayscale means /
+windowed RMS energy), so near-duplicate media actually cluster in the ANN
+operators. COMPRESSED formats (JPEG/PNG/MP3/...) stay library-gated in
+``_decode_real`` (real-library-first, NotImplementedError fallback), and a
+deterministic FAKE container exercises the video frame-sampling path.
 Everything Spark-side — schema contract, partitioning, UDF signatures, batch
-shapes, feature output feeding the ANN operators — is real and tested.
+shapes, feature output feeding the ANN operators — is identical across the
+three paths and tested.
 
 Schema contract for a media table:
 
@@ -76,6 +82,33 @@ def _deterministic_embedding(body: bytes) -> np.ndarray:
     return v / n if n else v
 
 
+def _decode_uncompressed(payload: bytes) -> dict | None:
+    """Pure-numpy decode of the uncompressed public formats (PPM/BMP/WAV,
+    media_codecs) → header dict + a CONTENT-REAL embedding; None when the
+    payload is none of them."""
+    from . import media_codecs as MC
+
+    img = MC.decode_ppm(payload)
+    if img is None:
+        img = MC.decode_bmp(payload)
+    if img is not None:
+        h, w = img.shape[:2]
+        return {
+            "width": int(w), "height": int(h), "n_frames": 1,
+            "sample_rate": 0,
+            "embedding": MC.image_grid_embedding(img, grid=4),
+        }
+    wav = MC.decode_wav(payload)
+    if wav is not None:
+        samples, rate = wav
+        return {
+            "width": 0, "height": 0, "n_frames": int(samples.shape[0]),
+            "sample_rate": int(rate),
+            "embedding": MC.audio_energy_embedding(samples, n_bins=EMBED_DIM),
+        }
+    return None
+
+
 def _decode_real(payload: bytes, kind: str):  # pragma: no cover - no libs here
     if kind == "image":
         try:
@@ -84,8 +117,8 @@ def _decode_real(payload: bytes, kind: str):  # pragma: no cover - no libs here
             from PIL import Image  # noqa
         except ImportError as e:
             raise NotImplementedError(
-                "real image decode requires Pillow (not in this container); "
-                "the FAKE-container path exercises the full Spark plumbing"
+                "compressed image decode requires Pillow (not in this "
+                "container); PPM/BMP decode without it via media_codecs"
             ) from e
         img = Image.open(io.BytesIO(payload))
         return {"width": img.width, "height": img.height}
@@ -107,12 +140,17 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 b = bytes(payload) if payload is not None else b""
                 hdr = _parse_fake_header(b)
                 if hdr is None:
+                    hdr = _decode_uncompressed(b)  # real numpy decode path
+                if hdr is None:
                     try:
                         hdr = {**_decode_real(b, kind), "n_frames": 1,
                                "sample_rate": 0, "body": b}
                     except NotImplementedError:
                         hdr = {"width": 0, "height": 0, "n_frames": 0,
                                "sample_rate": 0, "body": b}
+                emb = hdr.get("embedding")
+                if emb is None:
+                    emb = _deterministic_embedding(hdr.get("body", b))
                 rows.append(
                     {
                         "media_id": mid,
@@ -123,7 +161,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         "sample_rate": hdr.get("sample_rate", 0),
                         "n_bytes": len(b),
                         "content_sha": hashlib.sha1(b).hexdigest(),
-                        "embedding": _deterministic_embedding(hdr.get("body", b)),
+                        "embedding": emb,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -173,3 +173,83 @@ def test_suppress_stale_carries_before_images(spark, events_dir, events_pdf, tmp
             assert dict(r["before"]) == want
             matched += 1
     assert matched > 0  # update/delete before-images actually flowed through
+
+
+# ---------------------------------------------------------- real codecs
+
+
+def _gradient_img(h, w):
+    import numpy as np
+
+    y = np.arange(h, dtype=np.uint8)[:, None]
+    x = np.arange(w, dtype=np.uint8)[None, :]
+    return np.stack(
+        [y + 0 * x, x + 0 * y, (y + x) % 256], axis=2
+    ).astype("uint8")
+
+
+def test_ppm_bmp_roundtrip_and_resize():
+    import numpy as np
+
+    from openlogreplicator_spark import media_codecs as MC
+
+    img = _gradient_img(13, 17)
+    assert np.array_equal(MC.decode_ppm(MC.encode_ppm(img)), img)
+    assert np.array_equal(MC.decode_bmp(MC.encode_bmp(img)), img)
+    # PPM comments and multi-whitespace headers parse
+    with_comment = b"P6\n# a comment\n17 13\n255\n" + img.tobytes()
+    assert np.array_equal(MC.decode_ppm(with_comment), img)
+    # non-matching payloads refuse cleanly
+    assert MC.decode_ppm(b"JUNK") is None
+    assert MC.decode_bmp(b"JUNK") is None
+    assert MC.decode_wav(b"JUNK") is None
+    small = MC.resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    assert np.array_equal(MC.resize_nearest(img, 13, 17), img)  # identity
+
+
+def test_wav_roundtrip_and_energy_embedding():
+    import numpy as np
+
+    from openlogreplicator_spark import media_codecs as MC
+
+    t = np.arange(8000)
+    tone = (np.sin(2 * np.pi * 440 * t / 8000) * 20000).astype(np.int16)
+    quiet = np.concatenate([tone[:4000], np.zeros(4000, dtype=np.int16)])
+    decoded = MC.decode_wav(MC.encode_wav(quiet, 8000))
+    assert decoded is not None
+    samples, rate = decoded
+    assert rate == 8000 and samples.shape == (8000, 1)
+    emb = MC.audio_energy_embedding(samples, n_bins=16)
+    # energy concentrated in the first half: loud bins >> silent bins
+    assert emb[:8].min() > 10 * max(emb[8:].max(), 1e-9)
+
+
+def test_extract_features_real_decode_via_spark(spark):
+    """The mapInPandas stage must parse REAL uncompressed payloads: correct
+    width/height/sample_rate, and CONTENT-real embeddings (a near-duplicate
+    image lands closer than an unrelated one — the property the ANN
+    operators need)."""
+    import numpy as np
+
+    from openlogreplicator_spark import media_codecs as MC
+    from openlogreplicator_spark.multimodal import MEDIA_DDL
+
+    img = _gradient_img(32, 48)
+    near = img.copy(); near[0, 0] = [255, 255, 255]        # 1-pixel change
+    other = 255 - img                                      # inverted
+    tone = (np.sin(np.arange(4000) / 3.0) * 15000).astype(np.int16)
+    rows = [
+        (1, "image", bytearray(MC.encode_ppm(img)), None),
+        (2, "image", bytearray(MC.encode_bmp(near)), None),
+        (3, "image", bytearray(MC.encode_ppm(other)), None),
+        (4, "audio", bytearray(MC.encode_wav(tone, 16000)), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_DDL)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (48, 32)
+    assert (out[2]["width"], out[2]["height"]) == (48, 32)
+    assert out[4]["sample_rate"] == 16000 and out[4]["n_frames"] == 4000
+    e1, e2, e3 = (np.array(out[i]["embedding"]) for i in (1, 2, 3))
+    assert float(e1 @ e2) > 0.99        # near-dup: almost identical feature
+    assert float(e1 @ e2) > float(e1 @ e3)  # ...and closer than unrelated
