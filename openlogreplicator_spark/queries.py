@@ -3622,3 +3622,93 @@ def docs_length_histogram(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+_IVF_RECALL_SQL = f"""
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid
+      FROM assign WHERE vec_id < 32 AND rn <= 2),
+    approx AS (
+      SELECT query_id, vec_id
+      FROM probes JOIN cells USING (cid)
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) DESC,
+                 vec_id) <= {_RECALL_K}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id
+      FROM q, embeddings
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        <= {_RECALL_K}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {_RECALL_K}.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """
+
+
+@register("ann_recall_eval_ivf", _IVF_RECALL_SQL)
+def ann_recall_eval_ivf(spark, sf_dir):
+    """Recall@k of the IVF path (md5-pinned coarse quantizer, nprobe=2)
+    against the exact brute-force top-k — the IVF twin of ann_recall_eval:
+    re-dialing k_cells/nprobe for a bigger corpus trades recall for probe
+    cost, and this is the query that prices the trade. Same shape argument
+    as the LSH twin: the exact side broadcasts only the fixed evaluation
+    set; the approx side is the production cell equi-join."""
+    from .functions.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    q = emb.filter(F.col("vec_id") < 32)
+    approx = ivf_topk(emb, q, centroids, k=_RECALL_K, nprobe=2).select(
+        "query_id", "vec_id"
+    )
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_RECALL_K), 4)
+            .alias("recall"),
+        )
+    )
