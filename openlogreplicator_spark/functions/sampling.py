@@ -107,8 +107,13 @@ def quantile_buckets(
         F.percentile_approx(
             val_col, F.array(*[F.lit(x) for x in fracs]), accuracy
         ).alias("_cuts")
-    )
-    joined = df.join(F.broadcast(cuts), part_col)
+    ).withColumnRenamed(part_col, "_part")
+    # null-safe join: groupBy keeps the NULL group (undetected-language docs
+    # are common in web data), and a plain equi-join would silently DROP
+    # those rows instead of bucketing them like the ntile form does
+    joined = df.join(
+        F.broadcast(cuts), F.col(part_col).eqNullSafe(F.col("_part"))
+    ).drop("_part")
     bucket = F.lit(1)
     for i in range(n_buckets - 1):
         bucket = bucket + F.when(

@@ -393,15 +393,18 @@ class LakeTable:
             if v not in keep:
                 os.remove(os.path.join(sdir, f"v{v:08d}.json"))
                 removed_snaps += 1
+        # *.tmp anywhere under _snapshots: every writer here (manifest,
+        # snapshot JSON, _current pointer) publishes via tmp + os.replace; a
+        # crash inside that window leaves an orphan nothing references
+        for root, _dirs, fns in os.walk(sdir):
+            for fn in fns:
+                if fn.endswith(".tmp"):
+                    os.remove(os.path.join(root, fn))
         mdir = os.path.join(sdir, "manifests")
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
                 rel = os.path.join("_snapshots", "manifests", fn)
-                # .json.tmp: a crash between _write_manifest's tmp write and
-                # its os.replace leaves an orphan no snapshot can reference
-                if fn.endswith(".json.tmp") or (
-                    fn.endswith(".json") and rel not in retained_manifests
-                ):
+                if fn.endswith(".json") and rel not in retained_manifests:
                     os.remove(os.path.join(mdir, fn))
         data_root = os.path.join(self.path, "data")
         for root, _dirs, files in os.walk(data_root):

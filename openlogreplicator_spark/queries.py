@@ -991,12 +991,14 @@ def docs_minhash_near_dup(spark, sf_dir):
     WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                FROM embeddings WHERE vec_id < 3)
     SELECT query_id, vec_id,
-           round(CAST(list_cosine_similarity(qvec, embedding) AS DOUBLE), 4) AS cosine
+           round(CAST(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
     FROM q, embeddings
     WHERE vec_id <> query_id
     QUALIFY row_number() OVER (
       PARTITION BY query_id
-      ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id) <= 5
+      ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) DESC, vec_id) <= 5
     """,
 )
 def ann_cosine_topk(spark, sf_dir):
@@ -1017,11 +1019,13 @@ def ann_cosine_topk(spark, sf_dir):
       FROM q JOIN b ON q.table_id = b.table_id AND q.bucket = b.bucket
       WHERE b.vec_id <> q.query_id)
     SELECT query_id, vec_id,
-           round(CAST(list_cosine_similarity(qvec, embedding) AS DOUBLE), 4) AS cosine
+           round(CAST(list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
     FROM cand
     QUALIFY row_number() OVER (
       PARTITION BY query_id
-      ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id) <= 5
+      ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) DESC, vec_id) <= 5
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
@@ -3180,7 +3184,8 @@ _RECALL_SQL = f"""
       WHERE vec_id <> query_id
       QUALIFY row_number() OVER (
         PARTITION BY query_id
-        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) DESC, vec_id)
         <= {_RECALL_K}),
     b AS ({{lsh_tables}}),
     qb AS (SELECT vec_id AS query_id, embedding AS qvec, table_id, bucket
@@ -3194,7 +3199,8 @@ _RECALL_SQL = f"""
       FROM cand
       QUALIFY row_number() OVER (
         PARTITION BY query_id
-        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) DESC, vec_id)
         <= {_RECALL_K}),
     hits AS (
       SELECT e.query_id, count(*) AS n
@@ -3660,7 +3666,8 @@ _IVF_RECALL_SQL = f"""
       WHERE vec_id <> query_id
       QUALIFY row_number() OVER (
         PARTITION BY query_id
-        ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id)
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])) DESC, vec_id)
         <= {_RECALL_K}),
     hits AS (
       SELECT e.query_id, count(*) AS n

@@ -232,8 +232,14 @@ def test_expire_snapshots_gcs_orphan_tmp_manifests(spark, replayed):
     a .json.tmp no snapshot references; expire_snapshots must remove it."""
     t = LakeTable.load(spark, replayed.table_path)
     mdir = os.path.join(t.path, "_snapshots", "manifests")
-    orphan = os.path.join(mdir, "m99999999-deadbeef.json.tmp")
-    with open(orphan, "w") as f:
-        f.write("{}")
+    orphans = [
+        os.path.join(mdir, "m99999999-deadbeef.json.tmp"),
+        os.path.join(t.path, "_snapshots", "v99999999.json.tmp"),
+        os.path.join(t.path, "_snapshots", "_current.tmp"),
+    ]
+    for orphan in orphans:
+        with open(orphan, "w") as f:
+            f.write("{}")
     t.expire_snapshots(keep_last=2)
-    assert not os.path.exists(orphan)
+    for orphan in orphans:
+        assert not os.path.exists(orphan), orphan

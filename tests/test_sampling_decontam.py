@@ -149,7 +149,6 @@ def test_quantile_buckets_matches_ntile_and_never_sorts(spark):
         "bucket",
         F.ntile(3).over(Window.partitionBy("lang").orderBy("ce")),
     )
-    g = {(r["lang"], r["bucket"]): 1 for r in got.collect()}
     got_counts = (
         got.groupBy("lang", "bucket").count().orderBy("lang", "bucket").collect()
     )
@@ -164,3 +163,17 @@ def test_quantile_buckets_matches_ntile_and_never_sorts(spark):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "ntile(" not in plan and "Sort" not in plan, plan
+
+
+def test_quantile_buckets_keeps_null_groups(spark):
+    """NULL part_col rows (undetected-language docs) must be bucketed, not
+    silently dropped — the join to the cuts table is null-safe."""
+    from openlogreplicator_spark.functions.sampling import quantile_buckets
+
+    rows = [("en", 1.0), ("en", 2.0), ("en", 3.0),
+            (None, 1.0), (None, 2.0), (None, 3.0)]
+    df = spark.createDataFrame(rows, "lang string, ce double")
+    got = quantile_buckets(df, "lang", "ce", n_buckets=3)
+    assert got.count() == 6
+    nulls = got.filter(F.col("lang").isNull()).orderBy("ce").collect()
+    assert [r["bucket"] for r in nulls] == [1, 2, 3]
