@@ -974,7 +974,15 @@ def docs_winnow_fingerprint(spark, sf_dir):
 )
 def docs_minhash_near_dup(spark, sf_dir):
     """MinHash+LSH near-dup candidates: shingle→minhash→band→bucket-join.
-    No O(n²) pair enumeration — pairs only form inside a band bucket."""
+    No O(n²) pair enumeration — pairs only form inside a band bucket.
+
+    This is deliberately the LOOSE baseline spec (4 hashes, 2 bands of 2):
+    on the synthetic bench corpus (tiny vocabulary, long docs) it emits
+    ~60% of all pairs — which is the corpus being duplicate-saturated, not
+    a plan defect (profiled: the 7 s at sf0.1 is the 7.5M-pair distinct,
+    not the signature build). Band tightness is the duplication dial: the
+    production 8-hash × 4-wide spec lives in docs_jaccard_verified_dups,
+    and docs_minhash_est_vs_exact prices the recall trade between them."""
     d = T(spark, sf_dir, "documents")
     return S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=4, band_size=2)
 
