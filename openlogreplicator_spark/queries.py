@@ -3727,3 +3727,76 @@ def ann_recall_eval_ivf(spark, sf_dir):
             .alias("recall"),
         )
     )
+
+
+_BIGRAM_LM_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i+1])) AS w2
+      FROM base WHERE len(toks) >= 2),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw FROM c12 GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM bi),
+    scored AS (
+      SELECT bi.doc_id,
+             -ln((c12.c + 0.5) / (c1.cw + 0.5 * vocab.v)) AS lp
+      FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 4) AS bigram_cross_entropy
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register("docs_bigram_logprob", _BIGRAM_LM_SQL)
+def docs_bigram_logprob(spark, sf_dir):
+    """Bigram-LM cross-entropy per document with add-0.5 smoothing —
+    completes the perplexity-filter family (unigram: docs_unigram_logprob;
+    CCNet cut: docs_ccnet_bucket): p(w2|w1) = (c(w1 w2)+0.5)/(c(w1)+0.5·V),
+    scored over each doc's own bigrams. The bigram model separates
+    word-salad from fluent text far better than the unigram (same token
+    multiset, different order ⇒ different score). Shape at 100 TB: bigram
+    build is a pure-JVM transform over the token array; the two count
+    tables partial-aggregate; the score join is (bigram-vocab × corpus) on
+    (w1, w2) — AQE broadcasts when it fits — and V rides a 1-row cross
+    join. Every doc bigram EXISTS in c12 by construction (fit on the
+    corpus itself), so the join drops nothing."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 2)
+    bi = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    c1 = c12.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = bi.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (-F.log(
+                (F.col("c") + F.lit(0.5))
+                / (F.col("cw") + F.lit(0.5) * F.col("v"))
+            )).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("bigram_cross_entropy"),
+    )

@@ -253,3 +253,41 @@ def test_extract_features_real_decode_via_spark(spark):
     e1, e2, e3 = (np.array(out[i]["embedding"]) for i in (1, 2, 3))
     assert float(e1 @ e2) > 0.99        # near-dup: almost identical feature
     assert float(e1 @ e2) > float(e1 @ e3)  # ...and closer than unrelated
+
+
+def test_codec_roundtrip_property():
+    """Property: encode→decode is the identity for every image shape and
+    sample count (padding math, header arithmetic, channel order)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from openlogreplicator_spark import media_codecs as MC
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 40), w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def img_roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(MC.decode_ppm(MC.encode_ppm(img)), img)
+        assert np.array_equal(MC.decode_bmp(MC.encode_bmp(img)), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(1, 5000), ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+        decoded = MC.decode_wav(MC.encode_wav(samples, rate))
+        assert decoded is not None
+        got, got_rate = decoded
+        assert got_rate == rate and np.array_equal(got, samples)
+
+    img_roundtrip()
+    wav_roundtrip()
