@@ -372,11 +372,13 @@ def cdc_props_stats(spark, sf_dir):
         ON l.table_id = r.table_id AND l.bucket = r.bucket
        AND l.vec_id < r.vec_id)
     SELECT a, b,
-           round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+           round(CAST(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                             CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 4)
              AS cosine
     FROM cand JOIN embeddings ea ON cand.a = ea.vec_id
               JOIN embeddings eb ON cand.b = eb.vec_id
-    WHERE round(CAST(list_cosine_similarity(ea.embedding, eb.embedding) AS DOUBLE), 4)
+    WHERE round(CAST(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                             CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 4)
           >= 0.3
     """,
 )
@@ -3799,4 +3801,54 @@ def docs_bigram_logprob(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("bigram_cross_entropy"),
+    )
+
+
+_COS_HIST_SQL = f"""
+    WITH b AS ({_lsh_tables_sql("embeddings")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r
+        ON l.table_id = r.table_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id),
+    scored AS (
+      SELECT list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])) AS cos
+      FROM cand JOIN embeddings ea ON cand.a = ea.vec_id
+                JOIN embeddings eb ON cand.b = eb.vec_id)
+    SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 4) AS avg_cosine
+    FROM scored GROUP BY bucket
+    """
+
+
+@register("emb_pair_cosine_hist", _COS_HIST_SQL)
+def emb_pair_cosine_hist(spark, sf_dir):
+    """Cosine histogram (0.05-wide buckets) over the LSH candidate pairs —
+    the threshold-picking query: a real near-dup corpus shows a bimodal
+    histogram (unrelated mass near 0, duplicate mass near 1) and the valley
+    is the dedup threshold; running it per crawl catches distribution
+    drift before a fixed threshold silently changes recall. Shape at
+    100 TB: candidates come from the production equi-join (never
+    all-pairs), the cosine is a map-side expression, and the histogram is
+    one partial-agg over ~40 bucket keys."""
+    from .functions.similarity import cosine, lsh_candidate_pairs
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cand = lsh_candidate_pairs(
+        emb, n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    scored = (
+        cand.join(ea, "a").join(eb, "b")
+        .select(cosine(F.col("ea"), F.col("eb")).alias("cos"))
+    )
+    return (
+        scored.select(F.floor(F.col("cos") * 20).cast("long").alias("bucket"),
+                      "cos")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"),
+             F.round(F.avg("cos"), 4).alias("avg_cosine"))
     )
