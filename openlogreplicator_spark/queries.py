@@ -3852,3 +3852,180 @@ def emb_pair_cosine_hist(spark, sf_dir):
         .agg(F.count("*").alias("n_pairs"),
              F.round(F.avg("cos"), 4).alias("avg_cosine"))
     )
+
+
+_MARKOV_SQL = """
+    WITH seqd AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_transitions
+          FROM seqd WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, n_transitions,
+           round(n_transitions /
+                 CAST(sum(n_transitions) OVER (PARTITION BY src) AS DOUBLE), 4)
+             AS prob
+    FROM c
+    """
+
+
+@register("events_markov_transition", _MARKOV_SQL)
+def events_markov_transition(spark, sf_dir):
+    """First-order event-type transition matrix (per-user ordered chains,
+    corpus-level probabilities) — the behavioral fingerprint behind funnel
+    design and anomalous-sequence detection. Shape at 100 TB: the lead
+    window reuses the engine's per-key (user_id → ts, event_id) exchange —
+    the SAME partitioning LWW and sessionization shuffle on, so a shared
+    scan pipelines them — then a partial-agg count; the probability
+    normalization window runs over the types×types matrix (tiny)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    c = seqd.groupBy("src", "dst").agg(F.count("*").alias("n_transitions"))
+    wsrc = Window.partitionBy("src")
+    return c.select(
+        "src", "dst", "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(wsrc).cast("double"), 4
+        ).alias("prob"),
+    )
+
+
+_JSD_SQL = """
+    WITH tok AS (
+      SELECT source,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    c AS (SELECT source, token, count(*) AS cnt FROM tok
+          WHERE length(token) > 0 GROUP BY source, token),
+    tot AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source),
+    p AS (SELECT c.source, token, cnt / CAST(n AS DOUBLE) AS p
+          FROM c JOIN tot USING (source)),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    pairs AS (SELECT a.source AS sa, b.source AS sb
+              FROM srcs a, srcs b WHERE a.source < b.source),
+    toks AS (
+      SELECT DISTINCT sa, sb, token
+      FROM pairs JOIN p ON p.source = sa OR p.source = sb),
+    j AS (
+      SELECT t.sa, t.sb, t.token,
+             coalesce(pa.p, 0) AS pa, coalesce(pb.p, 0) AS pb
+      FROM toks t
+      LEFT JOIN p pa ON pa.source = t.sa AND pa.token = t.token
+      LEFT JOIN p pb ON pb.source = t.sb AND pb.token = t.token)
+    SELECT sa, sb,
+           round(sum(
+             CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+             + CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+           ), 4) AS jsd,
+           CAST(count(*) AS BIGINT) AS n_union_tokens
+    FROM j GROUP BY sa, sb
+    """
+
+
+@register("docs_source_jsd", _JSD_SQL)
+def docs_source_jsd(spark, sf_dir):
+    """Jensen–Shannon divergence between every source pair's token
+    distribution — the data-mixing diagnostic that quantifies how much two
+    crawl sources overlap before weights are assigned (DoReMi-style mixing
+    reads exactly this signal; complements docs_source_mix_entropy, which
+    is per-source not pairwise). Shape at 100 TB: per-(source, token)
+    counts partial-aggregate to vocab×sources rows; everything after runs
+    on that vocab-sized relation — the pair expansion is sources²-bounded
+    (sources are few by definition), never corpus-sized."""
+    d = T(spark, sf_dir, "documents")
+    tok = S.tokens(d, None, "text", distinct=False, extra_cols=("source",))
+    c = tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    p = c.join(tot, "source").select(
+        "source", "token", (F.col("cnt") / F.col("n").cast("double")).alias("p")
+    )
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    toks = (
+        pairs.join(
+            p.select("source", "token"),
+            (F.col("source") == F.col("sa")) | (F.col("source") == F.col("sb")),
+        )
+        .select("sa", "sb", "token")
+        .distinct()
+    )
+    pa = p.select(F.col("source").alias("sa"), "token", F.col("p").alias("pa"))
+    pb = p.select(F.col("source").alias("sb"), "token", F.col("p").alias("pb"))
+    j = (
+        toks.join(pa, ["sa", "token"], "left")
+        .join(pb, ["sb", "token"], "left")
+        .select(
+            "sa", "sb",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = (
+        F.when(F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m))
+        .otherwise(0.0)
+        + F.when(F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m))
+        .otherwise(0.0)
+    )
+    return j.groupBy("sa", "sb").agg(
+        F.round(F.sum(term), 4).alias("jsd"),
+        F.count("*").alias("n_union_tokens"),
+    )
+
+
+_VALUE_DRIFT_SQL = """
+    WITH w AS (
+      SELECT event_type, date_trunc('week', ts) AS wk,
+             CAST(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                            AS HUGEINT) // count(*) AS BIGINT) AS BIGINT)
+               AS mean_micro,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, wk)
+    SELECT event_type, wk, mean_micro,
+           mean_micro - lag(mean_micro) OVER (PARTITION BY event_type
+                                              ORDER BY wk) AS wow_delta_micro,
+           n_events
+    FROM w
+    """
+
+
+@register("cdc_value_drift", _VALUE_DRIFT_SQL)
+def cdc_value_drift(spark, sf_dir):
+    """Week-over-week mean-value drift per op type — the payload-level
+    drift monitor beside events_anomaly_zscore's volume channel (a value
+    distribution that walks while volume stays flat is the silent failure
+    mode). Shape at 100 TB: one partial-agg shuffle to types×weeks rows;
+    the lag window runs over that tiny relation only. The mean rides as
+    EXACT integer micros (decimal sum → ×10⁶ → floor-div by count): a
+    float avg straddled a 4 dp rounding midpoint at sf0.001 (mean exactly
+    50.19125 — Spark's decimal HALF_UP said .1913, DuckDB's double round
+    said .1912), and integer arithmetic is the only spelling both engines
+    evaluate identically at midpoints. (Caveat pinned by the oracle: Spark
+    `div` truncates while DuckDB `//` floors — identical here because
+    `value` is non-negative; a signed metric would need a floor-div
+    spelling on the Spark side too.)"""
+    ev = T(spark, sf_dir, "events")
+    mean_micro = F.expr(
+        "CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 "
+        "AS DECIMAL(38,0)) div count(*) AS BIGINT)"
+    ).alias("mean_micro")
+    w = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("wk")
+    ).agg(mean_micro, F.count("*").alias("n_events"))
+    lagw = Window.partitionBy("event_type").orderBy("wk")
+    return w.select(
+        "event_type", "wk", "mean_micro",
+        (F.col("mean_micro") - F.lag("mean_micro").over(lagw))
+        .alias("wow_delta_micro"),
+        "n_events",
+    )
