@@ -4029,3 +4029,44 @@ def cdc_value_drift(spark, sf_dir):
         .alias("wow_delta_micro"),
         "n_events",
     )
+
+
+_CROSS_SOURCE_SQL = f"""
+    WITH pairs AS ({_simhash_sql()}),
+    labeled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b
+      FROM pairs
+      JOIN documents da ON pairs.a = da.doc_id
+      JOIN documents db ON pairs.b = db.doc_id)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_dup_pairs
+    FROM labeled GROUP BY source_a, source_b
+    """
+
+
+@register("docs_cross_source_dups", _CROSS_SOURCE_SQL)
+def docs_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix: SimHash near-dup pairs rolled up by
+    unordered source pair — the mirror-detection report (a heavy
+    off-diagonal cell means source B is republishing source A, and one of
+    them should be down-weighted or dropped before training). Shape at
+    100 TB: the pair generation is the pigeonhole-blocked SimHash path
+    (never all-pairs); the two doc_id→source joins are AQE-broadcastable
+    lookups against a 2-column pruned scan; the rollup is sources²-bounded."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    src = d.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("source", "sa"), "a")
+        .join(src.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("source", "sb"), "b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_dup_pairs")
+    )
