@@ -847,6 +847,199 @@ def pq_topk(
     )
 
 
+def _assign_cells_np(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Cosine cell assignment, ties to the smaller cell id — the EXACT math
+    of centroid_topn_udf's kernel, shared so driver-side codebook pinning
+    and the distributed encoder can never drift apart."""
+    cn = cents / np.where(
+        (n := np.linalg.norm(cents, axis=1, keepdims=True)) == 0, 1.0, n
+    )
+    vn = np.linalg.norm(x, axis=1, keepdims=True)
+    vn[vn == 0] = 1.0
+    cos = (x / vn) @ cn.T
+    return np.argsort(-cos, axis=1, kind="stable")[:, 0]
+
+
+def ivfpq_residual_codebooks(
+    emb: DataFrame, centroids: list[list[float]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, n_codes: int = 16,
+) -> list[list[list[float]]]:
+    """PQ codebooks over RESIDUALS (v − assigned IVF centroid) — the IVF-PQ
+    composite's second quantizer (Jégou et al. 2011: PQ on residuals halves
+    the quantization error vs PQ on raw vectors because the coarse cell
+    already explains most of the norm). Pinned to the residuals of the
+    ``n_codes`` md5-smallest corpus vectors, so — like the IVF quantizer and
+    the raw-vector PQ codebook — the DuckDB oracle can rebuild it exactly
+    from the parquet."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    x = np.asarray([[float(v) for v in r[vec_col]] for r in rows], dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    cids = _assign_cells_np(x, cents)
+    resid = x - cents[cids]
+    dim = resid.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [resid[j, s * sub:(s + 1) * sub].tolist() for j in range(n_codes)]
+        for s in range(m)
+    ]
+
+
+def ivfpq_encode_udf(
+    centroids: list[list[float]], codebooks: list[list[list[float]]]
+):
+    """Arrow-batched IVF-PQ encoder: vector → struct(cid, codes[m]) in ONE
+    vectorized pass — cosine cell assignment, residual against the raw
+    centroid, then per-subspace argmin-L2 code (ties to the smaller code
+    id, matching the oracle's ORDER BY d, j). Map-side column, no shuffle;
+    at 100 TB the persisted index is (cid int, codes m bytes) per vector —
+    the classic IVFADC layout — and the float vectors never rescan."""
+    import pyspark.sql.types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cbs = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = cbs.shape
+
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        cids = _assign_cells_np(x, cents)
+        r = (x - cents[cids]).reshape(len(x), m, sub)
+        d = ((r[:, :, None, :] - cbs[None, :, :, :]) ** 2).sum(-1)  # (b, m, k)
+        codes = d.argmin(-1).astype("int32")
+        return pd.DataFrame(
+            {
+                "cid": cids.astype("int32"),
+                "codes": [row.tolist() for row in codes],
+            }
+        )
+
+    return pandas_udf(
+        _enc,
+        T.StructType(
+            [
+                T.StructField("cid", T.IntegerType()),
+                T.StructField("codes", T.ArrayType(T.IntegerType())),
+            ]
+        ),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame, queries: DataFrame, centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ (IVFADC) search — the FAISS-standard billion-scale composite:
+    scan only the ``nprobe`` probed CELLS' code lists (equi-join on cid — the
+    cell pruning IVF buys), score with an ADC table built per (query, cell)
+    over the QUERY'S OWN residual in that cell (asymmetric distance: exact
+    query subvectors vs quantized corpus residuals), approximate distance =
+    m table lookups + adds per pair.
+
+    Scale shape: the corpus side is the persisted (cid, codes) column from
+    ivfpq_encode_udf — map-side encode, no shuffle, m+4 bytes scanned per
+    vector; the query side (queries × nprobe rows carrying an m×n_codes
+    table each) is broadcast; top-k is a per-query window over probed-cells
+    candidates only. Every floating step (residual subtract, table build,
+    left-to-right ADC fold) is spelled identically in the DuckDB oracle."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    dim = m * sub
+
+    enc = ivfpq_encode_udf(centroids, codebooks)
+    coded = emb.select(F.col(id_col), enc(F.col(vec_col)).alias("e")).select(
+        id_col, F.col("e.cid").alias("cid"), F.col("e.codes").alias("codes")
+    )
+
+    # flat broadcast arrays: the residual codebook and the raw centroid
+    # matrix ride as two array columns on a 1-row frame (HOF lookups keep
+    # the expression tree O(1) in codebook size — the janino 64 KB lesson
+    # from pq_topk applies here doubly, since the table is per-cell now)
+    cb_flat = [
+        float(x) for s in range(m) for j in range(n_codes) for x in codebooks[s][j]
+    ]
+    cents_flat = [float(x) for c in cents for x in c]
+    one = queries.sparkSession.createDataFrame(
+        [(cb_flat, cents_flat)], "cb array<double>, cents array<double>"
+    )
+
+    proben = centroid_topn_udf(centroids, nprobe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(proben(F.col(vec_col))).alias("cid"),
+        )
+        .crossJoin(F.broadcast(one))
+    )
+    qr = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: F.element_at(F.col("qvec"), i.cast("int")).cast("double")
+        - F.element_at(
+            F.col("cents"), (F.col("cid") * F.lit(dim) + i).cast("int")
+        ),
+    )
+    q = q.select("query_id", "cid", qr.alias("qr"), "cb")
+
+    def cell_l2sq(t: Column) -> Column:
+        s = F.floor(t / F.lit(n_codes))
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(sub)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(F.col("qr"), (s * F.lit(sub) + i).cast("int"))
+                - F.element_at(F.col("cb"), (t * F.lit(sub) + i).cast("int"))
+            )
+            * (
+                F.element_at(F.col("qr"), (s * F.lit(sub) + i).cast("int"))
+                - F.element_at(F.col("cb"), (t * F.lit(sub) + i).cast("int"))
+            ),
+        )
+
+    dtab = F.transform(
+        F.sequence(F.lit(0), F.lit(m * n_codes - 1)), lambda t: cell_l2sq(t)
+    )
+    q = q.select("query_id", "cid", dtab.alias("dtab"))
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.col("dtab"),
+            (
+                s * F.lit(n_codes)
+                + F.element_at(F.col("codes"), s + F.lit(1))
+                + F.lit(1)
+            ).cast("int"),
+        ),
+    )
+    scored = (
+        coded.join(F.broadcast(q), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, adc.alias("adc_l2sq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_l2sq", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 # -------------------------------------------------- incremental (new-batch)
 
 

@@ -4070,3 +4070,395 @@ def docs_cross_source_dups(spark, sf_dir):
     return labeled.groupBy("source_a", "source_b").agg(
         F.count("*").alias("n_dup_pairs")
     )
+
+
+_DSIR_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM base WHERE len(toks) >= 2),
+    hashed AS (
+      SELECT doc_id, is_target,
+             CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM bg),
+    bstat AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS r,
+             CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS t
+      FROM hashed GROUP BY bucket),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS rn, CAST(sum(t) AS BIGINT) AS tn
+            FROM bstat),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln((t + 0.5) / (tn + 512.0))
+                         - ln((r + 0.5) / (rn + 512.0))) * 1e6) AS BIGINT)
+               AS lr_micros
+      FROM bstat CROSS JOIN tot)
+    SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lr_micros) AS BIGINT) AS logw_micro_nats
+    FROM hashed h JOIN lr USING (bucket)
+    GROUP BY h.doc_id
+    """
+
+
+@register("docs_dsir_weights", _DSIR_SQL)
+def docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed word-bigram
+    features (1024 buckets), target distribution fit on the in-domain
+    subset (lang='en' here), raw distribution on the whole corpus; each
+    doc scores the sum over its bigrams of ln p_target(bucket) −
+    ln p_raw(bucket) (Laplace α=0.5). Docs are then resampled ∝ exp(w) —
+    this query emits the per-doc log-weight. Shape at 100 TB: the feature
+    space is FIXED at 1024 buckets no matter the corpus (DSIR's point), so
+    the distribution fit is one partial-agg shuffle into a 1024-row table,
+    the log-ratio table broadcasts back, and the per-doc weight is a
+    partial agg on doc_id. The weight rides as exact integer micro-nats
+    (each bucket's log-ratio is rounded once, deterministically, before
+    the per-doc SUM) so FP summation order can never flip the value hash.
+    Reference analogue: none (training-data op); tokenization matches
+    docs_bigram_pmi's bigram build verbatim."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select(
+        "doc_id", (F.col("lang") == "en").alias("is_target"), toks.alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    hashed = bg.select(
+        "doc_id",
+        "is_target",
+        (F.conv(F.substring(F.md5("bigram"), 1, 8), 16, 10).cast("long") % 1024)
+        .alias("bucket"),
+    )
+    bstat = hashed.groupBy("bucket").agg(
+        F.count("*").alias("r"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t"),
+    )
+    tot = bstat.agg(F.sum("r").alias("rn"), F.sum("t").alias("tn"))
+    lr = bstat.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("t") + 0.5) / (F.col("tn") + 512.0))
+                - F.log((F.col("r") + 0.5) / (F.col("rn") + 512.0))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_micros"),
+    )
+    return hashed.join(F.broadcast(lr), "bucket").groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("lr_micros").alias("logw_micro_nats"),
+    )
+
+
+_KEY_LIFECYCLE_SQL = f"""
+    WITH ev AS (
+      SELECT url, op, warc_ts, seq
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    w AS (
+      SELECT url, op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev),
+    latest AS (SELECT url, op AS last_op FROM w WHERE rn = 1),
+    agg AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_ops,
+             CAST(count(*) FILTER (WHERE op = 'c') AS BIGINT) AS n_inserts,
+             CAST(count(*) FILTER (WHERE op = 'u') AS BIGINT) AS n_updates,
+             CAST(count(*) FILTER (WHERE op = 'd') AS BIGINT) AS n_deletes,
+             min(warc_ts) AS first_ts, max(warc_ts) AS last_ts
+      FROM ev GROUP BY url),
+    g AS (SELECT max(warc_ts) AS gmax FROM ev)
+    SELECT a.url, n_ops, n_inserts, n_updates, n_deletes, last_op,
+           (last_op = 'd') AS is_tombstone,
+           epoch_us(last_ts) - epoch_us(first_ts) AS lifespan_us,
+           CASE WHEN last_op = 'd'
+                THEN epoch_us(gmax) - epoch_us(last_ts) END AS tombstone_age_us
+    FROM agg a JOIN latest USING (url) CROSS JOIN g
+    """
+
+
+@register("cdc_key_lifecycle", _KEY_LIFECYCLE_SQL)
+def cdc_key_lifecycle(spark, sf_dir):
+    """Per-key lifecycle / tombstone-GC report over the committed change
+    log: op-mix counts, first/last change, whether the LWW winner is a
+    delete (= the key is a tombstone awaiting GC), key lifespan, and
+    tombstone age vs the log head — the input to retention policy ("purge
+    tombstones older than X"). Reference analogue: the replicator keeps
+    delete markers so late-arriving updates can't resurrect rows
+    (operators/merge.py tombstone semantics; reference checkpoint GC drops
+    state only past the confirmed scn, Metadata.cpp:505-554). Shape at
+    scale: ONE partial-agg shuffle on url computes counts, min/max ts and
+    the (warc_ts, seq)-ordered last op via max_by in the same aggregate —
+    no window, no second shuffle; the log-head max rides a 1-row broadcast
+    cross join."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = dml_events(
+        ev.filter(
+            F.col("op").isNotNull()
+            & F.col("url").isNotNull()
+            & F.col("warc_ts").isNotNull()
+        )
+    ).select("url", "op", "warc_ts", "seq")
+    agg = committed.groupBy("url").agg(
+        F.count("*").alias("n_ops"),
+        F.sum(F.when(F.col("op") == "c", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "u", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).alias("n_deletes"),
+        F.min("warc_ts").alias("first_ts"),
+        F.max("warc_ts").alias("last_ts"),
+        F.expr("max_by(op, struct(warc_ts, seq))").alias("last_op"),
+    )
+    g = committed.agg(F.max("warc_ts").alias("gmax"))
+    return agg.crossJoin(F.broadcast(g)).select(
+        "url",
+        "n_ops",
+        "n_inserts",
+        "n_updates",
+        "n_deletes",
+        "last_op",
+        (F.col("last_op") == "d").alias("is_tombstone"),
+        (F.unix_micros("last_ts") - F.unix_micros("first_ts")).alias("lifespan_us"),
+        F.when(
+            F.col("last_op") == "d",
+            F.unix_micros("gmax") - F.unix_micros("last_ts"),
+        ).alias("tombstone_age_us"),
+    )
+
+
+_LEXDIV_SQL = """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    t AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+    cnt AS (SELECT doc_id, token, count(*) AS c FROM t GROUP BY doc_id, token),
+    per AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(count(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, n_hapax,
+           (n_distinct * 100000) // n_tokens AS ttr_bp,
+           (n_hapax * 100000) // n_tokens AS hapax_bp
+    FROM per
+    """
+
+
+@register("docs_lexical_diversity", _LEXDIV_SQL)
+def docs_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity quality signals per document: type-token ratio and
+    hapax-legomenon share (both as exact integer basis points ×10 — a
+    ratio of two BIGINTs under floor division, so no float crosses the
+    hash). Low TTR = repetitive/template text, abnormally high hapax share
+    on long docs = OCR noise / gibberish — standard quality-filter axes
+    alongside the Gopher rules. Shape at 100 TB: explode feeds a
+    (doc_id, token) partial agg (map-side combine collapses each doc's
+    repeats before the shuffle), then a second partial agg on doc_id;
+    integer division is floor on both engines for non-negative operands
+    (Spark `div` truncates, DuckDB `//` floors — same on ≥0)."""
+    d = T(spark, sf_dir, "documents")
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    cnt = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n_hapax",
+        F.expr("(n_distinct * 100000) div n_tokens").alias("ttr_bp"),
+        F.expr("(n_hapax * 100000) div n_tokens").alias("hapax_bp"),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) + 1),
+                    i -> substr(text, i, 1))) AS ch
+      FROM documents WHERE length(text) > 0),
+    cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                 4) AS char_entropy
+    FROM cc GROUP BY doc_id
+    """
+
+
+@register("docs_char_entropy", _CHAR_ENTROPY_SQL)
+def docs_char_entropy(spark, sf_dir):
+    """Character-level unigram entropy per document (nats): H = ln n −
+    (Σ c·ln c)/n over the doc's char counts — the cheap gibberish/
+    binary-junk detector (near-zero entropy = one repeated char; natural
+    text sits in a narrow band). Complements the token-level
+    docs_repetition_stats at the sub-token level. Shape at 100 TB: the
+    char explode is O(total bytes) but feeds a (doc_id, ch) partial agg
+    whose combiner collapses each partition to ≤|alphabet| rows per doc
+    before the shuffle; the per-doc entropy is a second partial agg. The
+    identical ln-based expression runs on both engines (no log2 builtin —
+    DuckDB's and Spark's differ in name, not this formula)."""
+    d = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("text")),
+                lambda i: F.col("text").substr(i, F.lit(1)),
+            )
+        ).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = F.sum("c").cast("double")
+    return cc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            4,
+        ).alias("char_entropy"),
+    )
+
+
+_IVFPQ_SQL = """
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    cvecs AS (
+      SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cv
+      FROM init),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    resid AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    - v.cv[CAST(i AS INT)]) AS r
+      FROM assign a JOIN cvecs v USING (cid) WHERE a.rn = 1),
+    pinned AS (
+      SELECT r.r AS pv, rk.j
+      FROM (SELECT vec_id,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS j
+            FROM embeddings) rk
+      JOIN resid r USING (vec_id)
+      WHERE rk.j < 16),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT s, j, list_slice(pv, s*8 + 1, s*8 + 8) AS cvec
+      FROM pinned CROSS JOIN subs),
+    dists AS (
+      SELECT r.vec_id, r.cid, c.s, c.j,
+             list_reduce(
+               [0.0::DOUBLE] || list_transform(range(1, 9),
+                 i -> (r.r[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])
+                    * (r.r[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM resid r CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, cid, s, j AS code FROM (
+        SELECT vec_id, cid, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM dists) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid
+      FROM assign WHERE vec_id < 3 AND rn <= 2),
+    qresid AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, 65),
+               i -> CAST(p.qvec[CAST(i AS INT)] AS DOUBLE)
+                    - v.cv[CAST(i AS INT)]) AS qr
+      FROM probes p JOIN cvecs v USING (cid)),
+    qdists AS (
+      SELECT q.query_id, q.cid, c.s, c.j,
+             list_reduce(
+               [0.0::DOUBLE] || list_transform(range(1, 9),
+                 i -> (q.qr[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])
+                    * (q.qr[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM qresid q CROSS JOIN cb c),
+    terms AS (
+      SELECT q.query_id, co.vec_id, q.s, q.d
+      FROM qdists q
+      JOIN codes co ON co.cid = q.cid AND co.s = q.s AND co.code = q.j
+      WHERE co.vec_id <> q.query_id),
+    adc AS (
+      SELECT query_id, vec_id,
+             list_reduce([0.0::DOUBLE] || list(d ORDER BY s),
+                         (a, b) -> a + b) AS a
+      FROM terms GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, round(a, 4) AS adc_l2sq
+    FROM adc
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY a, vec_id) <= 5
+    """
+
+
+@register("ann_ivfpq_topk", _IVFPQ_SQL)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (IVFADC, Jégou et al. 2011 — the index FAISS
+    ships for billion-vector corpora): md5-pinned coarse quantizer (8
+    cells) + PQ codebooks fit on RESIDUALS (8 subspaces × 16 codes, pinned
+    to the md5-smallest vectors' residuals so the whole index is
+    SQL-derivable), corpus encoded map-side to (cid, 8 codes), queries
+    probe their 2 nearest cells and score ONLY those cells' code lists via
+    a per-(query, cell) ADC table over the query's own residual. Completes
+    the ANN family: brute force (baseline) → LSH (hash pruning) → IVF
+    (cell pruning) → PQ (compressed scan) → IVF-PQ (both). Shape at
+    100 TB: the persisted index is m+4 bytes/vector, candidate generation
+    is an equi-join on cid, the query side broadcasts, nothing rescans
+    float vectors."""
+    from .functions.similarity import ivfpq_residual_codebooks, ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    cbs = ivfpq_residual_codebooks(emb, centroids, m=8, n_codes=16)
+    out = ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), centroids, cbs, k=5, nprobe=2
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("adc_l2sq", 4).alias("adc_l2sq")
+    )
