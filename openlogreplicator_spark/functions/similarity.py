@@ -1040,6 +1040,79 @@ def ivfpq_topk(
     )
 
 
+def covariance_upper(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column — the
+    distributed sufficient-statistic step of PCA / whitening / ZCA (the
+    eigendecomposition itself is a driver-side numpy call on the dim×dim
+    result; the data-sized work is ALL here). Output: (i, j, cov) for
+    1 ≤ i ≤ j ≤ dim.
+
+    Shape at 100 TB: each partition computes ONE dense float64 Gram of the
+    [X | 1]-augmented batch matrix (the constant column makes the Gram carry
+    per-dim sums and the row count for free — no second pass for means) and
+    emits dim²/2 partial rows; the only shuffle is a groupBy over the FIXED
+    (dim+1)²/2 keyspace, independent of corpus size. The naive alternative —
+    posexplode to (row, i, j) pairs — shuffles n·dim²/2 rows and is never
+    acceptable. Arrow-batched numpy matmul per partition, no per-row Python.
+    """
+    import pyspark.sql.types as Ty
+
+    aug = dim + 1
+    schema = Ty.StructType(
+        [
+            Ty.StructField("i", Ty.LongType()),
+            Ty.StructField("j", Ty.LongType()),
+            Ty.StructField("s", Ty.DoubleType()),
+        ]
+    )
+
+    def gram_parts(batches):
+        G = np.zeros((aug, aug), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            A = np.hstack([X, np.ones((len(X), 1))])
+            G += A.T @ A
+            seen = True
+        if seen:
+            iu = np.triu_indices(aug)
+            yield pd.DataFrame(
+                {"i": iu[0] + 1, "j": iu[1] + 1, "s": G[iu]}
+            )
+
+    parts = emb.select(vec_col).mapInPandas(gram_parts, schema)
+    g = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    nf = g.filter((F.col("i") == aug) & (F.col("j") == aug)).select(
+        F.col("s").alias("n")
+    )
+    sx = g.filter((F.col("j") == aug) & (F.col("i") != aug)).select(
+        F.col("i").alias("k"), F.col("s").alias("sx")
+    )
+    sxi = sx.select(F.col("k").alias("i"), F.col("sx").alias("sxi"))
+    sxj = sx.select(F.col("k").alias("j"), F.col("sx").alias("sxj"))
+    return (
+        g.filter(F.col("j") != aug)
+        .join(F.broadcast(sxi), "i")
+        .join(F.broadcast(sxj), "j")
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s") / F.col("n")
+                - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n")),
+                6,
+            ).alias("cov"),
+        )
+    )
+
+
 # -------------------------------------------------- incremental (new-batch)
 
 

@@ -205,6 +205,75 @@ class LakeTable:
             if bs is None or f["bucket"] in bs
         )
 
+    def table_stats(self, include_bytes: bool = True) -> list[dict]:
+        """Per-bucket maintenance report from snapshot metadata alone (no
+        Spark job): file/row counts, bytes (an O(files) driver stat call,
+        skippable), dirty flag (uncompacted MoR deltas) and whether the
+        bucket mixes schema versions. This is the ops surface a compaction
+        scheduler reads — the reference exposes the analogous counters over
+        its checkpoint files (Metadata.cpp state dump); at 10^6 files this
+        is a metadata walk, never a data scan."""
+        dirty = self.dirty_buckets()
+        by_bucket: dict[int, dict] = {}
+        for fe in self.snap["files"]:
+            st = by_bucket.setdefault(
+                fe["bucket"],
+                {
+                    "bucket": fe["bucket"],
+                    "n_files": 0,
+                    "rows": 0,
+                    "bytes": 0,
+                    "schema_vers": set(),
+                },
+            )
+            st["n_files"] += 1
+            st["rows"] += fe["rows"]
+            st["schema_vers"].add(fe["schema_ver"])
+            if include_bytes:
+                try:
+                    st["bytes"] += os.path.getsize(
+                        os.path.join(self.path, fe["path"])
+                    )
+                except OSError:
+                    pass
+        out = []
+        for b in sorted(by_bucket):
+            st = by_bucket[b]
+            out.append(
+                {
+                    "bucket": b,
+                    "n_files": st["n_files"],
+                    "rows": st["rows"],
+                    "bytes": st["bytes"],
+                    "dirty": b in dirty,
+                    "mixed_schema": len(st["schema_vers"]) > 1,
+                }
+            )
+        return out
+
+    def plan_compaction(
+        self,
+        max_files_per_bucket: int = 4,
+        small_file_bytes: int = 32 * 1024 * 1024,
+    ) -> dict:
+        """Split the table's buckets into the two maintenance queues:
+        ``compact`` (dirty — carry MoR deltas, need an LWW rewrite via
+        operators.merge.compact_table) and ``rewrite`` (clean but
+        fragmented — too many files or mostly-small files, need only a
+        content-preserving bin-pack via operators.merge.rewrite_buckets).
+        Thresholds are the knobs a scheduler tunes per table; the decision
+        uses snapshot metadata only."""
+        compact, rewrite = [], []
+        for st in self.table_stats():
+            if st["dirty"]:
+                compact.append(st["bucket"])
+            elif st["n_files"] > max_files_per_bucket or (
+                st["n_files"] > 1
+                and st["bytes"] < small_file_bytes * st["n_files"]
+            ):
+                rewrite.append(st["bucket"])
+        return {"compact": compact, "rewrite": rewrite}
+
     # ----------------------------------------------------------------- read
     def read(self, buckets: Iterable[int] | None = None) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.

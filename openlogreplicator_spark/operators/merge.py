@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Iterable
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
@@ -208,6 +209,40 @@ def compact_table(
         extra={"needs_read_compaction": False, "dirty_buckets": []},
     )
     return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(dirty)}
+
+
+def rewrite_buckets(table: LakeTable, buckets: Iterable[int]) -> dict:
+    """Content-preserving bin-pack of CLEAN buckets: coalesce each listed
+    bucket's files into one file at the current schema — Iceberg's
+    rewrite_data_files for the small-files problem (every MoR epoch appends
+    a file per touched bucket; without periodic bin-packing the scan's file
+    count grows linearly with epochs even after the dirty deltas are
+    compacted away). Dirty buckets are REFUSED (their rewrite must be the
+    LWW compact_table — a raw rewrite would bake duplicate key versions
+    into a bucket that read_state would then treat as clean). Rewrites only
+    the listed buckets; row content is untouched."""
+    req = sorted(set(buckets))
+    dirty = table.dirty_buckets() & set(req)
+    if dirty:
+        raise ValueError(
+            f"buckets {sorted(dirty)} hold uncompacted deltas — run "
+            "compact_table first (plan_compaction splits the two queues)"
+        )
+    if not req:
+        return {"files": 0, "rows": 0, "buckets_rewritten": 0}
+    full = table.read(req).withColumn("_bucket", table.bucket_expr())
+    absdir, _rel = table.new_data_dir()
+    (
+        full.repartition(max(1, min(len(req), 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = _collect_written_files(absdir, table)
+    table.commit_files(
+        new_files, req,
+        {"op": "rewrite", "rows": rows, "buckets": len(req)},
+    )
+    return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(req)}
 
 
 def merge_into(

@@ -4462,3 +4462,42 @@ def ann_ivfpq_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("adc_l2sq", 4).alias("adc_l2sq")
     )
+
+
+_EMB_COV_SQL = """
+    WITH x AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+      FROM embeddings),
+    sums AS (SELECT i, sum(v) AS sx FROM x GROUP BY i),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+    prods AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+    SELECT p.i, p.j,
+           round(p.sxy / n.n - (sa.sx / n.n) * (sb.sx / n.n), 6) AS cov
+    FROM prods p
+    JOIN sums sa ON sa.i = p.i
+    JOIN sums sb ON sb.i = p.j
+    CROSS JOIN n
+    """
+
+
+@register("emb_covariance", _EMB_COV_SQL)
+def emb_covariance(spark, sf_dir):
+    """Embedding covariance matrix (upper triangle) — the sufficient
+    statistic for PCA / whitening / anisotropy diagnostics over the corpus
+    embeddings; the dim×dim result is what a driver-side eigendecomposition
+    consumes, and computing it is the ONLY data-sized step of PCA. Spark
+    side: one float64 [X|1]-augmented Gram matmul per partition
+    (mapInPandas, Arrow-batched) + a groupBy over the fixed (dim+1)²/2
+    keyspace — corpus size never reaches the shuffle. The DuckDB twin is
+    the dual-unnest self-join spelling of the same sums (fine at oracle
+    scale; the n·dim²/2-row shuffle it implies is exactly what the Gram
+    partial avoids at 100 TB)."""
+    from .functions.similarity import covariance_upper
+
+    emb = T(spark, sf_dir, "embeddings")
+    return covariance_upper(emb, "embedding", dim=_EMB_DIM)

@@ -243,3 +243,41 @@ def test_expire_snapshots_gcs_orphan_tmp_manifests(spark, replayed):
     t.expire_snapshots(keep_last=2)
     for orphan in orphans:
         assert not os.path.exists(orphan), orphan
+
+
+def test_table_stats_and_binpack_rewrite(spark, events_dir, tmp_path):
+    """plan_compaction splits dirty vs fragmented buckets; compact_table then
+    rewrite_buckets shrinks per-bucket file counts to 1 with the final state
+    byte-identical; rewrite refuses dirty buckets."""
+    from openlogreplicator_spark.operators.merge import (
+        compact_table,
+        read_state,
+        rewrite_buckets,
+    )
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor")
+    p.run_available_now(max_files_per_trigger=2)  # several MoR append epochs
+    t = LakeTable.load(spark, p.table_path)
+    before = {r["url"]: r for r in read_state(t).collect()}
+
+    stats = t.table_stats()
+    assert stats and all(s["bytes"] > 0 for s in stats)
+    assert sum(s["rows"] for s in stats) == t.rows_in_buckets()
+    plan = t.plan_compaction(max_files_per_bucket=1, small_file_bytes=0)
+    assert set(plan["compact"]) == t.dirty_buckets()
+
+    # dirty buckets are refused by the bin-pack path
+    if plan["compact"]:
+        with pytest.raises(ValueError):
+            rewrite_buckets(t, plan["compact"][:1])
+
+    compact_table(t)
+    plan2 = t.plan_compaction(max_files_per_bucket=1, small_file_bytes=0)
+    assert plan2["compact"] == []
+    if plan2["rewrite"]:
+        rewrite_buckets(t, plan2["rewrite"])
+    t2 = LakeTable.load(spark, p.table_path)
+    assert all(s["n_files"] == 1 for s in t2.table_stats())
+    after = {r["url"]: r for r in read_state(t2).collect()}
+    assert after == before
