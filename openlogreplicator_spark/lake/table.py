@@ -275,17 +275,39 @@ class LakeTable:
         return {"compact": compact, "rewrite": rewrite}
 
     # ----------------------------------------------------------------- read
-    def read(self, buckets: Iterable[int] | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: Iterable[int] | None = None,
+        ts_between: tuple[int | None, int | None] | None = None,
+    ) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.
 
         Files are grouped by the schema version they were written under and
         remapped (rename by field id, cast for widenings) — the Iceberg
         read-path equivalent of metadata-only evolution.
+
+        ``ts_between=(lo_us, hi_us)`` (inclusive epoch micros, either end
+        None for open) additionally skips every file whose manifest-recorded
+        event-time bounds cannot intersect the window — metadata-only file
+        skipping, the Iceberg min/max-bounds scan prune (reference analogue:
+        checkpoint headers carry first/next scn per redo file so the
+        replicator opens only files covering the resume position). Files
+        without recorded bounds are always read. CAVEAT: pruning drops rows
+        outside the window BEFORE any read-time LWW, so it is only sound for
+        queries that filter the event-time column to the same window — never
+        for resolving current state on a merge-on-read table.
         """
         bucket_set = set(buckets) if buckets is not None else None
+        lo, hi = ts_between if ts_between is not None else (None, None)
         by_ver: dict[int, list[str]] = {}
         for fe in self.snap["files"]:
             if bucket_set is not None and fe["bucket"] not in bucket_set:
+                continue
+            fmin, fmax = fe.get("ts_min_us"), fe.get("ts_max_us")
+            if fmin is not None and (
+                (hi is not None and fmin > hi)
+                or (lo is not None and fmax < lo)
+            ):
                 continue
             by_ver.setdefault(fe["schema_ver"], []).append(
                 os.path.join(self.path, fe["path"])
@@ -355,6 +377,12 @@ class LakeTable:
     # ---------------------------------------------------------------- write
     def new_data_dir(self) -> tuple[str, str]:
         """(abs_path, rel_path) of a fresh unique directory for a commit's files."""
+        # every commit write flows through here — pin INT64-micros timestamps
+        # (Spark's legacy INT96 carries no parquet min/max statistics, which
+        # would silently disable the manifest ts-bounds file skipping)
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         rel = os.path.join("data", f"commit-{self.snap['version'] + 1:08d}-{uuid.uuid4().hex[:8]}")
         absd = os.path.join(self.path, rel)
         return absd, rel

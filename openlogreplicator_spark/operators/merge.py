@@ -25,6 +25,7 @@ Scale design:
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import time
 from collections.abc import Iterable
@@ -37,6 +38,51 @@ from ..lake.table import LakeTable
 from .lww import lww_compact_auto
 
 DEFAULT_BROADCAST_BUDGET = 20_000_000
+
+# File-level stats column: the LWW event-time order column. Its per-file
+# [min,max] rides in each manifest entry so time-windowed reads can skip
+# whole files from metadata alone (Iceberg's value_counts/bounds analogue;
+# the reference's checkpoint headers carry first/next scn per redo file for
+# exactly the same skip — Metadata.cpp checkpoint schema).
+STATS_COL = "warc_ts"
+_EPOCH0 = _dt.datetime(1970, 1, 1)
+
+
+def ts_micros(v) -> int | None:
+    """Tz-naive-UTC datetime (or date) → integer epoch micros; None if not
+    convertible. Integer micros are the only cross-safe JSON encoding for
+    parquet timestamp statistics (naive datetimes have no portable str)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH0) // _dt.timedelta(microseconds=1)
+    return None
+
+
+def _file_ts_bounds(md, stats_col: str) -> tuple[int | None, int | None]:
+    """[min,max] epoch-micros of ``stats_col`` across a file's row groups,
+    (None, None) when any row group lacks usable min/max (INT96 timestamps,
+    stats disabled, column absent) — absent bounds mean 'never prune'."""
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        col = None
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            if c.path_in_schema == stats_col:
+                col = c
+                break
+        if col is None:
+            return None, None
+        st = col.statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        mn, mx = ts_micros(st.min), ts_micros(st.max)
+        if mn is None or mx is None:
+            return None, None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
 
 
 def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], int]:
@@ -54,33 +100,39 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
             if fn.endswith(".parquet"):
                 paths.append(os.path.join(root, fn))
 
-    def meta(ap: str) -> tuple[str, int]:
-        return ap, pq.ParquetFile(ap).metadata.num_rows
+    def meta(ap: str) -> tuple[str, int, int | None, int | None]:
+        md = pq.ParquetFile(ap).metadata
+        lo, hi = _file_ts_bounds(md, STATS_COL)
+        return ap, md.num_rows, lo, hi
 
     entries, rows = [], 0
     if not paths:
         return entries, rows
     with concurrent.futures.ThreadPoolExecutor(min(16, len(paths))) as ex:
-        for ap, n in ex.map(meta, paths):
+        for ap, n, lo, hi in ex.map(meta, paths):
             rows += n
-            entries.append(
-                {
-                    "path": os.path.relpath(ap, table.path),
-                    "bucket": int(os.path.basename(os.path.dirname(ap)).split("=")[1]),
-                    "schema_ver": table.current_schema_ver,
-                    "rows": n,
-                }
-            )
+            e = {
+                "path": os.path.relpath(ap, table.path),
+                "bucket": int(os.path.basename(os.path.dirname(ap)).split("=")[1]),
+                "schema_ver": table.current_schema_ver,
+                "rows": n,
+            }
+            if lo is not None:
+                e["ts_min_us"], e["ts_max_us"] = lo, hi
+            entries.append(e)
     return entries, rows
 
 
 def read_state(
-    table: LakeTable, broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET
+    table: LakeTable,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+    buckets: Iterable[int] | None = None,
 ) -> DataFrame:
     """User-facing scan: live rows only (tombstones filtered, internal cols
     kept). On a merge-on-read table (uncompacted appended deltas), winners
     are resolved at read time — same LWW total order, so state is identical
-    to the copy-on-write path.
+    to the copy-on-write path. ``buckets`` restricts the scan (exact:
+    buckets partition keys, so a bucket subset is a complete key subset).
 
     Scale shape (round-2 verdict tasks 4+5): read-time LWW runs ONLY over the
     dirty buckets (buckets partition keys, so per-bucket LWW is exact); clean
@@ -88,11 +140,13 @@ def read_state(
     the snapshot's exact per-bucket row counts as a free key-count bound —
     above the broadcast budget the salted two-phase form engages instead of
     broadcasting a hash of every distinct key in the table."""
-    dirty = table.dirty_buckets()
+    present = {f["bucket"] for f in table.snap["files"]}
+    if buckets is not None:
+        present &= set(buckets)
+    dirty = table.dirty_buckets() & present
     if not dirty:
-        df = table.read()
+        df = table.read(present if buckets is not None else None)
     else:
-        present = {f["bucket"] for f in table.snap["files"]}
         clean = present - dirty
         resolved = lww_compact_auto(
             table.read(dirty),
@@ -107,32 +161,158 @@ def read_state(
     return df.filter(F.col("_op") != "d")
 
 
+def snapshot_diff(
+    spark,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> DataFrame:
+    """Incremental changelog between two snapshots (Delta CDF / Iceberg
+    incremental-scan analogue; the reference's downstream contract is the
+    same idea — a consumer that saw state at checkpoint A asks for exactly
+    what changed by checkpoint B, WriterStream confirm protocol).
+
+    Returns one row per key whose USER-FACING state differs between
+    ``from_version`` (must be an ancestor) and ``to_version`` (default:
+    current): ``_change`` ∈ insert/update/delete plus the current-schema
+    columns — after-image for insert/update, before-image (projected to the
+    current schema by field id, added columns null) for delete. Maintenance
+    commits (compaction, bin-pack, rebucket) change no key's state and emit
+    nothing.
+
+    Scale shape: buckets whose FILE SETS are identical in both snapshots are
+    pruned driver-side from the manifests before any scan — a quiet epoch
+    diffs O(touched buckets), never the table. Both sides then resolve LWW
+    only over their dirty subset (read_state), and the classifying join runs
+    on the changed buckets only. Update detection compares the LWW order
+    pair (warc_ts, _seq) — the version identity of a row — so rewritten but
+    unchanged rows are not reported."""
+    new = LakeTable.load(spark, path, version=to_version)
+    if from_version > new.snap["version"]:
+        raise ValueError(
+            f"from_version {from_version} is newer than to_version "
+            f"{new.snap['version']}"
+        )
+    old = LakeTable.load(spark, path, version=from_version)
+
+    def file_sets(t: LakeTable) -> dict[int, frozenset]:
+        out: dict[int, set] = {}
+        for fe in t.snap["files"]:
+            out.setdefault(fe["bucket"], set()).add(fe["path"])
+        return {b: frozenset(s) for b, s in out.items()}
+    fs_old, fs_new = file_sets(old), file_sets(new)
+    changed = sorted(
+        b for b in set(fs_old) | set(fs_new) if fs_old.get(b) != fs_new.get(b)
+    )
+    key = new.key_col
+    cur_cols = [f["name"] for f in new.current_schema()]
+    if not changed:
+        ddl = ", ".join(
+            ["`_change` string"]
+            + [f"`{f['name']}` {f['type']}" for f in new.current_schema()]
+        )
+        return spark.createDataFrame([], ddl)
+    # read the OLD snapshot's files at the NEW schema (field-id remap): the
+    # new snapshot's schema dict is a superset — schemas only accumulate
+    shadow = LakeTable(
+        spark,
+        path,
+        {
+            **old.snap,
+            "schemas": new.snap["schemas"],
+            "current_schema_ver": new.snap["current_schema_ver"],
+        },
+    )
+    o = read_state(shadow, broadcast_budget_keys, buckets=changed)
+    n = read_state(new, broadcast_budget_keys, buckets=changed)
+    o = o.select([F.col(c).alias(f"_o_{c}") for c in cur_cols])
+    n = n.select([F.col(c).alias(f"_n_{c}") for c in cur_cols])
+    j = o.join(n, F.col(f"_o_{key}") == F.col(f"_n_{key}"), "full_outer")
+    change = (
+        F.when(F.col(f"_o_{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"_n_{key}").isNull(), F.lit("delete"))
+        .when(
+            (F.col("_o_warc_ts") != F.col("_n_warc_ts"))
+            | (F.col("_o__seq") != F.col("_n__seq")),
+            F.lit("update"),
+        )
+    )
+    deleted = F.col("_n_" + key).isNull()
+    return (
+        j.select(
+            change.alias("_change"),
+            *[
+                F.when(deleted, F.col(f"_o_{c}"))
+                .otherwise(F.col(f"_n_{c}"))
+                .alias(c)
+                for c in cur_cols
+            ],
+        )
+        .filter(F.col("_change").isNotNull())
+    )
+
+
 def purge_tombstones(table: LakeTable, older_than) -> dict:
     """Maintenance: drop delete tombstones with warc_ts < older_than.
 
     Safe once the event-time watermark guarantees no event older than the
     cutoff can still arrive (T4) — after that, a tombstone can no longer be
     needed to block a late resurrect. Only buckets that actually contain
-    expired tombstones are rewritten (bucket-pruned, like merge)."""
-    full = table.read().withColumn("_bucket", table.bucket_expr())
+    expired tombstones are rewritten (bucket-pruned, like merge); the
+    DISCOVERY scan additionally file-skips on manifest ts bounds (only files
+    that can hold rows with warc_ts < cutoff are opened — sound here because
+    the discovery predicate is exactly that time window)."""
+    cutoff_us = ts_micros(older_than)
+    hi = cutoff_us - 1 if cutoff_us is not None else None
+    scan = table.read(ts_between=(None, hi))
     expired = (F.col("_op") == "d") & (F.col("warc_ts") < F.lit(older_than))
-    dirty = [
+    touched = [
         r[0]
-        for r in full.filter(expired).select("_bucket").distinct().collect()
+        for r in scan.withColumn("_bucket", table.bucket_expr())
+        .filter(expired).select("_bucket").distinct().collect()
     ]
-    if not dirty:
+    if not touched:
         table.commit_summary_only({"op": "purge_tombstones", "buckets": 0})
         return {"buckets_rewritten": 0, "rows": 0}
-    kept = table.read(dirty).withColumn("_bucket", table.bucket_expr()).filter(~expired)
+    # A touched bucket holding uncompacted MoR deltas must be LWW-RESOLVED
+    # in the same pass: dropping only the tombstone row while its superseded
+    # older versions remain in the deltas would let read-time LWW resurrect
+    # them (the exact hazard rewrite_buckets refuses raw rewrites for). The
+    # bucket is being rewritten anyway, so resolving it here is a free
+    # compaction — its dirty mark is cleared in the commit.
+    mor_dirty = table.dirty_buckets() & set(touched)
+    clean = sorted(set(touched) - mor_dirty)
+    parts = []
+    if mor_dirty:
+        parts.append(
+            lww_compact_auto(
+                table.read(sorted(mor_dirty)),
+                key=table.key_col,
+                order=("warc_ts", "_seq"),
+                broadcast_budget_keys=DEFAULT_BROADCAST_BUDGET,
+                approx_rows=table.rows_in_buckets(mor_dirty),
+            )
+        )
+    if clean:
+        parts.append(table.read(clean))
+    src = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    kept = src.withColumn("_bucket", table.bucket_expr()).filter(~expired)
     absdir, _rel = table.new_data_dir()
-    kept.repartition(max(1, min(len(dirty), 64)), "_bucket").write.partitionBy(
+    kept.repartition(max(1, min(len(touched), 64)), "_bucket").write.partitionBy(
         "_bucket"
     ).parquet(absdir)
     new_files, rows = _collect_written_files(absdir, table)
+    remaining = sorted(table.dirty_buckets() - mor_dirty)
     table.commit_files(
-        new_files, dirty, {"op": "purge_tombstones", "buckets": len(dirty)}
+        new_files, touched,
+        {"op": "purge_tombstones", "buckets": len(touched)},
+        extra={
+            "needs_read_compaction": bool(remaining),
+            "dirty_buckets": remaining,
+        },
     )
-    return {"buckets_rewritten": len(dirty), "rows": rows}
+    return {"buckets_rewritten": len(touched), "rows": rows}
 
 
 def merge_append(
@@ -243,6 +423,61 @@ def rewrite_buckets(table: LakeTable, buckets: Iterable[int]) -> dict:
         {"op": "rewrite", "rows": rows, "buckets": len(req)},
     )
     return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(req)}
+
+
+def rebucket(
+    table: LakeTable,
+    new_n_buckets: int,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> dict:
+    """Partition evolution: rewrite the table under a new bucket count (the
+    Iceberg bucket[N]-transform evolution; ours must rewrite data because
+    files are physically laid out by bucket). The one-shot answer when a
+    table outgrows its creation-time n_buckets (per-bucket rows keep growing
+    → compaction rewrites and merge reconciles get slower per epoch).
+
+    Runs the LWW compaction in the same pass (each key's versions all land
+    in one new bucket anyway, and folding them costs nothing extra here), so
+    the result is a clean, compacted table; tombstones are preserved —
+    rebucket is a maintenance commit, user state is untouched. Single
+    full-table rewrite, O(table) once — schedule like any other maintenance
+    (the reference's analogous full pass is the schema re-snapshot on
+    dictionary rebuild, Metadata.cpp writeCheckpoint(switch))."""
+    if new_n_buckets < 1:
+        raise ValueError("new_n_buckets must be >= 1")
+    old_buckets = sorted({f["bucket"] for f in table.snap["files"]})
+    full = table.read()
+    merged = lww_compact_auto(
+        full,
+        key=table.key_col,
+        order=("warc_ts", "_seq"),
+        broadcast_budget_keys=broadcast_budget_keys,
+        approx_rows=table.rows_in_buckets(),
+    )
+    new_bucket = F.pmod(
+        F.xxhash64(F.col(table.key_col)), F.lit(new_n_buckets)
+    ).cast("int")
+    out = merged.withColumn("_bucket", new_bucket)
+    absdir, _rel = table.new_data_dir()
+    (
+        out.repartition(max(1, min(new_n_buckets, 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = _collect_written_files(absdir, table)
+    table.commit_files(
+        new_files,
+        old_buckets,
+        {"op": "rebucket", "rows": rows,
+         "from_buckets": table.n_buckets, "to_buckets": new_n_buckets},
+        extra={
+            "n_buckets": int(new_n_buckets),
+            "needs_read_compaction": False,
+            "dirty_buckets": [],
+        },
+    )
+    return {"files": len(new_files), "rows": rows,
+            "n_buckets": int(new_n_buckets)}
 
 
 def merge_into(

@@ -281,3 +281,48 @@ def test_table_stats_and_binpack_rewrite(spark, events_dir, tmp_path):
     assert all(s["n_files"] == 1 for s in t2.table_stats())
     after = {r["url"]: r for r in read_state(t2).collect()}
     assert after == before
+
+
+def test_purge_tombstones_mor_no_resurrection(spark, events_dir, tmp_path):
+    """On a merge-on-read table, purging an expired tombstone out of a DIRTY
+    bucket must not resurrect the older versions of that key still sitting in
+    the uncompacted deltas: purge LWW-resolves the buckets it rewrites (and
+    clears their dirty marks). User-facing state is invariant under purge."""
+    import datetime as dt
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import read_state
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor")
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    assert t.dirty_buckets(), "MoR replay must leave uncompacted deltas"
+    raw = t.read()
+    n_tombs = raw.filter(F.col("_op") == "d").count()
+    assert n_tombs > 0
+    # at least one tombstoned key must carry older delta versions — the
+    # resurrection hazard this test pins
+    tomb_keys = raw.filter(F.col("_op") == "d").select("url")
+    assert raw.join(tomb_keys, "url", "left_semi").count() > n_tombs
+
+    before = sorted(
+        (r["url"], r["warc_ts"], r["_seq"])
+        for r in read_state(t).select("url", "warc_ts", "_seq").collect()
+    )
+    cutoff = raw.filter(F.col("_op") == "d").agg(F.max("warc_ts")).collect()[0][0]
+    stats = purge_tombstones(t, cutoff + dt.timedelta(seconds=1))
+    assert stats["buckets_rewritten"] > 0
+
+    t2 = LakeTable.load(spark, p.table_path)
+    assert t2.read().filter(F.col("_op") == "d").count() == 0
+    after = sorted(
+        (r["url"], r["warc_ts"], r["_seq"])
+        for r in read_state(t2).select("url", "warc_ts", "_seq").collect()
+    )
+    assert after == before
+    # rewritten buckets were resolved in-pass: their dirty marks are gone
+    rewritten = {f["bucket"] for f in t2.snap["files"]} - t2.dirty_buckets()
+    assert rewritten, "purged buckets must be clean after the rewrite"
