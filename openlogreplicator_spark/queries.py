@@ -4501,3 +4501,175 @@ def emb_covariance(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     return covariance_upper(emb, "embedding", dim=_EMB_DIM)
+
+
+# Incremental changelog between two snapshots over the SAME fixed replay log:
+# old state = LWW replay of the first two fixture files (the epochs confirmed
+# by the chosen from_version), new state = replay of all four; a full outer
+# join classifies insert/update/delete, update meaning the LWW version pair
+# (warc_ts, seq) moved. Deletes carry the OLD state's row projected to the
+# current schema — those epochs predate every DDL, so http_status is NULL.
+_SNAPSHOT_DIFF_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    new_proj AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev),
+    new_state AS (SELECT * FROM new_proj WHERE rn = 1 AND _op <> 'd'),
+    old_ev AS (
+      SELECT * FROM read_parquet(['{_REPLAY_EVENTS}/events-00000.parquet',
+                                  '{_REPLAY_EVENTS}/events-00001.parquet'])
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    old_proj AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CAST(NULL AS BIGINT) AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM old_ev),
+    old_state AS (SELECT * FROM old_proj WHERE rn = 1 AND _op <> 'd')
+    SELECT CASE WHEN o.url IS NULL THEN 'insert'
+                WHEN n.url IS NULL THEN 'delete'
+                ELSE 'update' END AS _change,
+           COALESCE(n.url, o.url) AS url,
+           CASE WHEN n.url IS NULL THEN o.warc_ts ELSE n.warc_ts END AS warc_ts,
+           CASE WHEN n.url IS NULL THEN o._seq ELSE n._seq END AS _seq,
+           CASE WHEN n.url IS NULL THEN o.text ELSE n.text END AS text,
+           CASE WHEN n.url IS NULL THEN o.lang ELSE n.lang END AS lang,
+           CASE WHEN n.url IS NULL THEN o.http_status
+                ELSE n.http_status END AS http_status
+    FROM old_state o FULL OUTER JOIN new_state n ON o.url = n.url
+    WHERE o.url IS NULL OR n.url IS NULL
+       OR o.warc_ts <> n.warc_ts OR o._seq <> n._seq
+    """
+
+
+@register("engine_snapshot_diff", _SNAPSHOT_DIFF_SQL)
+def engine_snapshot_diff(spark, sf_dir):
+    """Incremental snapshot changelog (Delta CDF / Iceberg incremental-scan
+    analogue; reference analogue: the WriterStream confirm protocol's
+    contract that a consumer resumes from a confirmed position and receives
+    exactly the changes since — src/replicator + WriterStream.cpp confirm
+    loop). Replays the fixed log as four per-file epochs, picks the snapshot
+    version that confirmed epoch 1, and asks the table: what changed between
+    then and now? Scale shape (operators/merge.py snapshot_diff): buckets
+    whose manifest FILE SETS are identical in both snapshots are pruned
+    driver-side before any scan — a quiet epoch diffs O(touched buckets);
+    both sides resolve LWW only over their dirty subset; update detection
+    compares the (warc_ts, seq) version identity so rewritten-but-unchanged
+    rows are never reported."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import snapshot_diff
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_diff_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    cur = LakeTable.load(spark, p.table_path)
+    ver = max(
+        v
+        for v in cur.versions()
+        if LakeTable.load(spark, p.table_path, version=v).last_epoch() == (1, True)
+    )
+    return snapshot_diff(spark, p.table_path, ver).select(
+        "_change", "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+# Train/eval decontamination (GPT-3 appendix-C style; 4-gram at fixture
+# scale — the corpus vocabulary is tiny, so 4 plays the role 13 does on web
+# text): the eval set is the 25 docs with the smallest (md5(text), doc_id) —
+# a deterministic stand-in for a benchmark suite — and a training doc is
+# contaminated when any of its 4-gram windows appears in the eval set.
+_DECONTAM_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    eval_ids AS (
+      SELECT doc_id FROM documents WHERE length(trim(text)) > 0
+      ORDER BY md5(text), doc_id LIMIT 25),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3])) AS gram
+      FROM base WHERE len(toks) >= 4),
+    eg AS (SELECT DISTINCT gram FROM g
+           WHERE doc_id IN (SELECT doc_id FROM eval_ids)),
+    train AS (SELECT * FROM g
+              WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM train GROUP BY doc_id),
+    hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM train WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id)
+    SELECT t.doc_id, t.n_grams, h.n_hits,
+           round(h.n_hits::DOUBLE / t.n_grams, 4) AS hit_share
+    FROM tot t JOIN hit h USING (doc_id)
+    """
+
+
+@register("docs_decontamination", _DECONTAM_SQL)
+def docs_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any 4-gram
+    with a (deterministically chosen) eval set — the GPT-3/PaLM train-test
+    overlap filter, the other direction of the dedup family (protect the
+    EVAL set instead of the corpus). Shape at scale: the eval side is a
+    benchmark suite — tiny by construction — so its distinct grams BROADCAST
+    and both the membership check and the hit count are broadcast left-semi
+    joins: the 100 TB training side never shuffles on gram; per-doc counts
+    are partial-agg groupBys on doc_id."""
+    n = 4
+    docs = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    evals = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(25)
+        .select("doc_id")
+    )
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    gram_of = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), gram_of)
+        ).alias("gram"),
+    )
+    eval_grams = (
+        grams.join(F.broadcast(evals), "doc_id", "left_semi")
+        .select("gram")
+        .distinct()
+    )
+    train = grams.join(F.broadcast(evals), "doc_id", "left_anti")
+    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        train.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return tot.join(hits, "doc_id", "inner").select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 4).alias(
+            "hit_share"
+        ),
+    )
