@@ -4592,84 +4592,152 @@ def engine_snapshot_diff(spark, sf_dir):
     )
 
 
-# Train/eval decontamination (GPT-3 appendix-C style; 4-gram at fixture
-# scale — the corpus vocabulary is tiny, so 4 plays the role 13 does on web
-# text): the eval set is the 25 docs with the smallest (md5(text), doc_id) —
-# a deterministic stand-in for a benchmark suite — and a training doc is
-# contaminated when any of its 4-gram windows appears in the eval set.
-_DECONTAM_SQL = """
-    WITH base AS (
-      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-      FROM documents WHERE length(trim(text)) > 0),
-    eval_ids AS (
-      SELECT doc_id FROM documents WHERE length(trim(text)) > 0
-      ORDER BY md5(text), doc_id LIMIT 25),
-    g AS (
-      SELECT doc_id,
-             unnest(list_transform(generate_series(1, len(toks) - 3),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                         || ' ' || toks[i+3])) AS gram
-      FROM base WHERE len(toks) >= 4),
-    eg AS (SELECT DISTINCT gram FROM g
-           WHERE doc_id IN (SELECT doc_id FROM eval_ids)),
-    train AS (SELECT * FROM g
-              WHERE doc_id NOT IN (SELECT doc_id FROM eval_ids)),
-    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
-            FROM train GROUP BY doc_id),
-    hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
-            FROM train WHERE gram IN (SELECT gram FROM eg) GROUP BY doc_id)
-    SELECT t.doc_id, t.n_grams, h.n_hits,
-           round(h.n_hits::DOUBLE / t.n_grams, 4) AS hit_share
-    FROM tot t JOIN hit h USING (doc_id)
+# IVF-PQ recall@k: the approx side is the full IVFADC chain of _IVFPQ_SQL
+# (same pinned quantizers), widened to the 32-query evaluation set; the
+# exact side is float64 brute force. Quantization error now comes from BOTH
+# stages (cell pruning + residual codes), so this gate prices the composite
+# — IVF alone (ann_recall_eval_ivf) isolates the pruning loss.
+_IVFPQ_RECALL_SQL = f"""
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    cvecs AS (
+      SELECT cid, list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cv
+      FROM init),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    resid AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, 65),
+               i -> CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                    - v.cv[CAST(i AS INT)]) AS r
+      FROM assign a JOIN cvecs v USING (cid) WHERE a.rn = 1),
+    pinned AS (
+      SELECT r.r AS pv, rk.j
+      FROM (SELECT vec_id,
+                   row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS j
+            FROM embeddings) rk
+      JOIN resid r USING (vec_id)
+      WHERE rk.j < 16),
+    subs AS (SELECT unnest(range(0, 8)) AS s),
+    cb AS (
+      SELECT s, j, list_slice(pv, s*8 + 1, s*8 + 8) AS cvec
+      FROM pinned CROSS JOIN subs),
+    dists AS (
+      SELECT r.vec_id, r.cid, c.s, c.j,
+             list_reduce(
+               [0.0::DOUBLE] || list_transform(range(1, 9),
+                 i -> (r.r[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])
+                    * (r.r[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM resid r CROSS JOIN cb c),
+    codes AS (
+      SELECT vec_id, cid, s, j AS code FROM (
+        SELECT vec_id, cid, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM dists) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qvec, cid
+      FROM assign WHERE vec_id < 32 AND rn <= 2),
+    qresid AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range(1, 65),
+               i -> CAST(p.qvec[CAST(i AS INT)] AS DOUBLE)
+                    - v.cv[CAST(i AS INT)]) AS qr
+      FROM probes p JOIN cvecs v USING (cid)),
+    qdists AS (
+      SELECT q.query_id, q.cid, c.s, c.j,
+             list_reduce(
+               [0.0::DOUBLE] || list_transform(range(1, 9),
+                 i -> (q.qr[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])
+                    * (q.qr[CAST(c.s*8 + i AS INT)] - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM qresid q CROSS JOIN cb c),
+    terms AS (
+      SELECT q.query_id, co.vec_id, q.s, q.d
+      FROM qdists q
+      JOIN codes co ON co.cid = q.cid AND co.s = q.s AND co.code = q.j
+      WHERE co.vec_id <> q.query_id),
+    adc AS (
+      SELECT query_id, vec_id,
+             list_reduce([0.0::DOUBLE] || list(d ORDER BY s),
+                         (a, b) -> a + b) AS a
+      FROM terms GROUP BY query_id, vec_id),
+    approx AS (
+      SELECT query_id, vec_id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY a, vec_id)
+        <= {_RECALL_K}),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id
+      FROM q, embeddings
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) DESC,
+                 vec_id) <= {_RECALL_K}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {_RECALL_K}.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
     """
 
 
-@register("docs_decontamination", _DECONTAM_SQL)
-def docs_decontamination(spark, sf_dir):
-    """Benchmark decontamination: flag training documents sharing any 4-gram
-    with a (deterministically chosen) eval set — the GPT-3/PaLM train-test
-    overlap filter, the other direction of the dedup family (protect the
-    EVAL set instead of the corpus). Shape at scale: the eval side is a
-    benchmark suite — tiny by construction — so its distinct grams BROADCAST
-    and both the membership check and the hit count are broadcast left-semi
-    joins: the 100 TB training side never shuffles on gram; per-doc counts
-    are partial-agg groupBys on doc_id."""
-    n = 4
-    docs = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    evals = (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .orderBy("h", "doc_id")
-        .limit(25)
-        .select("doc_id")
+@register("ann_recall_eval_ivfpq", _IVFPQ_RECALL_SQL)
+def ann_recall_eval_ivfpq(spark, sf_dir):
+    """Recall@k of the IVF-PQ composite against exact brute force — closes
+    the recall-gate family (LSH ✓ IVF ✓ IVF-PQ here): the composite's loss
+    is cell pruning PLUS residual quantization, and re-dialing (k_cells,
+    nprobe, m, n_codes) for a bigger corpus needs this number next to
+    ann_recall_eval_ivf's to attribute which stage is losing neighbors.
+    Shape: identical to the production path — map-side encode, cid
+    equi-join, broadcast query side; the exact side broadcasts only the
+    32-query evaluation set."""
+    from .functions.similarity import ivfpq_residual_codebooks, ivfpq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
     )
-    toks = F.split(F.trim(F.lower("text")), r"\s+")
-    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
-    gram_of = lambda i: F.concat_ws(
-        " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
-    )
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), gram_of)
-        ).alias("gram"),
-    )
-    eval_grams = (
-        grams.join(F.broadcast(evals), "doc_id", "left_semi")
-        .select("gram")
-        .distinct()
-    )
-    train = grams.join(F.broadcast(evals), "doc_id", "left_anti")
-    tot = train.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    cbs = ivfpq_residual_codebooks(emb, centroids, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 32)
+    approx = ivfpq_topk(
+        emb, q, centroids, cbs, k=_RECALL_K, nprobe=2
+    ).select("query_id", "vec_id")
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "vec_id")
     hits = (
-        train.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
     )
-    return tot.join(hits, "doc_id", "inner").select(
-        "doc_id",
-        "n_grams",
-        "n_hits",
-        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 4).alias(
-            "hit_share"
-        ),
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_RECALL_K), 4)
+            .alias("recall"),
+        )
     )
