@@ -339,7 +339,8 @@ class LakeTable:
         """Apply one DDL event as a metadata-only schema change (SURVEY.md §2.9).
 
         Mirrors the reference's dictionary replay (SystemTransaction.cpp): the
-        change log's ``ddl`` rows drive add_column / rename_column / widen_type.
+        change log's ``ddl`` rows drive add_column / rename_column /
+        widen_type / drop_column.
         """
         cur = [dict(f) for f in self.current_schema()]
         nfid = self.snap["next_field_id"]
@@ -364,6 +365,19 @@ class LakeTable:
             if old_t != new_t and (old_t, new_t) not in _WIDENINGS:
                 raise ValueError(f"not a safe widening: {old_t} -> {new_t}")
             tgt["type"] = new_t
+        elif action == "drop_column":
+            # Metadata-only drop (Iceberg semantics): the field leaves the
+            # current schema; data files keep the bytes but every read path
+            # resolves columns BY FIELD ID against the current schema, so the
+            # column vanishes — and a later add_column under the same NAME
+            # gets a fresh field id, so the dropped data can never resurface
+            # (field ids are never reused: next_field_id is monotonic).
+            reserved = {self.key_col} | set(self.snap.get("reserved_cols", ()))
+            if col_name in reserved:
+                raise ValueError(f"cannot drop engine-reserved column: {col_name}")
+            if not any(f["name"] == col_name for f in cur):
+                raise ValueError(f"no such column: {col_name}")
+            cur = [f for f in cur if f["name"] != col_name]
         else:
             raise ValueError(f"unknown ddl action: {action}")
         ver = to_ver if to_ver is not None else self.current_schema_ver + 1

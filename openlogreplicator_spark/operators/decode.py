@@ -130,6 +130,9 @@ _DDL_PATTERNS = [
      lambda m: ("widen_type", m.group(1), None, m.group(2))),
     (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+ALTER\s+(?:COLUMN\s+)?(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(\w+(?:\(\d+(?:,\s*\d+)?\))?)\s*;?\s*$",
      lambda m: ("widen_type", m.group(1), None, m.group(2))),
+    # ALTER TABLE t DROP [COLUMN] c
+    (r"(?i)^\s*ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?(\w+)\s*;?\s*$",
+     lambda m: ("drop_column", m.group(1), None, None)),
 ]
 
 
@@ -138,9 +141,10 @@ def parse_ddl_sql(sql: str) -> tuple[str, str, str | None, str | None]:
     new_name, new_type) form the dictionary replay consumes — the analogue of
     the reference's system-transaction decode of the DDL text it extracts
     (OpCode1801.cpp; Builder.cpp processDdl). Supported: ADD [COLUMN],
-    RENAME COLUMN .. TO, MODIFY (col type) / ALTER COLUMN .. TYPE (the three
-    evolutions LakeTable supports). Raises ValueError on anything else
-    (unsupported DDL is surfaced, never silently dropped)."""
+    RENAME COLUMN .. TO, MODIFY (col type) / ALTER COLUMN .. TYPE, and
+    DROP [COLUMN] (the four evolutions LakeTable supports). Raises
+    ValueError on anything else (unsupported DDL is surfaced, never
+    silently dropped)."""
     import re
 
     for pat, build in _DDL_PATTERNS:

@@ -200,3 +200,47 @@ def test_legacy_inline_files_snapshot_upgrades_to_manifests(spark, table):
     assert len(t3.snap["manifests"]) >= 2  # base + delta
     got = {r["url"] for r in t3.read().collect()}
     assert "extra" in got and len(got) >= 2
+
+
+def test_drop_column_metadata_only_and_no_resurrection(spark, table):
+    """Iceberg drop semantics: the column leaves the schema without touching
+    data files; re-adding the same NAME gets a fresh field id, so values the
+    dropped column wrote can never resurface under the new column."""
+    import datetime as dt
+    ts = dt.datetime(2020, 1, 1)
+    table.evolve("add_column", "fetch_status", new_type="int", to_ver=2)
+    df = spark.createDataFrame(
+        [("a", ts, 1, "c", "row-a", 200)],
+        "url string, warc_ts timestamp, _seq long, _op string, "
+        "text string, fetch_status int",
+    ).withColumn("_bucket", table.bucket_expr())
+    absdir, _rel = table.new_data_dir()
+    df.write.partitionBy("_bucket").parquet(absdir)
+    files = []
+    for root, _d, fs in os.walk(absdir):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                files.append({
+                    "path": os.path.relpath(os.path.join(root, fn), table.path),
+                    "bucket": int(os.path.basename(root).split("=")[1]),
+                    "schema_ver": 2, "rows": 1,
+                })
+    table.commit_files(files, set(), {"op": "append"})
+    assert table.read().collect()[0]["fetch_status"] == 200
+
+    n_data_files = len(table.snap["files"])
+    table.evolve("drop_column", "fetch_status", to_ver=3)
+    t3 = LakeTable.load(spark, table.path)
+    assert "fetch_status" not in t3.read().columns
+    assert len(t3.snap["files"]) == n_data_files  # metadata-only: no rewrite
+
+    t3.evolve("add_column", "fetch_status", new_type="int", to_ver=4)
+    row = LakeTable.load(spark, table.path).read().collect()[0]
+    assert row["fetch_status"] is None  # new field id: old value stays dead
+
+
+def test_drop_column_guards(table):
+    with pytest.raises(ValueError):
+        table.evolve("drop_column", "url")  # merge key
+    with pytest.raises(ValueError):
+        table.evolve("drop_column", "nope")  # unknown column

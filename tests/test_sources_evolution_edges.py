@@ -187,10 +187,16 @@ def test_parse_ddl_sql_forms():
         ("widen_type", "fetch_status", None, "long")
     assert parse_ddl_sql("ALTER TABLE pages ALTER COLUMN fetch_status SET DATA TYPE long") == \
         ("widen_type", "fetch_status", None, "long")
+    assert parse_ddl_sql("ALTER TABLE pages DROP COLUMN fetch_status") == \
+        ("drop_column", "fetch_status", None, None)
+    assert parse_ddl_sql("alter table pages drop retry_count;") == \
+        ("drop_column", "retry_count", None, None)
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         parse_ddl_sql("DROP TABLE pages")
+    with _pytest.raises(ValueError):
+        parse_ddl_sql("ALTER TABLE pages DROP CONSTRAINT ck_status")
 
 
 def test_raw_sql_ddl_rows_drive_evolution(spark, tmp_path):
