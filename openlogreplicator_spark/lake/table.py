@@ -100,12 +100,25 @@ class LakeTable:
         return t
 
     @staticmethod
-    def load(spark: SparkSession, path: str, version: int | None = None) -> "LakeTable":
+    def load(
+        spark: SparkSession,
+        path: str,
+        version: int | None = None,
+        tag: str | None = None,
+    ) -> "LakeTable":
         """Load the current snapshot, or a historical one (time travel — the
         Iceberg `VERSION AS OF` analogue; the reference's as-of-SCN dictionary
-        read, ReplicatorOnline.cpp:184, is the same idea). The file list is
-        resolved from the manifest chain (in memory only — never rewritten
-        per commit); legacy inline-"files" snapshots load as-is."""
+        read, ReplicatorOnline.cpp:184, is the same idea), or a named ``tag``
+        (Iceberg tag ref). The file list is resolved from the manifest chain
+        (in memory only — never rewritten per commit); legacy inline-"files"
+        snapshots load as-is."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version or tag, not both")
+            tags = LakeTable._read_tags(path)
+            if tag not in tags:
+                raise KeyError(f"no such tag: {tag}")
+            version = tags[tag]
         if version is None:
             cur = os.path.join(path, "_snapshots", "_current")
             with open(cur) as f:
@@ -140,6 +153,50 @@ class LakeTable:
     @staticmethod
     def exists(path: str) -> bool:
         return os.path.exists(os.path.join(path, "_snapshots", "_current"))
+
+    # ----------------------------------------------------------------- tags
+    # Named snapshot refs (Iceberg tags): a savepoint a consumer can pin a
+    # bootstrap / audit / reprocessing run to by NAME while the table keeps
+    # committing. Tagged versions survive expire_snapshots until the tag is
+    # deleted — the reference's equivalent retention rule is that checkpoint
+    # GC never deletes the newest schema-bearing checkpoint file
+    # (Metadata.cpp:505-554); tags generalize that to user-chosen pins.
+    @staticmethod
+    def _read_tags(path: str) -> dict[str, int]:
+        p = os.path.join(path, "_snapshots", "tags.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        p = os.path.join(self.path, "_snapshots", "tags.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, p)
+
+    def tags(self) -> dict[str, int]:
+        return self._read_tags(self.path)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a snapshot version (default: this handle's).
+        Re-tagging an existing name moves it (last write wins — single
+        metadata writer, like every commit path here)."""
+        v = int(version if version is not None else self.snap["version"])
+        if v not in self.versions():
+            raise ValueError(f"no such snapshot version: {v}")
+        t = self._read_tags(self.path)
+        t[name] = v
+        self._write_tags(t)
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        t = self._read_tags(self.path)
+        if name not in t:
+            raise KeyError(f"no such tag: {name}")
+        del t[name]
+        self._write_tags(t)
 
     @staticmethod
     def current_version(path: str) -> int:
@@ -482,10 +539,16 @@ class LakeTable:
         files, never delete the newest schema-bearing one
         (Metadata.cpp:505-554). The current snapshot and every schema version
         it references are always retained (schemas travel inside snapshots
-        here, so retaining the snapshot retains its schema history).
+        here, so retaining the snapshot retains its schema history), and so
+        is every TAGGED version — a named ref is a retention pin until
+        deleted (Iceberg tag semantics).
         """
         vers = self.versions()
-        keep = set(vers[-keep_last:]) | {self.snap["version"]}
+        keep = (
+            set(vers[-keep_last:])
+            | {self.snap["version"]}
+            | set(self._read_tags(self.path).values())
+        )
         retained_paths: set[str] = set()
         retained_manifests: set[str] = set()
         sdir = os.path.join(self.path, "_snapshots")

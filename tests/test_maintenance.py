@@ -326,3 +326,35 @@ def test_purge_tombstones_mor_no_resurrection(spark, events_dir, tmp_path):
     # rewritten buckets were resolved in-pass: their dirty marks are gone
     rewritten = {f["bucket"] for f in t2.snap["files"]} - t2.dirty_buckets()
     assert rewritten, "purged buckets must be clean after the rewrite"
+
+
+def test_tags_pin_versions_and_survive_gc(spark, replayed):
+    """Named snapshot refs (Iceberg tags): load-by-tag equals load-by-version,
+    tagged versions survive expire_snapshots (retention pin), deleting the
+    tag releases them, re-tagging moves the pin."""
+    t = LakeTable.load(spark, replayed.table_path)
+    vers = t.versions()
+    old_v = vers[len(vers) // 2]
+    t.tag("bootstrap-audit", old_v)
+    assert t.tags() == {"bootstrap-audit": old_v}
+    by_tag = LakeTable.load(spark, t.path, tag="bootstrap-audit")
+    assert by_tag.snap["version"] == old_v
+    pinned_state = by_tag.read().filter(F.col("_op") != "d").count()
+
+    t.expire_snapshots(keep_last=1)
+    t2 = LakeTable.load(spark, t.path)
+    assert old_v in t2.versions()  # the pin held
+    assert LakeTable.load(spark, t.path, tag="bootstrap-audit").read().filter(
+        F.col("_op") != "d"
+    ).count() == pinned_state
+
+    # move the pin, then release it: the old version becomes collectable
+    t2.tag("bootstrap-audit")  # defaults to current version
+    t2.expire_snapshots(keep_last=1)
+    assert old_v not in LakeTable.load(spark, t.path).versions()
+    t2.delete_tag("bootstrap-audit")
+    assert t2.tags() == {}
+    with pytest.raises(KeyError):
+        LakeTable.load(spark, t.path, tag="bootstrap-audit")
+    with pytest.raises(ValueError):
+        t2.tag("bad", version=10_000)
