@@ -56,10 +56,19 @@ def _norm_type(t: str) -> str:
 class LakeTable:
     """A bucketed, snapshot-versioned parquet table with schema evolution."""
 
-    def __init__(self, spark: SparkSession, path: str, snap: dict):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        snap: dict,
+        branch: str | None = None,
+    ):
         self.spark = spark
         self.path = path
         self.snap = snap
+        # the ref this handle advances on commit: None = main (`_current`),
+        # else a named branch in branches.json (write-audit-publish staging)
+        self.branch = branch
 
     # ---------------------------------------------------------------- setup
     @staticmethod
@@ -105,20 +114,28 @@ class LakeTable:
         path: str,
         version: int | None = None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> "LakeTable":
         """Load the current snapshot, or a historical one (time travel — the
         Iceberg `VERSION AS OF` analogue; the reference's as-of-SCN dictionary
-        read, ReplicatorOnline.cpp:184, is the same idea), or a named ``tag``
-        (Iceberg tag ref). The file list is resolved from the manifest chain
-        (in memory only — never rewritten per commit); legacy inline-"files"
-        snapshots load as-is."""
+        read, ReplicatorOnline.cpp:184, is the same idea), a named ``tag``
+        (Iceberg tag ref), or a named ``branch`` head — commits on a
+        branch-loaded handle advance the branch ref, not ``_current``
+        (write-audit-publish staging). The file list is resolved from the
+        manifest chain (in memory only — never rewritten per commit); legacy
+        inline-"files" snapshots load as-is."""
+        if sum(x is not None for x in (version, tag, branch)) > 1:
+            raise ValueError("pass at most one of version / tag / branch")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version or tag, not both")
             tags = LakeTable._read_tags(path)
             if tag not in tags:
                 raise KeyError(f"no such tag: {tag}")
             version = tags[tag]
+        if branch is not None:
+            brs = LakeTable._read_branches(path)
+            if branch not in brs:
+                raise KeyError(f"no such branch: {branch}")
+            version = brs[branch]["version"]
         if version is None:
             cur = os.path.join(path, "_snapshots", "_current")
             with open(cur) as f:
@@ -127,7 +144,7 @@ class LakeTable:
             snap = json.load(f)
         if "manifests" in snap:
             snap["files"] = LakeTable._resolve_files(path, snap["manifests"])
-        return LakeTable(spark, path, snap)
+        return LakeTable(spark, path, snap, branch=branch)
 
     @staticmethod
     def _resolve_files(path: str, manifests: list[dict]) -> list[dict]:
@@ -197,6 +214,109 @@ class LakeTable:
             raise KeyError(f"no such tag: {name}")
         del t[name]
         self._write_tags(t)
+
+    # ------------------------------------------------------------- branches
+    # Named WRITABLE refs (Iceberg branches): the write-audit-publish (WAP)
+    # staging pattern for a CDC target — ingest commits land on a branch,
+    # quality gates read the branch head, and a passing audit publishes it to
+    # main with ONE atomic `_current` swap (the snapshot carries the
+    # confirmed-epoch watermark, so exactly-once state publishes with the
+    # data). The reference's analogue is the checkpoint file a writer builds
+    # up privately and atomically renames into place (Writer.cpp:346-422) —
+    # branches generalize that to a whole audited commit chain. Single
+    # metadata writer per TABLE (across all refs), as everywhere here.
+    @staticmethod
+    def _read_branches(path: str) -> dict[str, dict]:
+        p = os.path.join(path, "_snapshots", "branches.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {
+                k: {"version": int(v["version"]), "fork": int(v["fork"])}
+                for k, v in json.load(f).items()
+            }
+
+    def _write_branches(self, brs: dict[str, dict]) -> None:
+        p = os.path.join(self.path, "_snapshots", "branches.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(brs, f, indent=1)
+        os.replace(tmp, p)
+
+    def branches(self) -> dict[str, dict]:
+        return self._read_branches(self.path)
+
+    @staticmethod
+    def branch_version(path: str, name: str) -> int | None:
+        """Head version of a branch, or None if it doesn't exist — the cheap
+        cache-honesty check for branch writers (pairs with current_version)."""
+        br = LakeTable._read_branches(path).get(name)
+        return None if br is None else br["version"]
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Fork a branch at ``version`` (default: this handle's snapshot) and
+        return a handle loaded on it. The fork point is recorded so publish
+        can verify fast-forwardability and GC can pin the branch's chain."""
+        v = int(version if version is not None else self.snap["version"])
+        if v not in self.versions():
+            raise ValueError(f"no such snapshot version: {v}")
+        brs = self._read_branches(self.path)
+        if name in brs:
+            raise ValueError(f"branch exists: {name}")
+        brs[name] = {"version": v, "fork": v}
+        self._write_branches(brs)
+        return LakeTable.load(self.spark, self.path, branch=name)
+
+    def delete_branch(self, name: str) -> None:
+        brs = self._read_branches(self.path)
+        if name not in brs:
+            raise KeyError(f"no such branch: {name}")
+        del brs[name]
+        self._write_branches(brs)
+
+    def _chain_versions(self, head: int, stop_at: int) -> list[int]:
+        """Versions on the parent chain from ``head`` down to ``stop_at``
+        (inclusive), newest first. O(chain length) snapshot-JSON reads."""
+        out, v = [], head
+        sdir = os.path.join(self.path, "_snapshots")
+        while v is not None:
+            out.append(v)
+            if v <= stop_at:
+                break
+            p = os.path.join(sdir, f"v{v:08d}.json")
+            if not os.path.exists(p):
+                break
+            with open(p) as f:
+                v = json.load(f).get("parent")
+        return out
+
+    def publish_branch(self, name: str, delete: bool = True) -> int:
+        """Fast-forward main to the branch head (the WAP publish step): one
+        atomic ``_current`` swap, valid only when main's current version is
+        an ancestor of the branch head (i.e. main has not advanced past the
+        fork — otherwise the audit no longer covers main's history and the
+        caller must re-fork). Returns the published version."""
+        brs = self._read_branches(self.path)
+        if name not in brs:
+            raise KeyError(f"no such branch: {name}")
+        head, fork = brs[name]["version"], brs[name]["fork"]
+        cur = LakeTable.current_version(self.path)
+        if cur not in self._chain_versions(head, fork):
+            raise ValueError(
+                f"cannot fast-forward: main is at v{cur}, not an ancestor of "
+                f"branch {name!r} (head v{head}, forked at v{fork})"
+            )
+        sdir = os.path.join(self.path, "_snapshots")
+        ptmp = os.path.join(sdir, "_current.tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(head))
+        os.replace(ptmp, os.path.join(sdir, "_current"))
+        if delete:
+            self.delete_branch(name)
+        if self.branch is None:
+            fresh = LakeTable.load(self.spark, self.path)
+            self.snap = fresh.snap
+        return head
 
     @staticmethod
     def current_version(path: str) -> int:
@@ -541,14 +661,19 @@ class LakeTable:
         it references are always retained (schemas travel inside snapshots
         here, so retaining the snapshot retains its schema history), and so
         is every TAGGED version — a named ref is a retention pin until
-        deleted (Iceberg tag semantics).
+        deleted (Iceberg tag semantics). A BRANCH pins its whole commit
+        chain back to the fork point: publish_branch needs the parent chain
+        to prove fast-forwardability, and audit windows are short so the
+        chain is bounded.
         """
         vers = self.versions()
         keep = (
             set(vers[-keep_last:])
-            | {self.snap["version"]}
+            | {self.snap["version"], LakeTable.current_version(self.path)}
             | set(self._read_tags(self.path).values())
         )
+        for br in self._read_branches(self.path).values():
+            keep.update(self._chain_versions(br["version"], br["fork"]))
         retained_paths: set[str] = set()
         retained_manifests: set[str] = set()
         sdir = os.path.join(self.path, "_snapshots")
@@ -596,7 +721,12 @@ class LakeTable:
     def _next_snap(self, summary: dict[str, Any]) -> dict:
         snap = json.loads(json.dumps(self.snap))  # deep copy
         snap["parent"] = self.snap["version"]
-        snap["version"] = self.snap["version"] + 1
+        # version numbers are allocated GLOBALLY (max over every snapshot on
+        # any ref +1, an O(snapshots) listdir): with branches, main and a
+        # branch head both descend from shared history, and per-handle +1
+        # would collide — lineage lives in `parent`, not in consecutive
+        # numbering (exactly Iceberg's snapshot-id vs sequence-number split)
+        snap["version"] = max(self.snap["version"], max(self.versions(), default=0)) + 1
         snap["summary"] = summary
         # confirmed-epoch high watermark: advanced only by epoch-bearing
         # commits, carried forward (via the deep copy) by everything else.
@@ -621,6 +751,15 @@ class LakeTable:
         with open(tmp, "w") as f:
             json.dump(to_write, f, indent=1)
         os.replace(tmp, vpath)
+        if self.branch is not None:
+            # branch-loaded handle: the commit advances the branch ref only;
+            # main (`_current`) sees nothing until publish_branch
+            brs = self._read_branches(self.path)
+            if self.branch not in brs:
+                raise KeyError(f"branch deleted under writer: {self.branch}")
+            brs[self.branch]["version"] = snap["version"]
+            self._write_branches(brs)
+            return
         ptmp = os.path.join(sdir, "_current.tmp")
         with open(ptmp, "w") as f:
             f.write(str(snap["version"]))

@@ -1395,6 +1395,51 @@ def engine_replay_state_asof(spark, sf_dir):
     return read_state(asof).select("url", "warc_ts", "_seq", "text", "lang")
 
 
+@register("engine_replay_state_wap", _REPLAY_SQL)
+def engine_replay_state_wap(spark, sf_dir):
+    """Write-audit-publish over the same fixed change log: epochs 0-1 commit
+    to main, epochs 2-3 are STAGED on a branch ref (Iceberg branch / WAP
+    staging; reference analogue: a writer builds its checkpoint privately
+    and atomically renames it into place, Writer.cpp:346-422), the audit
+    gate reads the staged head, and a passing audit fast-forwards main with
+    one atomic pointer swap — the confirmed-epoch watermark publishes with
+    the data. Isolation is asserted in-flight (main's version must not move
+    while the audit is open); the published state must equal the plain
+    four-file replay, which is exactly the DuckDB oracle."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_wap_")
+    table = os.path.join(d, "target")
+    p = CdcPipeline(spark, ev, table, os.path.join(d, "ckpt_main"))
+    for i, f in enumerate(files[:2]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    main_ver = LakeTable.current_version(table)
+
+    bp = CdcPipeline(
+        spark, ev, table, os.path.join(d, "ckpt_wap"), branch="wap_audit"
+    )
+    for i, f in enumerate(files[2:], start=2):
+        bp.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    if LakeTable.current_version(table) != main_ver:
+        raise AssertionError("WAP isolation violated: main moved during audit")
+    # the audit gate: the staged head must be readable and non-empty
+    staged = LakeTable.load(spark, table, branch="wap_audit")
+    if read_state(staged).count() <= 0:
+        raise AssertionError("WAP audit failed: staged state empty")
+    LakeTable.load(spark, table).publish_branch("wap_audit")
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 _PII_SPEC = dict(seed=7, n_docs=400)
 _PII_DOCS = fixture_path(_REPLAY_BASE, "pii_docs", _PII_SPEC)
 

@@ -82,6 +82,7 @@ class CdcPipeline:
         filter_config_path: str | None = None,
         max_html_bytes: int | None = None,
         dead_letter_path: str | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -105,6 +106,9 @@ class CdcPipeline:
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
         self.dead_letter_path = dead_letter_path
+        # write-audit-publish: when set, every epoch commits to this branch
+        # ref; main (`_current`) is untouched until LakeTable.publish_branch
+        self.branch = branch
 
     def _load_filter_config(self) -> dict:
         """T8 online config reload (reference watches the config file mtime
@@ -125,10 +129,19 @@ class CdcPipeline:
         manifest chain every epoch is pure fixed overhead; a cheap _current
         version check keeps the cache honest if anything else committed."""
         if LakeTable.exists(self.table_path):
-            cur = LakeTable.current_version(self.table_path)
+            if self.branch is not None:
+                cur = LakeTable.branch_version(self.table_path, self.branch)
+                if cur is None:  # first epoch on this branch: fork at main
+                    t = LakeTable.load(self.spark, self.table_path)
+                    self._table = t.create_branch(self.branch)
+                    return self._table
+            else:
+                cur = LakeTable.current_version(self.table_path)
             if self._table is not None and self._table.snap["version"] == cur:
                 return self._table
-            self._table = LakeTable.load(self.spark, self.table_path)
+            self._table = LakeTable.load(
+                self.spark, self.table_path, branch=self.branch
+            )
             return self._table
         self._table = LakeTable.create(
             self.spark,
@@ -139,6 +152,8 @@ class CdcPipeline:
             schema_ver=1,
             reserved_cols=["warc_ts", "_seq", "_op"],
         )
+        if self.branch is not None:
+            self._table = self._table.create_branch(self.branch)
         return self._table
 
     def target_state(self) -> DataFrame:

@@ -358,3 +358,69 @@ def test_tags_pin_versions_and_survive_gc(spark, replayed):
         LakeTable.load(spark, t.path, tag="bootstrap-audit")
     with pytest.raises(ValueError):
         t2.tag("bad", version=10_000)
+
+
+def test_wap_branch_write_audit_publish(spark, events_dir, tmp_path):
+    """Write-audit-publish: epochs staged on a branch are invisible to main
+    until one atomic publish; the confirmed-epoch watermark travels with the
+    snapshot; GC pins the branch chain; publish refuses a diverged main."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    tp = str(tmp_path / "t")
+    main_p = CdcPipeline(spark, events_dir, tp, str(tmp_path / "c1"))
+    for i, f in enumerate(files[:3]):
+        main_p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    main_state = main_p.target_state().count()
+    main_ver = LakeTable.current_version(tp)
+
+    # stage the remaining epochs on a branch
+    br_p = CdcPipeline(spark, events_dir, tp, str(tmp_path / "c2"), branch="audit")
+    for i, f in enumerate(files[3:], start=3):
+        br_p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+
+    # isolation: main unmoved in version, state, and exactly-once watermark
+    assert LakeTable.current_version(tp) == main_ver
+    t_main = LakeTable.load(spark, tp)
+    assert t_main.last_epoch() == (2, True)
+    assert main_p.target_state().count() == main_state
+
+    # the branch head carries the staged epochs + its own watermark
+    t_br = LakeTable.load(spark, tp, branch="audit")
+    assert t_br.last_epoch() == (len(files) - 1, True)
+    from openlogreplicator_spark.operators.merge import read_state
+    audit_state = read_state(t_br).count()
+    assert audit_state != main_state  # the branch actually changed something
+
+    # GC while the audit is open: branch chain pinned, still readable
+    t_main.expire_snapshots(keep_last=1)
+    assert read_state(LakeTable.load(spark, tp, branch="audit")).count() \
+        == audit_state
+
+    # publish: main fast-forwards to the audited head in one pointer swap
+    published = t_main.publish_branch("audit")
+    assert LakeTable.current_version(tp) == published
+    t_pub = LakeTable.load(spark, tp)
+    assert t_pub.last_epoch() == (len(files) - 1, True)
+    assert read_state(t_pub).count() == audit_state
+    assert t_pub.branches() == {}  # publish deletes the ref by default
+
+    # a re-delivered staged epoch is now suppressed on MAIN (watermark moved)
+    v_before = LakeTable.current_version(tp)
+    main_p.apply_epoch(
+        spark.read.schema(EVENTS_DDL).parquet(files[3]), epoch_id=3
+    )
+    assert LakeTable.current_version(tp) == v_before
+
+    # divergence: main advances past the fork -> publish must refuse
+    t_pub.create_branch("audit2")
+    br2 = CdcPipeline(spark, events_dir, tp, str(tmp_path / "c3"),
+                      branch="audit2")
+    br2.apply_epoch(
+        spark.read.schema(EVENTS_DDL).parquet(files[0]),
+        epoch_id=len(files),
+    )
+    t_now = LakeTable.load(spark, tp)
+    t_now.evolve("add_column", "audit_note", new_type="string")  # main moves
+    with pytest.raises(ValueError):
+        LakeTable.load(spark, tp).publish_branch("audit2")
