@@ -161,6 +161,44 @@ def read_state(
     return df.filter(F.col("_op") != "d")
 
 
+def lookup_keys(
+    table: LakeTable,
+    keys: Iterable,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> DataFrame:
+    """Point lookup: current state of an explicit key set, reading ONLY the
+    buckets those keys hash into (the reference's analogue is the checkpoint
+    lookup that opens only the redo files covering a requested scn —
+    Metadata.cpp checkpoint headers; Iceberg's is bucket-transform partition
+    pruning on an equality predicate).
+
+    Scale shape: bucket ids come from ONE tiny job over a literal DataFrame
+    evaluating the table's own `bucket_expr` — never a Python reimplementation
+    of Spark's xxhash64 (a one-bit divergence would silently read the wrong
+    bucket). The scan then touches O(|keys|) buckets out of n_buckets, and
+    read-time LWW (MoR deltas) runs only on the dirty subset of those. Meant
+    for small key sets (ops lookups, debugging a key's state, serving a
+    backfill list ≲10^4 keys); for key sets at data scale, join read_state
+    against a keys DataFrame instead."""
+    key_list = list(keys)
+    cur = {f["name"]: f["type"] for f in table.current_schema()}
+    key_t = cur.get(table.key_col, "string")
+    empty_guard = table.spark.createDataFrame(
+        [(k,) for k in key_list] or [], f"`{table.key_col}` {key_t}"
+    )
+    if not key_list:
+        return read_state(table, broadcast_budget_keys, buckets=set())
+    bs = {
+        r["b"]
+        for r in empty_guard.select(table.bucket_expr().alias("b"))
+        .distinct()
+        .collect()  # acceptable: ≤ |keys| ints from a literal-only job
+    }
+    return read_state(table, broadcast_budget_keys, buckets=bs).filter(
+        F.col(table.key_col).isin(key_list)
+    )
+
+
 def snapshot_diff(
     spark,
     path: str,

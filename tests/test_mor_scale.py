@@ -118,3 +118,29 @@ def test_semijoin_stays_default_under_budget(spark, seeded):
     merge_append(t, _batch(spark, [("u1", TS, 100, "u", "w1")]), epoch_id=1)
     df = read_state(t)  # default budget >> 40 keys
     assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_lookup_keys_prunes_to_key_buckets(spark, seeded):
+    """Point lookup: result identical to a full-state filter, but the scan
+    touches only the buckets the keys hash into — including MoR deltas
+    (dirty-bucket read-time LWW still applies to looked-up keys)."""
+    from openlogreplicator_spark.operators.merge import lookup_keys
+
+    t = seeded
+    # add MoR deltas so the lookup must LWW-resolve, not just scan
+    merge_append(t, _batch(spark, [("u1", TS, 100, "u", "new1"),
+                                   ("u3", TS, 101, "d", None)]), epoch_id=1)
+    keys = ["u1", "u3", "u7", "nope"]
+    got = lookup_keys(t, keys)
+    want = read_state(t).filter("url in ('u1','u3','u7','nope')")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert {r["url"] for r in got.collect()} == {"u1", "u7"}  # u3 deleted
+    assert (
+        next(iter(r["text"] for r in got.collect() if r["url"] == "u1"))
+        == "new1"
+    )  # the MoR delta won
+    # pruning is real: strictly fewer files scanned than the full read
+    assert 0 < len(set(got.inputFiles())) < len(set(read_state(t).inputFiles()))
+    # empty key set -> empty frame at the current schema, zero files
+    empty = lookup_keys(t, [])
+    assert empty.count() == 0 and empty.columns == got.columns
