@@ -120,6 +120,61 @@ def tokens_array(col: Column) -> Column:
     )
 
 
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Sliding fixed-size token windows per document — the context-window
+    chunking step of a training pipeline (long documents become overlapping
+    ``size``-token training rows with ``size - stride`` tokens of overlap;
+    the complement of pack_chunks' concatenate-then-chunk strategy).
+    Reference analogue: none; training-data pipeline extension.
+
+    Emits (id, chunk_id, start_tok, chunk_tokens, chunk_text); generation
+    stops once a window reaches the document end (no redundant pure-suffix
+    tails: a start is kept iff it is 0 or the previous window ended short of
+    the last token).
+
+    Scale shape: pure per-row expressions (split → sequence → filter →
+    posexplode → slice) — no shuffle at all, whole-stage codegen end to end;
+    output size is corpus_tokens/stride rows. Gotcha pinned elsewhere in the
+    repo: ``sequence(1, n)`` with n ≤ 0 generates a DESCENDING sequence, so
+    empty docs are filtered before the sequence is built."""
+    toks = tokens_array(F.col(text_col))
+    base = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    starts = F.filter(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("n") - 1) / stride).cast("int"),
+            ),
+            lambda i: i * stride,
+        ),
+        lambda st: (st == 0) | (st - stride + size < F.col("n")),
+    )
+    exploded = base.select(
+        F.col(id_col), F.col("toks"), F.col("n"),
+        F.explode(starts).alias("start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_tok"),
+        F.least(F.lit(size), F.col("n") - F.col("start"))
+        .cast("int")
+        .alias("chunk_tokens"),
+        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, size), " ")
+        .alias("chunk_text"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

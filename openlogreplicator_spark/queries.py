@@ -2079,6 +2079,50 @@ def docs_pack_chunks(spark, sf_dir):
     return pack_chunks(t, "doc_id", "n_tokens", ctx=2048)
 
 
+# Sliding-window twin of pack_chunks: per-document overlapping 32-token
+# windows, stride 24. Window starts are 0, 24, 48, ... and generation stops
+# once a window reaches the document end (a start survives iff it is 0 or
+# the PREVIOUS window ended short of the last token) — both engines spell
+# that rule identically. DuckDB list slices are 1-based inclusive;
+# generate_series is BIGINT, so every int column is CAST to INTEGER to
+# match Spark's int32 arithmetic.
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+_CHUNK_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 1),
+    starts AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, n - 1, {_CHUNK_STRIDE})) AS start_tok
+      FROM sized)
+    SELECT doc_id,
+           CAST(start_tok // {_CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(start_tok AS INTEGER) AS start_tok,
+           CAST(least({_CHUNK_SIZE}, n - start_tok) AS INTEGER) AS chunk_tokens,
+           array_to_string(
+             toks[start_tok + 1 : start_tok + {_CHUNK_SIZE}], ' ') AS chunk_text
+    FROM starts
+    WHERE start_tok = 0 OR start_tok - {_CHUNK_STRIDE} + {_CHUNK_SIZE} < n
+    """
+
+
+@register("docs_chunk_windows", _CHUNK_SQL)
+def docs_chunk_windows(spark, sf_dir):
+    """Context-window chunking for training rows: overlapping fixed-size
+    token windows per document (size 32, stride 24 → 8 tokens of overlap on
+    this corpus' scale; a production run dials ctx-sized windows the same
+    way). Zero-shuffle, whole-stage-codegen expression chain — see
+    functions/text.chunk_windows."""
+    d = T(spark, sf_dir, "documents")
+    return TXT.chunk_windows(
+        d, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
 _FUNNEL_SQL = """
     WITH v AS (
       SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
