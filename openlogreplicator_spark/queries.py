@@ -1440,6 +1440,61 @@ def engine_replay_state_wap(spark, sf_dir):
     )
 
 
+# Commit-log observability: the metadata layer must be TRUTHFUL — each MoR
+# epoch commit records rows_written, which must equal the number of LWW
+# winners in that epoch's committed DML (every url with >=1 committed event
+# contributes exactly one winner row, tombstones included). The oracle
+# recomputes that from the raw change log, so a metadata bug (double count,
+# dropped manifest, dead-letter rows leaking into the append) hash-fails.
+_COMMIT_LOG_SQL = f"""
+    SELECT CAST(regexp_extract(filename, 'events-(\\d+)\\.parquet', 1)
+                AS INTEGER) AS epoch_id,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS rows_added
+    FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
+    WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+      AND url IS NOT NULL AND warc_ts IS NOT NULL
+    GROUP BY 1
+    """
+
+
+@register("engine_commit_log", _COMMIT_LOG_SQL)
+def engine_commit_log(spark, sf_dir):
+    """Per-epoch write-amplification monitor from snapshot metadata alone
+    (Iceberg's `snapshots` metadata table; reference analogue: the
+    checkpoint-file headers the replicator dumps for ops,
+    Metadata.cpp state dump). Replays the fixed log as four MoR epochs,
+    then reads each commit's rows_written OFF THE SNAPSHOT CHAIN — a
+    driver-side metadata walk, O(commits), deliberately no data scan
+    (that absence is the feature: at 10^6 files the ops question 'how much
+    did each epoch write?' must never cost a table scan). The DuckDB twin
+    recomputes the expected winner counts from the raw events, proving the
+    metadata tells the truth."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_commitlog_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    log = [
+        (int(s["epoch_id"]), int(s["rows_written"]))
+        for v in t.versions()
+        for s in [LakeTable.load(spark, p.table_path, version=v).snap["summary"]]
+        if s.get("op") == "merge_append"
+    ]
+    return spark.createDataFrame(log, "epoch_id int, rows_added long")
+
+
 _PII_SPEC = dict(seed=7, n_docs=400)
 _PII_DOCS = fixture_path(_REPLAY_BASE, "pii_docs", _PII_SPEC)
 
