@@ -135,3 +135,34 @@ def test_pre_evolution_rows_read_null_status(spark, events_dir, events_pdf, pipe
     # fixture guarantees some winners predate schema v2 → null status
     assert golden["http_status"].isna().any()
     assert state["http_status"].isna().sum() == golden["http_status"].isna().sum()
+
+
+def test_streaming_wap_branch_publish_matches_golden(
+    spark, events_dir, events_pdf, pipe_dirs
+):
+    """WAP through the REAL streaming path: a table bootstrapped on main,
+    then `run_available_now` staging every micro-batch onto a branch — main
+    stays at its bootstrap version until the audited publish, after which
+    the published state is golden-identical to a plain replay."""
+    from openlogreplicator_spark.operators.merge import read_state
+
+    # bootstrap: an empty table on main (so the staging run has a fork point)
+    boot = CdcPipeline(spark, events_dir, pipe_dirs["table"], pipe_dirs["ckpt"])
+    boot.ensure_table()
+    main_ver = LakeTable.current_version(pipe_dirs["table"])
+
+    stage = CdcPipeline(
+        spark, events_dir, pipe_dirs["table"],
+        pipe_dirs["ckpt"], branch="wap",
+    )
+    stage.run_available_now(max_files_per_trigger=2)
+
+    # main never moved during the streaming run
+    assert LakeTable.current_version(pipe_dirs["table"]) == main_ver
+    assert boot.target_state().count() == 0
+
+    # audit on the branch head, then publish
+    staged = LakeTable.load(spark, pipe_dirs["table"], branch="wap")
+    assert read_state(staged).count() == len(_golden(events_pdf))
+    LakeTable.load(spark, pipe_dirs["table"]).publish_branch("wap")
+    _assert_matches_golden(_spark_state(boot), _golden(events_pdf))

@@ -291,3 +291,17 @@ def test_dedup_rate_is_two_phase_distinct(spark):
     assert "Expand" not in p, p
     n_aggs = p.count("HashAggregate")
     assert n_aggs >= 4, p  # two phases x (partial + final)
+
+
+def test_chunk_windows_is_shuffle_free(spark):
+    """docs_chunk_windows claims a pure expression chain: no Exchange, no
+    Window, no aggregate — one scan feeding generate/project only."""
+    df = QUERIES["docs_chunk_windows"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "Exchange" not in p, p
+    assert "Window" not in p and "Aggregate" not in p, p
+    f = formatted(df)
+    scan = f[f.index("Scan parquet"):]
+    read_schema = scan[scan.index("ReadSchema:"):
+                       scan.index("\n", scan.index("ReadSchema:"))]
+    assert "text" in read_schema and "lang" not in read_schema, read_schema
