@@ -291,6 +291,49 @@ def snapshot_diff(
     )
 
 
+def follow_changes(
+    spark,
+    path: str,
+    from_version: int | None = None,
+    poll_secs: float = 1.0,
+    max_polls: int | None = None,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+):
+    """Tail the table's snapshot chain: a generator yielding
+    ``(from_version, to_version, changelog_df)`` whenever main advances —
+    the PULL consumer twin of the push transports (sinks/network.py speaks
+    the reference's WriterStream confirm protocol; this is the side that
+    polls, like a client resuming from its own confirmed checkpoint,
+    Writer.cpp:346-422). ``from_version=None`` starts at the current
+    version (only future changes). Stops after ``max_polls`` empty polls
+    (None = run until the caller breaks).
+
+    The consumer's resume position is the ``to_version`` it last processed
+    — exactly-once is the caller persisting that integer, the same
+    contract as the network sink's confirmed-epoch watermark. Each yield is
+    a snapshot_diff, so quiet/maintenance commits emit nothing and a busy
+    commit costs O(touched buckets)."""
+    cur = LakeTable.current_version(path)
+    seen = cur if from_version is None else int(from_version)
+    if seen < cur:
+        yield seen, cur, snapshot_diff(
+            spark, path, seen, cur, broadcast_budget_keys
+        )
+        seen = cur
+    idle = 0
+    while max_polls is None or idle < max_polls:
+        time.sleep(poll_secs)
+        cur = LakeTable.current_version(path)
+        if cur == seen:
+            idle += 1
+            continue
+        idle = 0
+        yield seen, cur, snapshot_diff(
+            spark, path, seen, cur, broadcast_budget_keys
+        )
+        seen = cur
+
+
 def purge_tombstones(table: LakeTable, older_than) -> dict:
     """Maintenance: drop delete tombstones with warc_ts < older_than.
 

@@ -180,3 +180,67 @@ def test_rebucket_preserves_state_and_future_merges(
     got = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
     assert list(got["url"]) == list(golden["url"])
     assert all(a == b for a, b in zip(got["text"], golden["text"]))
+
+
+def test_follow_changes_tails_the_snapshot_chain(spark, epoch_replayed):
+    """The pull consumer: a follower starting at the post-epoch-0 version
+    receives one changelog per subsequent poll-visible advance, its batches
+    compose to the full 0→latest diff, and an idle table ends the loop."""
+    from openlogreplicator_spark.operators.merge import follow_changes
+
+    p, files, versions = epoch_replayed
+    batches = []
+    gen = follow_changes(
+        spark, p.table_path, from_version=versions[0],
+        poll_secs=0.01, max_polls=3,
+    )
+    for from_v, to_v, df in gen:
+        batches.append((from_v, to_v, df))
+    # everything after epoch 0 was already committed -> one catch-up batch,
+    # then the idle budget ends the generator
+    assert [(b[0], b[1]) for b in batches] == [(versions[0], versions[-1])]
+    direct = snapshot_diff(spark, p.table_path, versions[0], versions[-1])
+    got = {tuple(r) for r in batches[0][2].collect()}
+    assert got == {tuple(r) for r in direct.collect()} and got
+
+    # a live follower sees a NEW commit appear mid-tail (drained on a
+    # thread: the generator idles at the pre-commit version, the commit
+    # lands, the next poll yields it)
+    import datetime as dt
+    import threading
+
+    from openlogreplicator_spark.operators.merge import merge_into
+
+    v_before = LakeTable.current_version(p.table_path)
+    follower = follow_changes(
+        spark, p.table_path, from_version=v_before,
+        poll_secs=0.05, max_polls=200,
+    )
+    results = []
+
+    def drain():
+        for item in follower:
+            results.append(item)
+            break
+
+    th = threading.Thread(target=drain)
+    th.start()
+    t = LakeTable.load(spark, p.table_path)
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("https://late.example/x", dt.datetime(2030, 1, 1), 10**6, "c",
+              b"<html>late</html>", "late", "en", 200)],
+            "url string, warc_ts timestamp, _seq long, _op string, "
+            "html binary, text string, lang string, http_status long",
+        ),
+        epoch_id=99,
+    )
+    th.join(timeout=60)
+    assert not th.is_alive() and len(results) == 1
+    from_v, to_v, df = results[0]
+    assert from_v == v_before and to_v > v_before
+    assert [(r["_change"], r["url"]) for r in df.collect()] == [
+        ("insert", "https://late.example/x")
+    ]
+    follower.close()
