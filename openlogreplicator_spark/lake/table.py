@@ -323,6 +323,25 @@ class LakeTable:
         with open(os.path.join(path, "_snapshots", "_current")) as f:
             return int(f.read().strip())
 
+    def rollback_to(self, version: int) -> "LakeTable":
+        """Restore main to a retained snapshot (Iceberg rollback; reference
+        analogue: restarting the replicator from an older checkpoint scn
+        replays from there, StateDisk checkpoint chain). One atomic
+        ``_current`` swap — data files are untouched, and the rolled-back-over
+        snapshots remain loadable (time travel) until expire_snapshots.
+        Later commits fork history from here; version numbers stay globally
+        unique, so the abandoned line can never be overwritten. Returns a
+        handle loaded at the restored version."""
+        v = int(version)
+        if v not in self.versions():
+            raise ValueError(f"no such snapshot version: {v}")
+        sdir = os.path.join(self.path, "_snapshots")
+        ptmp = os.path.join(sdir, "_current.tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+        os.replace(ptmp, os.path.join(sdir, "_current"))
+        return LakeTable.load(self.spark, self.path)
+
     # ------------------------------------------------------------- metadata
     @property
     def key_col(self) -> str:

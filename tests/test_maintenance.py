@@ -424,3 +424,33 @@ def test_wap_branch_write_audit_publish(spark, events_dir, tmp_path):
     t_now.evolve("add_column", "audit_note", new_type="string")  # main moves
     with pytest.raises(ValueError):
         LakeTable.load(spark, tp).publish_branch("audit2")
+
+
+def test_rollback_to_restores_and_forks_history(spark, replayed):
+    """Rollback: main restored to an ancestor in one pointer swap — state
+    equals the time-travel read; a later commit forks from there with a
+    globally unique version; the exactly-once watermark regresses with the
+    snapshot (a re-delivered epoch re-applies after rollback, by design)."""
+    from openlogreplicator_spark.operators.merge import read_state
+    import datetime as dt
+
+    t = LakeTable.load(spark, replayed.table_path)
+    vers = t.versions()
+    mid = vers[len(vers) // 2]
+    want = read_state(LakeTable.load(spark, t.path, version=mid)).count()
+    head = t.snap["version"]
+
+    rb = t.rollback_to(mid)
+    assert rb.snap["version"] == mid == LakeTable.current_version(t.path)
+    assert read_state(rb).count() == want
+    assert rb.last_epoch()[0] < LakeTable.load(
+        spark, t.path, version=head
+    ).last_epoch()[0]
+
+    # the abandoned line is still loadable; a new commit forks PAST it
+    assert head in rb.versions()
+    rb.evolve("add_column", "rb_note", new_type="string")
+    assert rb.snap["version"] > head  # global numbering: no overwrite
+    assert rb.snap["parent"] == mid
+    with pytest.raises(ValueError):
+        rb.rollback_to(10_000)
