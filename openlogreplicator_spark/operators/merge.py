@@ -312,7 +312,9 @@ def follow_changes(
     — exactly-once is the caller persisting that integer, the same
     contract as the network sink's confirmed-epoch watermark. Each yield is
     a snapshot_diff, so quiet/maintenance commits emit nothing and a busy
-    commit costs O(touched buckets)."""
+    commit costs O(touched buckets). Retention caveat (same as Delta CDF):
+    a follower lagging past expire_snapshots' keep window fails on the
+    expired from-version — tag the consumer's resume version to pin it."""
     cur = LakeTable.current_version(path)
     seen = cur if from_version is None else int(from_version)
     if seen < cur:

@@ -157,9 +157,11 @@ class CdcPipeline:
         return self._table
 
     def target_state(self) -> DataFrame:
-        """Live rows of the target (tombstones filtered) at the current schema."""
+        """Live rows of the target (tombstones filtered) at the current
+        schema — of the REF this pipeline writes: a WAP-staging pipeline's
+        target is its branch head, a plain pipeline's is main."""
         return read_state(
-            LakeTable.load(self.spark, self.table_path),
+            LakeTable.load(self.spark, self.table_path, branch=self.branch),
             broadcast_budget_keys=self.lww_broadcast_budget,
         )
 

@@ -50,6 +50,12 @@ def main() -> None:
                          "broadcast budget (the 10^10-key path)")
     ap.add_argument("--suppress-stale", action="store_true",
                     help="stateful per-key high-watermark pre-filter")
+    ap.add_argument("--branch",
+                    help="stage commits on this branch ref (write-audit-"
+                         "publish); main is untouched until --publish")
+    ap.add_argument("--publish", action="store_true",
+                    help="with --branch: after the run, fast-forward main "
+                         "to the branch head (the audited publish step)")
     args = ap.parse_args()
 
     if args.make_pyfiles:
@@ -76,6 +82,7 @@ def main() -> None:
         merge_mode=args.merge_mode,
         compact_every=args.compact_every,
         lww_strategy=args.lww_strategy,
+        branch=args.branch,
     )
     if args.streaming:
         p.run_available_now(
@@ -84,7 +91,13 @@ def main() -> None:
         )
     else:
         p.run_batch_replay()
-    print(f"final state rows: {p.target_state().count()}")
+    n = p.target_state().count()
+    if args.branch and args.publish:
+        from openlogreplicator_spark.lake.table import LakeTable
+
+        v = LakeTable.load(spark, args.table).publish_branch(args.branch)
+        print(f"published branch {args.branch!r} as v{v}")
+    print(f"final state rows: {n}")
 
 
 if __name__ == "__main__":

@@ -161,8 +161,10 @@ def test_streaming_wap_branch_publish_matches_golden(
     assert LakeTable.current_version(pipe_dirs["table"]) == main_ver
     assert boot.target_state().count() == 0
 
-    # audit on the branch head, then publish
+    # audit on the branch head, then publish; a staging pipeline's own
+    # target_state reads ITS ref (the branch head), not main
     staged = LakeTable.load(spark, pipe_dirs["table"], branch="wap")
     assert read_state(staged).count() == len(_golden(events_pdf))
+    assert stage.target_state().count() == len(_golden(events_pdf))
     LakeTable.load(spark, pipe_dirs["table"]).publish_branch("wap")
     _assert_matches_golden(_spark_state(boot), _golden(events_pdf))

@@ -75,3 +75,21 @@ def test_spark_submit_streaming_replay(submit_work, events_dir, events_pdf):
         "--streaming", "--max-files-per-trigger", "2",
     )
     assert f"final state rows: {_golden_rows(events_pdf)}" in out, out[-500:]
+
+
+def test_spark_submit_wap_stage_then_publish(submit_work, events_dir, events_pdf):
+    """The WAP ops flow through the literal deployment shape: one submit
+    stages the whole replay on a branch and publishes after the audit;
+    main carries the golden state afterwards (verified by a second,
+    no-op submit whose exactly-once gate suppresses every epoch)."""
+    target = os.path.join(submit_work, "t_wap")
+    out = _submit(
+        submit_work, events_dir, target,
+        "--streaming", "--max-files-per-trigger", "2",
+        "--branch", "audit", "--publish",
+    )
+    assert "published branch 'audit'" in out, out[-500:]
+    assert f"final state rows: {_golden_rows(events_pdf)}" in out, out[-500:]
+    # re-submit on main: everything already confirmed -> same state, no-op
+    out2 = _submit(submit_work, events_dir, target, "--streaming")
+    assert f"final state rows: {_golden_rows(events_pdf)}" in out2, out2[-500:]
