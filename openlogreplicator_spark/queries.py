@@ -3673,6 +3673,131 @@ _TRAIN_SPLIT_SQL = """
     """
 
 
+# End-to-end curation composite: quality gate → exact dedup (keep-min) →
+# benchmark decontamination → deterministic split, reported as per-(split,
+# lang) doc/token counts. Every stage reuses the SAME spelling its
+# standalone entry pins (gopher thresholds, md5 keep rule, 4-token shingle
+# overlap, md5-bucket split) so this entry proves the stages COMPOSE, not
+# just pass alone. The gate is 4 of the 5 Gopher channels — the English-
+# stopword minimum is omitted because the synthetic vocabulary contains no
+# English stopwords at all, so including it passes ZERO documents and the
+# composite would verify nothing downstream (the standalone
+# docs_gopher_filter keeps the full 5-channel spec). DuckDB notes:
+# SUM(BIGINT) is HUGEINT (CAST), and the contaminated set may be computed
+# over all non-bench docs — NOT IN only drops candidates, so restricting
+# the scan (as Spark does) is equivalent.
+_TRAINING_SET_SQL = """
+    WITH w AS (
+      SELECT doc_id, lang, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang, text,
+             CAST(len(words) AS BIGINT) AS n_words,
+             list_sum(list_transform(words, x -> CAST(length(x) AS DOUBLE)))
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_word_len,
+             (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+              + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                     AS DOUBLE))
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS symbol_ratio,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                  AS DOUBLE)
+               / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alpha_ratio
+      FROM w),
+    passed AS (
+      SELECT doc_id, lang, text FROM m
+      WHERE (n_words BETWEEN 50 AND 100000)
+        AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        AND (symbol_ratio <= 0.1) AND (alpha_ratio >= 0.8)),
+    keep AS (SELECT min(doc_id) AS doc_id FROM passed GROUP BY md5(text)),
+    dedup AS (
+      SELECT p.doc_id, p.lang, p.text
+      FROM passed p JOIN keep k ON p.doc_id = k.doc_id),
+    cand AS (SELECT * FROM dedup WHERE doc_id % 13 <> 0),
+    arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(a, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 3), ' ') AS shingle
+      FROM arr, unnest(generate_series(1, len(a) - 3)) AS t(i)),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s
+      JOIN (SELECT shingle FROM sh WHERE doc_id % 13 = 0) b USING (shingle)
+      WHERE s.doc_id % 13 <> 0),
+    clean AS (
+      SELECT * FROM cand
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    assigned AS (
+      SELECT lang,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 < 95 THEN 'valid'
+               ELSE 'test'
+             END AS split,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS nt
+      FROM clean)
+    SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+    FROM assigned GROUP BY split, lang
+    """
+
+
+@register("docs_training_set", _TRAINING_SET_SQL)
+def docs_training_set(spark, sf_dir):
+    """The curation pipeline END TO END: quality gate (4 of 5 Gopher
+    channels; the stopword minimum is unsatisfiable on the synthetic
+    vocabulary — see the SQL comment) → exact dedup
+    (keep smallest doc_id per content hash) → benchmark decontamination
+    (drop anything sharing a 4-token shingle with the eval stand-in set)
+    → deterministic md5-bucket split, reported per (split, lang) with doc
+    and token counts. Composition is the point — each stage reuses the
+    exact operator its standalone catalog entry verifies.
+
+    Scale shape: the quality gate and split are map-side expressions; the
+    dedup survivor set rides a two-phase partial agg + doc_id semijoin
+    (payload never shuffled twice); the contamination match broadcasts the
+    eval shingles; the final report is one partial-agg groupBy."""
+    d = T(spark, sf_dir, "documents")
+    r = TXT.gopher_rules(F.col("text"))
+    gate = (
+        r["ok_n_words"] & r["ok_mean_len"] & r["ok_symbols"] & r["ok_alpha"]
+    )
+    passed = d.select("doc_id", "lang", "text").filter(gate)
+    keep = (
+        passed.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = passed.join(keep, "doc_id", "left_semi")
+    cand = deduped.filter(F.col("doc_id") % 13 != 0)
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    contam = S.contamination_overlap(
+        cand, bench, "doc_id", "text", n=4
+    ).select("doc_id")
+    clean = cand.join(contam, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = clean.select(
+        "lang",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test")
+        .alias("split"),
+        TXT.token_count(F.col("text")).alias("nt"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("sum_tokens")
+    )
+
+
 @register("docs_train_split", _TRAIN_SPLIT_SQL)
 def docs_train_split(spark, sf_dir):
     """Deterministic 90/5/5 train/valid/test split by content-independent
