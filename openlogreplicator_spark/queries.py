@@ -1079,6 +1079,56 @@ def ann_lsh_bucket_stats(spark, sf_dir):
     )
 
 
+# IVF twin of ann_lsh_bucket_stats: per-cell population of the md5-pinned
+# coarse quantizer — the skew gate for the IVF equi-join (one overloaded
+# cell = one straggler task at 100 TB; the dial is k_cells). Assignment
+# reuses the exact kernel/CTE the recall entries pin (argmax cosine, ties
+# to the smaller cell id; DuckDB cosine CAST to DOUBLE[] — float32 drift).
+_IVF_CELLS_SQL = """
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    assign AS (
+      SELECT e.vec_id, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i)
+    SELECT CAST(cid AS INTEGER) AS cid, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """
+
+
+@register("ann_ivf_cell_stats", _IVF_CELLS_SQL)
+def ann_ivf_cell_stats(spark, sf_dir):
+    """IVF cell-population histogram (the skew check the LSH path has in
+    ann_lsh_bucket_stats): corpus assigned to the md5-pinned coarse cells
+    by the same Arrow argmin kernel the search uses — one map-side pass,
+    one k-cells-sized groupBy. A hot cell here predicts the straggler task
+    in every ivf_topk probe join; re-dial k_cells before it hits search."""
+    from .functions.similarity import centroid_topn_udf
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    assign1 = centroid_topn_udf(centroids, 1)
+    return (
+        emb.select(F.element_at(assign1(F.col("embedding")), 1).alias("cid"))
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 @register(
     "emb_centroid_by_label",
     """
@@ -2265,6 +2315,62 @@ _RETENTION_SQL = """
            CAST(count(*) AS BIGINT) AS n_active_users
     FROM activity GROUP BY cohort_week, week_offset
     """
+
+
+# DAU/WAU + stickiness: trailing-7-day distinct actives WITHOUT a range
+# self-join — each (user, active-day) pair is exploded to the ≤7 window
+# ends it contributes to (bounded 7× blowup), deduped, counted. Only days
+# with activity are reported (inner join on the DAU side). Two-phase
+# distinct (dropDuplicates → count) per the repo rule: never countDistinct.
+_DAU_WAU_SQL = """
+    WITH pairs AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY day),
+    wpairs AS (
+      SELECT DISTINCT user_id, day + i * INTERVAL 1 DAY AS wday
+      FROM pairs, unnest(generate_series(0, 6)) AS t(i)),
+    wau AS (
+      SELECT wday, CAST(count(*) AS BIGINT) AS wau FROM wpairs GROUP BY wday)
+    SELECT d.day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.wday
+    """
+
+
+@register("events_dau_wau", _DAU_WAU_SQL)
+def events_dau_wau(spark, sf_dir):
+    """Daily/weekly active users and DAU/WAU stickiness — the engagement
+    trend a product pipeline reads daily. The scalable trick is the
+    explode-to-window: a trailing-window DISTINCT is not expressible as a
+    window aggregate (count distinct over a frame is unsupported and a
+    range self-join is O(days × activity)), so each (user, day) pair emits
+    the ≤7 window ends it belongs to, and the distinct+count shuffle stays
+    linear in activity. Reference analogue: none; analytics extension."""
+    ev = T(spark, sf_dir, "events")
+    pairs = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .dropDuplicates(["user_id", "day"])
+    )
+    dau = pairs.groupBy("day").agg(F.count("*").alias("dau"))
+    wpairs = (
+        pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("wday"),
+        )
+        .dropDuplicates(["user_id", "wday"])
+    )
+    wau = wpairs.groupBy("wday").agg(F.count("*").alias("wau"))
+    return dau.join(wau, dau["day"] == wau["wday"]).select(
+        "day", "dau", "wau",
+        F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+    )
 
 
 @register("events_retention", _RETENTION_SQL)
