@@ -1545,6 +1545,72 @@ def engine_commit_log(spark, sf_dir):
     return spark.createDataFrame(log, "epoch_id int, rows_added long")
 
 
+# Lineage-truthfulness gate (§2 A5): the per-partition metrics side table,
+# rolled up per epoch, must reproduce counts recomputed from the raw log —
+# events_in (all rows), events_applied (LWW winners of committed DML),
+# events_deduped (their difference), ddl rows, rolled-back rows, and the
+# epoch's event-time bounds. Nondeterministic channels (partition_id,
+# wall_ms, committed_at) are deliberately excluded from the roll-up.
+_METRICS_LOG_SQL = f"""
+    SELECT CAST(regexp_extract(filename, 'events-(\\d+)\\.parquet', 1)
+                AS INTEGER) AS epoch_id,
+           CAST(count(*) AS BIGINT) AS events_in,
+           CAST(count(DISTINCT CASE
+                  WHEN op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+                   AND url IS NOT NULL AND warc_ts IS NOT NULL
+                  THEN url END) AS BIGINT) AS events_applied,
+           CAST(count(*) - count(DISTINCT CASE
+                  WHEN op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+                   AND url IS NOT NULL AND warc_ts IS NOT NULL
+                  THEN url END) AS BIGINT) AS events_deduped,
+           CAST(sum(CASE WHEN op = 'ddl' THEN 1 ELSE 0 END) AS BIGINT)
+             AS ddl_applied,
+           CAST(sum(CASE WHEN rolled_back THEN 1 ELSE 0 END) AS BIGINT)
+             AS rolled_back_excluded,
+           min(warc_ts) AS min_warc_ts,
+           max(warc_ts) AS max_warc_ts
+    FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
+    GROUP BY 1
+    """
+
+
+@register("engine_metrics_log", _METRICS_LOG_SQL)
+def engine_metrics_log(spark, sf_dir):
+    """Per-partition lineage metrics (A5; reference analogue: the
+    replicator's perf counters and checkpoint headers, Writer.cpp metrics
+    dump) rolled up per epoch and value-checked against a DuckDB recompute
+    from the raw change log — the side table must TELL THE TRUTH about
+    what each epoch saw, applied, deduped, and skipped. Per-partition rows
+    stay per-partition on disk (the distributed write shape); only the
+    deterministic epoch roll-up is compared."""
+    import glob as _glob
+
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_metricslog_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        metrics_path=os.path.join(d, "metrics"),
+        merge_mode="mor", compact_every=0,
+    )
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    m = spark.read.parquet(os.path.join(d, "metrics"))
+    return m.groupBy("epoch_id").agg(
+        F.sum("events_in").alias("events_in"),
+        F.max("events_applied").alias("events_applied"),
+        F.max("events_deduped").alias("events_deduped"),
+        F.sum("ddl_applied").alias("ddl_applied"),
+        F.sum("rolled_back_excluded").alias("rolled_back_excluded"),
+        F.min("min_warc_ts").alias("min_warc_ts"),
+        F.max("max_warc_ts").alias("max_warc_ts"),
+    )
+
+
 _PII_SPEC = dict(seed=7, n_docs=400)
 _PII_DOCS = fixture_path(_REPLAY_BASE, "pii_docs", _PII_SPEC)
 
