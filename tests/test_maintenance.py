@@ -454,3 +454,37 @@ def test_rollback_to_restores_and_forks_history(spark, replayed):
     assert rb.snap["parent"] == mid
     with pytest.raises(ValueError):
         rb.rollback_to(10_000)
+
+
+def test_branch_crash_orphan_is_harmless_and_gcd(spark, replayed):
+    """Crash window in a branch commit: the snapshot JSON lands before the
+    branch ref moves. A crash in between leaves an orphan snapshot no ref
+    points at — readers are unaffected, the next commit (global version
+    allocation) can never collide with it, and GC removes it."""
+    t = LakeTable.load(spark, replayed.table_path)
+    br = t.create_branch("crashy")
+    head_before = br.snap["version"]
+
+    # simulate the torn write: snapshot JSON present, branches.json not moved
+    orphan_v = max(t.versions()) + 1
+    sdir = os.path.join(t.path, "_snapshots")
+    orphan = dict(br.snap)
+    orphan.pop("files", None)
+    orphan["version"] = orphan_v
+    orphan["parent"] = head_before
+    with open(os.path.join(sdir, f"v{orphan_v:08d}.json"), "w") as f:
+        json.dump(orphan, f)
+
+    # branch head unchanged; loads fine
+    assert LakeTable.branch_version(t.path, "crashy") == head_before
+    reloaded = LakeTable.load(spark, t.path, branch="crashy")
+    assert reloaded.snap["version"] == head_before
+
+    # the writer's NEXT commit allocates past the orphan (no overwrite)
+    reloaded.evolve("add_column", "post_crash", new_type="string")
+    assert reloaded.snap["version"] > orphan_v
+
+    # GC: the orphan is not on any ref chain -> removed; the branch survives
+    LakeTable.load(spark, t.path).expire_snapshots(keep_last=1)
+    assert orphan_v not in LakeTable.load(spark, t.path).versions()
+    assert LakeTable.branch_version(t.path, "crashy") is not None
