@@ -205,6 +205,7 @@ def snapshot_diff(
     from_version: int,
     to_version: int | None = None,
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+    emit_preimage: bool = False,
 ) -> DataFrame:
     """Incremental changelog between two snapshots (Delta CDF / Iceberg
     incremental-scan analogue; the reference's downstream contract is the
@@ -218,6 +219,15 @@ def snapshot_diff(
     current schema by field id, added columns null) for delete. Maintenance
     commits (compaction, bin-pack, rebucket) change no key's state and emit
     nothing.
+
+    ``emit_preimage=True`` switches to Delta-CDF row semantics: an update
+    emits TWO rows, ``update_preimage`` (old values) and ``update_postimage``
+    (new values). That shape makes downstream incremental aggregate
+    maintenance sign-uniform — +1 for insert/update_postimage, −1 for
+    delete/update_preimage — so a consumer adjusts a materialized aggregate
+    from O(changed keys) rows without ever rescanning the table. The fan-out
+    is a single-pass array-explode over the classifying join (no second join
+    or self-union).
 
     Scale shape: buckets whose FILE SETS are identical in both snapshots are
     pruned driver-side from the manifests before any scan — a quiet epoch
@@ -277,17 +287,39 @@ def snapshot_diff(
         )
     )
     deleted = F.col("_n_" + key).isNull()
+    if not emit_preimage:
+        return (
+            j.select(
+                change.alias("_change"),
+                *[
+                    F.when(deleted, F.col(f"_o_{c}"))
+                    .otherwise(F.col(f"_n_{c}"))
+                    .alias(c)
+                    for c in cur_cols
+                ],
+            )
+            .filter(F.col("_change").isNotNull())
+        )
+    # Delta-CDF shape: updates fan out into preimage+postimage rows via one
+    # array-explode pass (the join is never evaluated twice)
+    old_row = F.struct(*[F.col(f"_o_{c}").alias(c) for c in cur_cols])
+    new_row = F.struct(*[F.col(f"_n_{c}").alias(c) for c in cur_cols])
+
+    def entry(label: str, row):
+        return F.struct(F.lit(label).alias("_change"), row.alias("_row"))
+
+    ch = change
+    entries = F.array(
+        F.when(ch == "insert", entry("insert", new_row)),
+        F.when(ch == "delete", entry("delete", old_row)),
+        F.when(ch == "update", entry("update_preimage", old_row)),
+        F.when(ch == "update", entry("update_postimage", new_row)),
+    )
     return (
         j.select(
-            change.alias("_change"),
-            *[
-                F.when(deleted, F.col(f"_o_{c}"))
-                .otherwise(F.col(f"_n_{c}"))
-                .alias(c)
-                for c in cur_cols
-            ],
+            F.explode(F.filter(entries, lambda x: x.isNotNull())).alias("_e")
         )
-        .filter(F.col("_change").isNotNull())
+        .select(F.col("_e._change").alias("_change"), "_e._row.*")
     )
 
 

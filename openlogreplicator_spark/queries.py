@@ -1611,6 +1611,165 @@ def engine_metrics_log(spark, sf_dir):
     )
 
 
+# Incremental view maintenance off the CDF changelog: a downstream consumer
+# keeps a per-lang aggregate of the target table current by applying ONLY
+# each epoch's pre/post-image rows (sign-uniform: +1 insert/update_postimage,
+# −1 delete/update_preimage) — never rescanning the table. The oracle is the
+# direct aggregate over the DuckDB full-replay final state: the maintained
+# aggregate must equal it EXACTLY (counts and an order-sensitive checksum,
+# sum of the winners' _seq).
+_INC_AGG_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, lang, seq AS _seq, op AS _op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(sum(_seq) AS BIGINT) AS seq_sum
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    GROUP BY lang
+    """
+
+
+@register("engine_incremental_agg", _INC_AGG_SQL)
+def engine_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance from the Delta-CDF-shaped changelog
+    (snapshot_diff(emit_preimage=True)): replay the fixed log as four MoR
+    epochs, then maintain a per-lang (n_urls, seq_sum) materialized aggregate
+    purely from each epoch's changelog batch — the downstream-consumer
+    contract the reference serves with its client confirm protocol
+    (WriterStream.cpp: a consumer that confirmed scn A asks for exactly what
+    changed since). Each update contributes a preimage (−) and postimage (+)
+    row, so the maintained aggregate nets to the true final-state aggregate
+    without a table rescan; langs whose count nets to zero drop out. The
+    changelog batches are projected to the maintenance columns BEFORE the
+    union, so mid-chain schema evolution (fetch_status→http_status rename)
+    cannot skew the union-by-name."""
+    import glob as _glob
+    from functools import reduce
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import snapshot_diff
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_incagg_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    marks = []
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+        marks.append(LakeTable.current_version(p.table_path))
+    bounds = [min(LakeTable.load(spark, p.table_path).versions())] + marks
+    batches = [
+        snapshot_diff(spark, p.table_path, a, b, emit_preimage=True)
+        .select("_change", "lang", "_seq")
+        for a, b in zip(bounds, bounds[1:])
+        if a != b
+    ]
+    cdf = reduce(DataFrame.unionByName, batches)
+    sign = (
+        F.when(F.col("_change").isin("insert", "update_postimage"), F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    return (
+        cdf.select("lang", sign.alias("_sign"), "_seq")
+        .groupBy("lang")
+        .agg(
+            F.sum("_sign").cast("long").alias("n_urls"),
+            F.sum(F.col("_sign") * F.col("_seq")).cast("long").alias("seq_sum"),
+        )
+        .filter(F.col("n_urls") != 0)
+    )
+
+
+# Manifest-statistics truthfulness: the per-file row counts and warc_ts
+# [min,max] bounds the commit path stores (the inputs to ts_between file
+# skipping and lww_compact_auto's key-count budget) must agree with a DuckDB
+# recompute of each epoch's LWW winners from the raw change log. A stats bug
+# here silently breaks pruning correctness at scale, so it gets its own gate.
+_MANIFEST_STATS_SQL = f"""
+    WITH ev AS (
+      SELECT *, CAST(regexp_extract(filename, 'events-(\\d+)\\.parquet', 1)
+                     AS INTEGER) AS epoch_id
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    w AS (
+      SELECT epoch_id, url, warc_ts,
+             row_number() OVER (PARTITION BY epoch_id, url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT epoch_id, CAST(count(*) AS BIGINT) AS rows_added,
+           min(warc_ts) AS min_warc_ts, max(warc_ts) AS max_warc_ts
+    FROM w WHERE rn = 1 GROUP BY 1
+    """
+
+
+@register("engine_manifest_stats", _MANIFEST_STATS_SQL)
+def engine_manifest_stats(spark, sf_dir):
+    """File-statistics audit off the manifest chain alone (Iceberg's `files`
+    metadata table; reference analogue: the checkpoint-file min/max scn
+    headers GC trusts, Metadata.cpp:505-554): replay four MoR epochs, then
+    report each merge_append commit's added-file row counts and warc_ts
+    bounds FROM SNAPSHOT METADATA ONLY — a driver-side walk, no data scan.
+    The DuckDB twin recomputes each epoch's winner count and the min/max of
+    the winners' warc_ts from the raw events; parquet int64-micros stats are
+    exact (never truncated like strings), so bounds must match to the
+    microsecond. MoR appends never replace buckets, so a commit's added
+    files are exactly the path-set delta vs its parent."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_manifeststats_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    prev_paths: set[str] = set()
+    log = []
+    for v in sorted(t.versions()):
+        tv = LakeTable.load(spark, p.table_path, version=v)
+        cur = {fe["path"]: fe for fe in tv.snap["files"]}
+        s = tv.snap["summary"]
+        if s.get("op") == "merge_append":
+            added = [fe for pth, fe in cur.items() if pth not in prev_paths]
+            log.append((
+                int(s["epoch_id"]),
+                int(sum(fe["rows"] for fe in added)),
+                min(fe["ts_min_us"] for fe in added),
+                max(fe["ts_max_us"] for fe in added),
+            ))
+        prev_paths = set(cur)
+    df = spark.createDataFrame(
+        log, "epoch_id int, rows_added long, lo long, hi long"
+    )
+    return df.select(
+        "epoch_id",
+        "rows_added",
+        F.timestamp_micros("lo").alias("min_warc_ts"),
+        F.timestamp_micros("hi").alias("max_warc_ts"),
+    )
+
+
 _PII_SPEC = dict(seed=7, n_docs=400)
 _PII_DOCS = fixture_path(_REPLAY_BASE, "pii_docs", _PII_SPEC)
 

@@ -83,6 +83,73 @@ def test_snapshot_diff_matches_golden_replay(spark, epoch_replayed, events_pdf):
         assert (r["warc_ts"], r["_seq"]) == side[r["url"]]
 
 
+def test_snapshot_diff_cdf_preimage(spark, epoch_replayed):
+    """emit_preimage=True is Delta-CDF row semantics: every plain `update`
+    fans out into exactly one preimage + one postimage row, postimages carry
+    the new version identity and preimages the OLD one, and a sign-uniform
+    fold (+1 insert/postimage, −1 delete/preimage) maintains an aggregate to
+    exactly the final state — incremental view maintenance without a rescan."""
+    p, files, versions = epoch_replayed
+    t = LakeTable.load(spark, p.table_path)
+    start = min(t.versions())
+    # diff from a mid-chain snapshot so the span contains genuine updates
+    mid = versions[len(files) // 2 - 1]
+    plain = snapshot_diff(spark, p.table_path, mid).toPandas()
+    cdf = snapshot_diff(
+        spark, p.table_path, mid, emit_preimage=True
+    ).toPandas()
+    n = cdf.groupby("_change").size().to_dict()
+    e = plain.groupby("_change").size().to_dict()
+    assert n.get("insert", 0) == e.get("insert", 0)
+    assert n.get("delete", 0) == e.get("delete", 0)
+    assert n.get("update_preimage", 0) == e.get("update", 0) > 0
+    assert n.get("update_postimage", 0) == e.get("update", 0)
+
+    # postimage version identity == the plain after-image; preimage == the
+    # from-snapshot's state for the same urls
+    def keymap(df, kinds):
+        sub = df[df["_change"].isin(kinds)]
+        return {r["url"]: (r["warc_ts"], r["_seq"])
+                for r in sub.to_dict("records")}
+
+    assert keymap(cdf, ["update_postimage"]) == keymap(plain, ["update"])
+    old_state = read_state(
+        LakeTable.load(spark, p.table_path, version=mid)
+    ).toPandas()
+    old_map = {r["url"]: (r["warc_ts"], r["_seq"])
+               for r in old_state.to_dict("records")}
+    pre = keymap(cdf, ["update_preimage"])
+    assert pre == {u: old_map[u] for u in pre}
+
+    # the incremental fold over per-epoch batches nets to the final state
+    sign = F.when(
+        F.col("_change").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    bounds = [start] + versions
+    batches = [
+        snapshot_diff(spark, p.table_path, a, b, emit_preimage=True)
+        .select("_change", "lang", "_seq")
+        for a, b in zip(bounds, bounds[1:])
+        if a != b
+    ]
+    from functools import reduce
+
+    folded = (
+        reduce(lambda x, y: x.unionByName(y), batches)
+        .groupBy("lang")
+        .agg(F.sum(sign).alias("n"), F.sum(sign * F.col("_seq")).alias("s"))
+        .filter(F.col("n") != 0)
+    )
+    direct = (
+        read_state(LakeTable.load(spark, p.table_path))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("_seq").alias("s"))
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
 def test_snapshot_diff_is_empty_across_maintenance(spark, epoch_replayed):
     p, _files, _versions = epoch_replayed
     t = LakeTable.load(spark, p.table_path)
