@@ -25,19 +25,55 @@ Iceberg's public design (snapshots + manifests + field-id schema evolution):
   and cast to the current (possibly widened) type. No data rewrite — same
   contract as Iceberg ALTER TABLE (SURVEY.md §2.9).
 
-Single-writer per table (the streaming apply loop), many readers — matching
-Structured Streaming's one-query-owns-the-sink model.
+One PRIMARY writer per table (the streaming apply loop), many readers —
+matching Structured Streaming's one-query-owns-the-sink model. Concurrent
+metadata writers (a maintenance job beside the pipeline, two pipelines racing
+after a botched deploy) are handled with optimistic concurrency, Iceberg-
+style: every ref mutation runs under a short flock'd critical section
+(``_snapshots/_commit.lock`` — the local-FS analogue of an Iceberg catalog's
+atomic swap; an object-store deployment swaps in a catalog service here), the
+commit re-checks that its ref still points at the snapshot the handle loaded
+(``parent``) and raises :class:`CommitConflict` if another writer moved it —
+the loser reloads and re-applies instead of silently clobbering the winner's
+snapshot. Commits that collide only on the snapshot NUMBER (a branch writer
+and main committing simultaneously) are renumbered under the lock, never
+conflicted.
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import uuid
+from contextlib import contextmanager
 from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced this ref since the handle's snapshot was
+    loaded. Reload the table and re-apply the commit (optimistic
+    concurrency — Iceberg's CommitFailedException contract)."""
+
+
+@contextmanager
+def _ref_lock(path: str):
+    """Exclusive critical section for ref mutations on one table. flock is
+    held for the few milliseconds of a metadata check + two small JSON
+    writes — data-file writes (the expensive part) happen OUTSIDE it. Not
+    reentrant: callers must not nest."""
+    sdir = os.path.join(path, "_snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    fd = os.open(os.path.join(sdir, "_commit.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 _WIDENINGS = {
     ("int", "long"),
@@ -198,22 +234,24 @@ class LakeTable:
 
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin ``name`` to a snapshot version (default: this handle's).
-        Re-tagging an existing name moves it (last write wins — single
-        metadata writer, like every commit path here)."""
+        Re-tagging an existing name moves it (last write wins); the
+        read-modify-write runs under the table's ref lock."""
         v = int(version if version is not None else self.snap["version"])
-        if v not in self.versions():
-            raise ValueError(f"no such snapshot version: {v}")
-        t = self._read_tags(self.path)
-        t[name] = v
-        self._write_tags(t)
+        with _ref_lock(self.path):
+            if v not in self.versions():
+                raise ValueError(f"no such snapshot version: {v}")
+            t = self._read_tags(self.path)
+            t[name] = v
+            self._write_tags(t)
         return v
 
     def delete_tag(self, name: str) -> None:
-        t = self._read_tags(self.path)
-        if name not in t:
-            raise KeyError(f"no such tag: {name}")
-        del t[name]
-        self._write_tags(t)
+        with _ref_lock(self.path):
+            t = self._read_tags(self.path)
+            if name not in t:
+                raise KeyError(f"no such tag: {name}")
+            del t[name]
+            self._write_tags(t)
 
     # ------------------------------------------------------------- branches
     # Named WRITABLE refs (Iceberg branches): the write-audit-publish (WAP)
@@ -223,8 +261,9 @@ class LakeTable:
     # confirmed-epoch watermark, so exactly-once state publishes with the
     # data). The reference's analogue is the checkpoint file a writer builds
     # up privately and atomically renames into place (Writer.cpp:346-422) —
-    # branches generalize that to a whole audited commit chain. Single
-    # metadata writer per TABLE (across all refs), as everywhere here.
+    # branches generalize that to a whole audited commit chain. Ref
+    # mutations run under the table's _ref_lock with OCC preconditions —
+    # concurrent writers conflict loudly (CommitConflict), never clobber.
     @staticmethod
     def _read_branches(path: str) -> dict[str, dict]:
         p = os.path.join(path, "_snapshots", "branches.json")
@@ -258,21 +297,23 @@ class LakeTable:
         return a handle loaded on it. The fork point is recorded so publish
         can verify fast-forwardability and GC can pin the branch's chain."""
         v = int(version if version is not None else self.snap["version"])
-        if v not in self.versions():
-            raise ValueError(f"no such snapshot version: {v}")
-        brs = self._read_branches(self.path)
-        if name in brs:
-            raise ValueError(f"branch exists: {name}")
-        brs[name] = {"version": v, "fork": v}
-        self._write_branches(brs)
+        with _ref_lock(self.path):
+            if v not in self.versions():
+                raise ValueError(f"no such snapshot version: {v}")
+            brs = self._read_branches(self.path)
+            if name in brs:
+                raise ValueError(f"branch exists: {name}")
+            brs[name] = {"version": v, "fork": v}
+            self._write_branches(brs)
         return LakeTable.load(self.spark, self.path, branch=name)
 
     def delete_branch(self, name: str) -> None:
-        brs = self._read_branches(self.path)
-        if name not in brs:
-            raise KeyError(f"no such branch: {name}")
-        del brs[name]
-        self._write_branches(brs)
+        with _ref_lock(self.path):
+            brs = self._read_branches(self.path)
+            if name not in brs:
+                raise KeyError(f"no such branch: {name}")
+            del brs[name]
+            self._write_branches(brs)
 
     def _chain_versions(self, head: int, stop_at: int) -> list[int]:
         """Versions on the parent chain from ``head`` down to ``stop_at``
@@ -296,23 +337,26 @@ class LakeTable:
         an ancestor of the branch head (i.e. main has not advanced past the
         fork — otherwise the audit no longer covers main's history and the
         caller must re-fork). Returns the published version."""
-        brs = self._read_branches(self.path)
-        if name not in brs:
-            raise KeyError(f"no such branch: {name}")
-        head, fork = brs[name]["version"], brs[name]["fork"]
-        cur = LakeTable.current_version(self.path)
-        if cur not in self._chain_versions(head, fork):
-            raise ValueError(
-                f"cannot fast-forward: main is at v{cur}, not an ancestor of "
-                f"branch {name!r} (head v{head}, forked at v{fork})"
-            )
-        sdir = os.path.join(self.path, "_snapshots")
-        ptmp = os.path.join(sdir, "_current.tmp")
-        with open(ptmp, "w") as f:
-            f.write(str(head))
-        os.replace(ptmp, os.path.join(sdir, "_current"))
-        if delete:
-            self.delete_branch(name)
+        with _ref_lock(self.path):
+            brs = self._read_branches(self.path)
+            if name not in brs:
+                raise KeyError(f"no such branch: {name}")
+            head, fork = brs[name]["version"], brs[name]["fork"]
+            cur = LakeTable.current_version(self.path)
+            if cur not in self._chain_versions(head, fork):
+                raise ValueError(
+                    f"cannot fast-forward: main is at v{cur}, not an ancestor "
+                    f"of branch {name!r} (head v{head}, forked at v{fork})"
+                )
+            sdir = os.path.join(self.path, "_snapshots")
+            ptmp = os.path.join(sdir, "_current.tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(head))
+            os.replace(ptmp, os.path.join(sdir, "_current"))
+            if delete:
+                # inline (not delete_branch): _ref_lock is not reentrant
+                del brs[name]
+                self._write_branches(brs)
         if self.branch is None:
             fresh = LakeTable.load(self.spark, self.path)
             self.snap = fresh.snap
@@ -333,13 +377,14 @@ class LakeTable:
         unique, so the abandoned line can never be overwritten. Returns a
         handle loaded at the restored version."""
         v = int(version)
-        if v not in self.versions():
-            raise ValueError(f"no such snapshot version: {v}")
-        sdir = os.path.join(self.path, "_snapshots")
-        ptmp = os.path.join(sdir, "_current.tmp")
-        with open(ptmp, "w") as f:
-            f.write(str(v))
-        os.replace(ptmp, os.path.join(sdir, "_current"))
+        with _ref_lock(self.path):
+            if v not in self.versions():
+                raise ValueError(f"no such snapshot version: {v}")
+            sdir = os.path.join(self.path, "_snapshots")
+            ptmp = os.path.join(sdir, "_current.tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(v))
+            os.replace(ptmp, os.path.join(sdir, "_current"))
         return LakeTable.load(self.spark, self.path)
 
     # ------------------------------------------------------------- metadata
@@ -758,28 +803,62 @@ class LakeTable:
 
     def _write_snapshot(self, snap: dict) -> None:
         sdir = os.path.join(self.path, "_snapshots")
-        vpath = os.path.join(sdir, f"v{snap['version']:08d}.json")
-        tmp = vpath + ".tmp"
-        # the resolved file list stays in memory; on disk it is represented
-        # by the manifest chain (legacy snapshots without one keep inlining)
-        to_write = (
-            {k: v for k, v in snap.items() if k != "files"}
-            if "manifests" in snap
-            else snap
-        )
-        with open(tmp, "w") as f:
-            json.dump(to_write, f, indent=1)
-        os.replace(tmp, vpath)
-        if self.branch is not None:
-            # branch-loaded handle: the commit advances the branch ref only;
-            # main (`_current`) sees nothing until publish_branch
-            brs = self._read_branches(self.path)
-            if self.branch not in brs:
-                raise KeyError(f"branch deleted under writer: {self.branch}")
-            brs[self.branch]["version"] = snap["version"]
-            self._write_branches(brs)
-            return
-        ptmp = os.path.join(sdir, "_current.tmp")
-        with open(ptmp, "w") as f:
-            f.write(str(snap["version"]))
-        os.replace(ptmp, os.path.join(sdir, "_current"))
+        with _ref_lock(self.path):
+            if snap.get("parent") is None:
+                # table creation: never renumber, never clobber a live table
+                if LakeTable.exists(self.path):
+                    raise CommitConflict(
+                        f"table already exists at {self.path}"
+                    )
+            else:
+                # OCC precondition: the ref this handle writes must still
+                # point at the snapshot the commit was built on
+                if self.branch is None:
+                    head = LakeTable.current_version(self.path)
+                    if head != snap["parent"]:
+                        raise CommitConflict(
+                            f"main moved: head is v{head}, commit was built "
+                            f"on v{snap['parent']} — reload and re-apply"
+                        )
+                else:
+                    brs = self._read_branches(self.path)
+                    if self.branch not in brs:
+                        raise KeyError(
+                            f"branch deleted under writer: {self.branch}"
+                        )
+                    if brs[self.branch]["version"] != snap["parent"]:
+                        raise CommitConflict(
+                            f"branch {self.branch!r} moved: head is "
+                            f"v{brs[self.branch]['version']}, commit was "
+                            f"built on v{snap['parent']} — reload and re-apply"
+                        )
+                # same-NUMBER collision from a commit on another ref since
+                # _next_snap allocated: renumber under the lock (lineage is
+                # `parent`, the number is just a unique id)
+                existing = self.versions()
+                if snap["version"] in set(existing):
+                    snap["version"] = max(existing) + 1
+            vpath = os.path.join(sdir, f"v{snap['version']:08d}.json")
+            tmp = vpath + ".tmp"
+            # the resolved file list stays in memory; on disk it is
+            # represented by the manifest chain (legacy snapshots without
+            # one keep inlining)
+            to_write = (
+                {k: v for k, v in snap.items() if k != "files"}
+                if "manifests" in snap
+                else snap
+            )
+            with open(tmp, "w") as f:
+                json.dump(to_write, f, indent=1)
+            os.replace(tmp, vpath)
+            if self.branch is not None:
+                # branch-loaded handle: the commit advances the branch ref
+                # only; main (`_current`) sees nothing until publish_branch
+                brs = self._read_branches(self.path)
+                brs[self.branch]["version"] = snap["version"]
+                self._write_branches(brs)
+                return
+            ptmp = os.path.join(sdir, "_current.tmp")
+            with open(ptmp, "w") as f:
+                f.write(str(snap["version"]))
+            os.replace(ptmp, os.path.join(sdir, "_current"))

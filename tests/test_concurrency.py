@@ -1,0 +1,134 @@
+"""Optimistic concurrency on the snapshot/ref layer: concurrent metadata
+writers must conflict loudly (CommitConflict) or compose — never silently
+clobber each other's commit. The reference's analogue is the single-owner
+checkpoint file swap (Writer.cpp:346-422 atomic rename); a lake target shared
+by a pipeline plus maintenance jobs needs Iceberg-style OCC instead."""
+
+import glob
+import os
+import threading
+
+import pytest
+
+from openlogreplicator_spark.lake.table import CommitConflict, LakeTable
+from openlogreplicator_spark.operators.decode import EVENTS_DDL
+from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+
+@pytest.fixture()
+def table(spark, events_dir, tmp_path):
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor")
+    for i, f in enumerate(files[:2]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    return p.table_path
+
+
+def test_stale_main_writer_conflicts_not_clobbers(spark, table):
+    """Two handles loaded at the same head: the second commit must raise
+    CommitConflict (main moved), and the FIRST writer's snapshot must
+    survive intact — reload-and-retry then succeeds."""
+    a = LakeTable.load(spark, table)
+    b = LakeTable.load(spark, table)
+    a.evolve("add_column", "won_race", new_type="string")
+    v_a = a.snap["version"]
+
+    with pytest.raises(CommitConflict):
+        b.evolve("add_column", "lost_race", new_type="string")
+    # the winner's commit is untouched and still current
+    cur = LakeTable.load(spark, table)
+    assert cur.snap["version"] == v_a
+    assert "won_race" in [f["name"] for f in cur.current_schema()]
+    assert "lost_race" not in [f["name"] for f in cur.current_schema()]
+    # OCC contract: reload, re-apply, succeed
+    b2 = LakeTable.load(spark, table)
+    b2.evolve("add_column", "lost_race", new_type="string")
+    names = [f["name"] for f in LakeTable.load(spark, table).current_schema()]
+    assert "won_race" in names and "lost_race" in names
+
+
+def test_stale_branch_writer_conflicts(spark, table):
+    t = LakeTable.load(spark, table)
+    br1 = t.create_branch("audit")
+    br2 = LakeTable.load(spark, table, branch="audit")
+    br1.evolve("add_column", "b1", new_type="string")
+    with pytest.raises(CommitConflict):
+        br2.evolve("add_column", "b2", new_type="string")
+    assert LakeTable.branch_version(table, "audit") == br1.snap["version"]
+
+
+def test_branch_and_main_commits_compose(spark, table):
+    """Commits on DIFFERENT refs from the same base are not a conflict:
+    both land, with distinct snapshot numbers, and neither overwrites the
+    other's snapshot JSON (the cross-ref renumber path)."""
+    t = LakeTable.load(spark, table)
+    br = t.create_branch("side")
+    # both handles now believe the next version is the same number
+    t.evolve("add_column", "on_main", new_type="string")
+    br.evolve("add_column", "on_branch", new_type="string")
+    assert t.snap["version"] != br.snap["version"]
+    main_cols = [f["name"] for f in LakeTable.load(spark, table).current_schema()]
+    br_cols = [
+        f["name"]
+        for f in LakeTable.load(spark, table, branch="side").current_schema()
+    ]
+    assert "on_main" in main_cols and "on_branch" not in main_cols
+    assert "on_branch" in br_cols and "on_main" not in br_cols
+
+
+def test_create_on_existing_table_conflicts(spark, table):
+    with pytest.raises(CommitConflict):
+        LakeTable.create(spark, table, [("url", "string")], key_col="url")
+
+
+def test_threaded_commit_hammer_loses_nothing(spark, table):
+    """8 threads × reload-commit-retry loops: every intended commit lands
+    exactly once on a LINEAR main chain (each parent is the previous head),
+    no snapshot number reused, no update lost."""
+    n_threads, per_thread = 8, 4
+    errors: list[Exception] = []
+
+    def worker(tid: int):
+        try:
+            for k in range(per_thread):
+                while True:
+                    h = LakeTable.load(spark, table)
+                    try:
+                        h.commit_summary_only(
+                            {"op": "hammer", "who": f"{tid}:{k}"}
+                        )
+                        break
+                    except CommitConflict:
+                        continue
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors and not any(th.is_alive() for th in threads)
+
+    t = LakeTable.load(spark, table)
+    seen = []
+    chain = {}
+    for v in t.versions():
+        s = LakeTable.load(spark, table, version=v).snap
+        chain[v] = s.get("parent")
+        if s["summary"].get("op") == "hammer":
+            seen.append(s["summary"]["who"])
+    assert sorted(seen) == sorted(
+        f"{i}:{k}" for i in range(n_threads) for k in range(per_thread)
+    )
+    # linear main history: walking parents from the head visits every
+    # hammer commit exactly once
+    walked = 0
+    v = t.snap["version"]
+    while v is not None and v in chain:
+        s = LakeTable.load(spark, table, version=v).snap
+        if s["summary"].get("op") == "hammer":
+            walked += 1
+        v = chain[v]
+    assert walked == n_threads * per_thread
