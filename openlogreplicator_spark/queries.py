@@ -1344,6 +1344,47 @@ def _ensure_replay_events() -> str:
 
 _ensure_replay_events()
 
+# One READ-ONLY per-file-epoch MoR replay of the fixed change log, shared by
+# the metadata-family engine entries (commit log, metrics truthfulness,
+# manifest stats, snapshot diff, incremental agg, as-of time travel): each
+# asks the SAME materialized table a different metadata question — exactly a
+# real deployment's shape, and it cuts ~5 redundant fixture replays from the
+# bench/correctness runs. Entries that MUTATE the table or its refs (WAP
+# staging) must NOT use it and build their own. Cache survives session
+# restarts within the process: the value is an on-disk path + the version
+# confirmed after each epoch, both session-independent.
+_SHARED_REPLAY: dict[str, tuple[str, list[int], str]] = {}
+
+
+def _shared_mor_replay(spark) -> tuple[str, list[int], str]:
+    """(table_path, per-epoch confirmed versions, metrics_path) of the shared
+    read-only replay; built on first use per process."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    ev = _ensure_replay_events()
+    hit = _SHARED_REPLAY.get(ev)
+    if hit is not None and os.path.isdir(hit[0]):
+        return hit
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_shared_replay_")
+    metrics = os.path.join(d, "metrics")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        metrics_path=metrics, merge_mode="mor", compact_every=0,
+    )
+    marks = []
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+        marks.append(LakeTable.current_version(p.table_path))
+    _SHARED_REPLAY[ev] = (p.table_path, marks, metrics)
+    return _SHARED_REPLAY[ev]
+
+
 # DuckDB twin of the full pipeline replay over the same fixed log:
 # committed-DML filter (null-safe dead-letter predicate has nothing to drop
 # here, but the filter is replicated verbatim), per-row schema_ver extras
@@ -1419,29 +1460,19 @@ def engine_replay_state_asof(spark, sf_dir):
     replay of only the first two files — including the DICTIONARY as of
     then: the fetch_status/http_status columns added by later DDL epochs
     must be absent."""
-    import glob as _glob
-
     from .lake.table import LakeTable
     from .operators.merge import read_state
-    from .streaming.pipeline import CdcPipeline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_asof_")
-    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
-    from .operators.decode import EVENTS_DDL
-
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
     # pick the newest snapshot whose confirmed epoch is 1 (time travel)
-    cur = LakeTable.load(spark, p.table_path)
+    cur = LakeTable.load(spark, table_path)
     ver = max(
         v
         for v in cur.versions()
-        if LakeTable.load(spark, p.table_path, version=v).last_epoch() == (1, True)
+        if LakeTable.load(spark, table_path, version=v).last_epoch() == (1, True)
     )
-    asof = LakeTable.load(spark, p.table_path, version=ver)
+    asof = LakeTable.load(spark, table_path, version=ver)
     return read_state(asof).select("url", "warc_ts", "_seq", "text", "lang")
 
 
@@ -1519,27 +1550,15 @@ def engine_commit_log(spark, sf_dir):
     did each epoch write?' must never cost a table scan). The DuckDB twin
     recomputes the expected winner counts from the raw events, proving the
     metadata tells the truth."""
-    import glob as _glob
-
     from .lake.table import LakeTable
-    from .operators.decode import EVENTS_DDL
-    from .streaming.pipeline import CdcPipeline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_commitlog_")
-    p = CdcPipeline(
-        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
-        merge_mode="mor", compact_every=0,
-    )
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
-    t = LakeTable.load(spark, p.table_path)
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    t = LakeTable.load(spark, table_path)
     log = [
         (int(s["epoch_id"]), int(s["rows_written"]))
         for v in t.versions()
-        for s in [LakeTable.load(spark, p.table_path, version=v).snap["summary"]]
+        for s in [LakeTable.load(spark, table_path, version=v).snap["summary"]]
         if s.get("op") == "merge_append"
     ]
     return spark.createDataFrame(log, "epoch_id int, rows_added long")
@@ -1583,23 +1602,9 @@ def engine_metrics_log(spark, sf_dir):
     what each epoch saw, applied, deduped, and skipped. Per-partition rows
     stay per-partition on disk (the distributed write shape); only the
     deterministic epoch roll-up is compared."""
-    import glob as _glob
-
-    from .operators.decode import EVENTS_DDL
-    from .streaming.pipeline import CdcPipeline
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_metricslog_")
-    p = CdcPipeline(
-        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
-        metrics_path=os.path.join(d, "metrics"),
-        merge_mode="mor", compact_every=0,
-    )
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
-    m = spark.read.parquet(os.path.join(d, "metrics"))
+    _table_path, _marks, metrics = _shared_mor_replay(spark)
+    m = spark.read.parquet(metrics)
     return m.groupBy("epoch_id").agg(
         F.sum("events_in").alias("events_in"),
         F.max("events_applied").alias("events_applied"),
@@ -1649,29 +1654,16 @@ def engine_incremental_agg(spark, sf_dir):
     changelog batches are projected to the maintenance columns BEFORE the
     union, so mid-chain schema evolution (fetch_status→http_status rename)
     cannot skew the union-by-name."""
-    import glob as _glob
     from functools import reduce
 
     from .lake.table import LakeTable
-    from .operators.decode import EVENTS_DDL
     from .operators.merge import snapshot_diff
-    from .streaming.pipeline import CdcPipeline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_incagg_")
-    p = CdcPipeline(
-        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
-        merge_mode="mor", compact_every=0,
-    )
-    marks = []
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
-        marks.append(LakeTable.current_version(p.table_path))
-    bounds = [min(LakeTable.load(spark, p.table_path).versions())] + marks
+    table_path, marks, _metrics = _shared_mor_replay(spark)
+    bounds = [min(LakeTable.load(spark, table_path).versions())] + marks
     batches = [
-        snapshot_diff(spark, p.table_path, a, b, emit_preimage=True)
+        snapshot_diff(spark, table_path, a, b, emit_preimage=True)
         .select("_change", "lang", "_seq")
         for a, b in zip(bounds, bounds[1:])
         if a != b
@@ -1727,27 +1719,15 @@ def engine_manifest_stats(spark, sf_dir):
     exact (never truncated like strings), so bounds must match to the
     microsecond. MoR appends never replace buckets, so a commit's added
     files are exactly the path-set delta vs its parent."""
-    import glob as _glob
-
     from .lake.table import LakeTable
-    from .operators.decode import EVENTS_DDL
-    from .streaming.pipeline import CdcPipeline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_manifeststats_")
-    p = CdcPipeline(
-        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
-        merge_mode="mor", compact_every=0,
-    )
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
-    t = LakeTable.load(spark, p.table_path)
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    t = LakeTable.load(spark, table_path)
     prev_paths: set[str] = set()
     log = []
     for v in sorted(t.versions()):
-        tv = LakeTable.load(spark, p.table_path, version=v)
+        tv = LakeTable.load(spark, table_path, version=v)
         cur = {fe["path"]: fe for fe in tv.snap["files"]}
         s = tv.snap["summary"]
         if s.get("op") == "merge_append":
@@ -5167,27 +5147,18 @@ def engine_snapshot_diff(spark, sf_dir):
     both sides resolve LWW only over their dirty subset; update detection
     compares the (warc_ts, seq) version identity so rewritten-but-unchanged
     rows are never reported."""
-    import glob as _glob
-
     from .lake.table import LakeTable
-    from .operators.decode import EVENTS_DDL
     from .operators.merge import snapshot_diff
-    from .streaming.pipeline import CdcPipeline
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = _ensure_replay_events()
-    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
-    d = tempfile.mkdtemp(prefix="olr_diff_")
-    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
-    for i, f in enumerate(files):
-        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
-    cur = LakeTable.load(spark, p.table_path)
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    cur = LakeTable.load(spark, table_path)
     ver = max(
         v
         for v in cur.versions()
-        if LakeTable.load(spark, p.table_path, version=v).last_epoch() == (1, True)
+        if LakeTable.load(spark, table_path, version=v).last_epoch() == (1, True)
     )
-    return snapshot_diff(spark, p.table_path, ver).select(
+    return snapshot_diff(spark, table_path, ver).select(
         "_change", "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
 
