@@ -6,12 +6,15 @@ by a pipeline plus maintenance jobs needs Iceberg-style OCC instead."""
 
 import glob
 import os
+import shutil
 import threading
 
 import pytest
 
 from openlogreplicator_spark.lake.table import CommitConflict, LakeTable
 from openlogreplicator_spark.operators.decode import EVENTS_DDL
+from openlogreplicator_spark.operators.merge import read_state
+from openlogreplicator_spark.replayer import replay
 from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 
 
@@ -80,6 +83,95 @@ def test_branch_and_main_commits_compose(spark, table):
 def test_create_on_existing_table_conflicts(spark, table):
     with pytest.raises(CommitConflict):
         LakeTable.create(spark, table, [("url", "string")], key_col="url")
+
+
+class SimCrash(RuntimeError):
+    pass
+
+
+def test_commit_crash_points_converge(spark, events_dir, events_pdf, tmp_path):
+    """Kill the writer at EVERY metadata-publish point of a DDL-bearing
+    epoch's commit sequence (evolve snapshots, manifest, snapshot, pointer
+    swap — enumerated, not guessed): after each simulated crash the table
+    must still load, and a plain retry of the same epoch must converge to
+    the golden final state exactly once. The reference survives the same
+    way — checkpoint files are atomically renamed and replay resumes from
+    the last confirmed scn (Writer.cpp:346-422)."""
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    last = len(files) - 1  # DDLs land at 60/75/90% → the last file has one
+    golden = replay(events_pdf)
+
+    base = tmp_path / "base"
+    p = CdcPipeline(spark, events_dir, str(base / "t"), str(base / "c"),
+                    merge_mode="mor")
+    for i, f in enumerate(files[:last]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    pre_urls = set(
+        r["url"] for r in read_state(LakeTable.load(spark, p.table_path))
+        .select("url").collect()
+    )
+
+    real_replace = os.replace
+
+    def run_epoch(table_dir: str, crash_at: int | None) -> int:
+        """Apply the last epoch against ``table_dir``; crash at the
+        ``crash_at``-th metadata publish (os.replace under the table).
+        Returns the number of publishes that happened."""
+        calls = {"n": 0}
+
+        def wrapper(src, dst, *a, **kw):
+            if str(dst).startswith(table_dir):
+                calls["n"] += 1
+                if crash_at is not None and calls["n"] == crash_at:
+                    raise SimCrash(f"publish #{calls['n']}: {dst}")
+            return real_replace(src, dst, *a, **kw)
+
+        os.replace = wrapper
+        try:
+            q = CdcPipeline(spark, events_dir, table_dir,
+                            str(tmp_path / "ck_scratch"), merge_mode="mor")
+            q.apply_epoch(
+                spark.read.schema(EVENTS_DDL).parquet(files[last]),
+                epoch_id=last,
+            )
+        finally:
+            os.replace = real_replace
+        return calls["n"]
+
+    # enumerate the publish points on a throwaway copy
+    probe = str(tmp_path / "probe")
+    shutil.copytree(str(base / "t"), probe)
+    n_publishes = run_epoch(probe, crash_at=None)
+    assert n_publishes >= 3  # at least manifest + snapshot + pointer
+
+    for k in range(1, n_publishes + 1):
+        tdir = str(tmp_path / f"crash_{k}")
+        shutil.copytree(str(base / "t"), tdir)
+        with pytest.raises(SimCrash):
+            run_epoch(tdir, crash_at=k)
+        # torn state is readable and user-facing rows are intact
+        t = LakeTable.load(spark, tdir)
+        urls = set(
+            r["url"] for r in read_state(t).select("url").collect()
+        )
+        assert urls == pre_urls, f"crash point {k} corrupted visible state"
+        # plain retry converges to golden, exactly once
+        run_epoch(tdir, crash_at=None)
+        t = LakeTable.load(spark, tdir)
+        assert t.last_epoch() == (last, True)
+        got = (
+            read_state(t).toPandas().sort_values("url").reset_index(drop=True)
+        )
+        assert list(got["url"]) == list(golden["url"]), f"crash point {k}"
+        assert all(a == b for a, b in zip(got["text"], golden["text"]))
+        # re-delivery after convergence is a no-op
+        v = t.snap["version"]
+        run_epoch(tdir, crash_at=None)
+        assert LakeTable.current_version(tdir) == v
+        # GC collects the crashed attempt's debris without changing state
+        stats = LakeTable.load(spark, tdir).expire_snapshots(keep_last=2)
+        after = read_state(LakeTable.load(spark, tdir)).count()
+        assert after == len(golden), (k, stats)
 
 
 def test_threaded_commit_hammer_loses_nothing(spark, table):
