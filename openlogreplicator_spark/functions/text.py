@@ -175,6 +175,63 @@ def chunk_windows(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg: int = 8,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup (Wenzek et al. 2019 dedupe
+    paragraphs by hash across the whole Common-Crawl snapshot; the corpus
+    here is flat token text, so a "paragraph" is a fixed ``seg``-token
+    segment — the same segmentation stand-in docs_dup_ngram_share uses).
+    A segment occurrence survives iff it is the globally FIRST occurrence of
+    its hash in (doc_id, pos) order; each document is then REBUILT from its
+    surviving segments in original order. Per doc: segment counts, removed
+    fraction, and md5 of the rebuilt text (compact value-hashable stand-in
+    for shipping the cleaned text).
+
+    Scale shape: segmentation is the zero-shuffle chunk_windows expression
+    chain; first-occurrence is ONE partial-aggregated groupBy on the segment
+    hash (min over a (doc, pos) struct — map-side combine shrinks the
+    shuffle to distinct segments) + an equi-join back on the hash; the
+    rebuild is one groupBy per doc (collect_list of kept segments,
+    array_sort by pos). Linear in corpus segments, never all-pairs — the
+    exact plan a 100 TB CCNet dedup runs. Reference analogue: none;
+    training-data pipeline extension."""
+    segs = chunk_windows(docs, id_col, text_col, size=seg, stride=seg).select(
+        F.col(id_col),
+        F.col("chunk_id").alias("pos"),
+        F.col("chunk_text").alias("seg"),
+        F.md5("chunk_text").alias("h"),
+    )
+    first = segs.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    flagged = segs.join(first, "h").withColumn(
+        "keep", F.struct(F.col(id_col), F.col("pos")) == F.col("_first")
+    )
+    kept_n = F.count(F.when(F.col("keep"), 1))
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_segs"),
+        kept_n.alias("kept_segs"),
+        F.round(F.lit(1.0) - kept_n / F.count("*"), 4).alias("dup_frac"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -161,6 +161,40 @@ def read_state(
     return df.filter(F.col("_op") != "d")
 
 
+def read_state_since(
+    table: LakeTable,
+    since_us: int,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> DataFrame:
+    """Current-state rows last changed at or after ``since_us`` — the "what
+    changed since T" consumer slice, served with manifest min/max file
+    skipping on the LOW side (reference analogue: checkpoint headers carry
+    first/next scn per redo file so the replicator opens only files covering
+    the resume position, Metadata.cpp checkpoint chain).
+
+    Soundness of the lo-side prune on a merge-on-read table: a pruned file
+    has ts_max < since, so every row in it predates the window. For any key,
+    the true LWW winner carries the key's max (warc_ts, _seq); a winner with
+    warc_ts >= since can never sit in a pruned file, and if the winner has
+    warc_ts < since then ALL of the key's versions do and the post-LWW
+    window filter drops the key either way — so read-time LWW over the
+    pruned scan plus the >= since filter is exact. The HI-side prune lacks
+    this property (pruning a winner above the window would resurrect an
+    older in-window version), which is why ``LakeTable.read``'s caveat
+    forbids ts pruning for plain state resolution."""
+    scan = table.read(ts_between=(since_us, None))
+    resolved = lww_compact_auto(
+        scan,
+        key=table.key_col,
+        order=("warc_ts", "_seq"),
+        broadcast_budget_keys=broadcast_budget_keys,
+    )
+    return resolved.filter(
+        (F.col("_op") != "d")
+        & (F.unix_micros(F.col("warc_ts")) >= F.lit(int(since_us)))
+    )
+
+
 def lookup_keys(
     table: LakeTable,
     keys: Iterable,

@@ -1476,6 +1476,54 @@ def engine_replay_state_asof(spark, sf_dir):
     return read_state(asof).select("url", "warc_ts", "_seq", "text", "lang")
 
 
+# "What changed since T" slice: winners computed over the FULL log, then
+# filtered to the window — mirroring the Spark side's post-LWW filter (the
+# lo-side file prune is a plan optimization, not a semantics change).
+_SINCE_TS = "2020-01-02 00:00:00"
+_SINCE_US = 1_577_923_200_000_000  # epoch micros of _SINCE_TS (UTC)
+_STATE_SINCE_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM projected
+    WHERE rn = 1 AND _op <> 'd' AND warc_ts >= TIMESTAMP '{_SINCE_TS}'
+    """
+
+
+@register("engine_state_since", _STATE_SINCE_SQL)
+def engine_state_since(spark, sf_dir):
+    """Incremental consumer slice: current-state rows last changed at or
+    after a cutoff, answered with manifest min/max FILE SKIPPING on the low
+    side — the Iceberg-style "rows modified since T" read every downstream
+    sync job runs (reference analogue: checkpoint headers carry first/next
+    scn per redo file, so resume opens only covering files). The lo-side
+    prune composed with read-time LWW is exact (proof in
+    operators/merge.read_state_since); the hi side is the one that cannot
+    prune under LWW, per LakeTable.read's caveat. At 10^10 rows this reads
+    O(files overlapping the window), not the table."""
+    from .lake.table import LakeTable
+    from .operators.merge import read_state_since
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    t = LakeTable.load(spark, table_path)
+    return read_state_since(t, _SINCE_US).select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 @register("engine_replay_state_wap", _REPLAY_SQL)
 def engine_replay_state_wap(spark, sf_dir):
     """Write-audit-publish over the same fixed change log: epochs 0-1 commit
@@ -2431,6 +2479,58 @@ def docs_chunk_windows(spark, sf_dir):
     return TXT.chunk_windows(
         d, "doc_id", "text", size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
     )
+
+
+# CCNet-style paragraph dedup over fixed 8-token segments: the DuckDB twin
+# replays the exact first-occurrence rule (row_number over the segment hash
+# in (doc_id, pos) order) and rebuilds each doc with an ORDER BY string_agg;
+# integer counts are CAST to BIGINT and count/count division is DOUBLE on
+# both engines. The rebuilt text ships as md5 so the gate value-hashes the
+# reconstruction, not just the counts.
+_PARA_SEG = 8
+_PARA_DEDUP_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) >= 1),
+    segs AS (
+      SELECT doc_id,
+             CAST(start // {_PARA_SEG} AS INTEGER) AS pos,
+             array_to_string(toks[start + 1 : start + {_PARA_SEG}], ' ') AS seg
+      FROM (SELECT doc_id, toks, n,
+                   unnest(generate_series(0, n - 1, {_PARA_SEG})) AS start
+            FROM sized)),
+    flagged AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, pos) = 1 AS keep
+      FROM segs)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_segs,
+           round(1.0 - (count(*) FILTER (WHERE keep)) / count(*), 4)
+             AS dup_frac,
+           md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+                          FILTER (WHERE keep), '')) AS clean_md5
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@register("docs_paragraph_dedup", _PARA_DEDUP_SQL)
+def docs_paragraph_dedup(spark, sf_dir):
+    """CCNet paragraph-level exact dedup with document RECONSTRUCTION: every
+    8-token segment survives only at its globally first (doc_id, pos)
+    occurrence, and each doc is rebuilt from its surviving segments — the
+    step CCNet runs over whole Common-Crawl snapshots (dup_ngram_share
+    MEASURES cross-doc duplication; this op REMOVES it and re-emits the
+    corpus). clean_md5 value-hashes the rebuilt text. Shape at scale: see
+    functions/text.paragraph_dedup — one hash-keyed partial agg + equi-join
+    + per-doc rebuild groupBy, linear in corpus segments."""
+    d = T(spark, sf_dir, "documents")
+    return TXT.paragraph_dedup(d, "doc_id", "text", seg=_PARA_SEG)
 
 
 _FUNNEL_SQL = """

@@ -341,3 +341,37 @@ def test_dup_cluster_survivors_string_ids(spark):
     # quality tie at 1.0 -> lexicographically smallest id, deterministically
     assert out[0]["survivor_doc_id"] == "a.com"
     assert out[0]["n_members"] == 3
+
+
+def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
+    """CCNet paragraph dedup: a segment survives only at its globally first
+    (doc_id, pos) occurrence — across docs AND within one doc — and each doc
+    is rebuilt from its surviving segments in order (clean_md5 checks the
+    reconstruction, not just counts)."""
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"      # segment A
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"      # segment B
+    c = "c1 c2 c3 c4 c5 c6 c7 c8"      # segment C
+    docs = spark.createDataFrame(
+        [
+            (0, f"{a} {b}"),        # owns A and B
+            (1, f"{a} {c}"),        # A is a cross-doc dup -> rebuilt as C
+            (2, f"{c} {c}"),        # first C is doc 1's; both drop here...
+            (3, "tail only"),       # short (<8 tokens) unique segment
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TXT.paragraph_dedup(docs, "doc_id", "text", seg=8).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["n_segs"], out[0]["kept_segs"]) == (2, 2)
+    assert out[0]["clean_md5"] == md5(f"{a} {b}")
+    assert (out[1]["n_segs"], out[1]["kept_segs"]) == (2, 1)
+    assert out[1]["clean_md5"] == md5(c)          # A deduped away
+    # doc 2: C already owned by doc 1 -> BOTH occurrences drop, doc empties
+    assert (out[2]["n_segs"], out[2]["kept_segs"]) == (2, 0)
+    assert out[2]["clean_md5"] == md5("")
+    assert (out[3]["n_segs"], out[3]["kept_segs"]) == (1, 1)
+    assert out[3]["clean_md5"] == md5("tail only")
+    assert out[1]["dup_frac"] == 0.5 and out[2]["dup_frac"] == 1.0

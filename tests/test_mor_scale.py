@@ -144,3 +144,33 @@ def test_lookup_keys_prunes_to_key_buckets(spark, seeded):
     # empty key set -> empty frame at the current schema, zero files
     empty = lookup_keys(t, [])
     assert empty.count() == 0 and empty.columns == got.columns
+
+
+def test_read_state_since_prunes_and_matches_full_filter(spark, seeded):
+    """'Rows changed since T' slice: lo-side manifest ts pruning + read-time
+    LWW must equal the unpruned full-state filter exactly — including a MoR
+    delta winner after the cutoff, a tombstone after the cutoff hiding a key,
+    and keys whose winner predates the cutoff (absent either way)."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators.merge import read_state_since
+
+    t = seeded  # 40 keys created at TS = 2020-01-01 (epoch 0)
+    late = dt.datetime(2020, 1, 5)
+    merge_append(
+        t,
+        _batch(spark, [("u1", late, 100, "u", "new1"),
+                       ("u2", late, 101, "d", None),
+                       ("u99", late, 102, "c", "fresh")]),
+        epoch_id=1,
+    )
+    since_us = int(
+        dt.datetime(2020, 1, 3, tzinfo=dt.timezone.utc).timestamp() * 1e6
+    )
+    got = read_state_since(t, since_us)
+    want = read_state(t).filter(F.unix_micros("warc_ts") >= since_us)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert {r["url"] for r in got.collect()} == {"u1", "u99"}  # u2 tombstoned
+    # the prune is real: the lo-bounded scan opens strictly fewer files
+    pruned = set(t.read(ts_between=(since_us, None)).inputFiles())
+    assert 0 < len(pruned) < len(set(t.read().inputFiles()))
