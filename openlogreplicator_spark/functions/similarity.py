@@ -525,7 +525,8 @@ def brute_force_topk(
 # ---------------------------------------------------------------- IVF ANN
 
 
-def centroid_topn_udf(centroids: list[list[float]], n: int = 1):
+def centroid_topn_udf(centroids: list[list[float]], n: int = 1,
+                      round_dp: int | None = None):
     """Arrow-batched nearest-cells kernel: one numpy matmul of each batch
     against the (tiny, closure-captured → task-broadcast) k×dim centroid
     matrix; returns the n nearest cell ids by cosine, ties to the smaller id.
@@ -533,7 +534,14 @@ def centroid_topn_udf(centroids: list[list[float]], n: int = 1):
     This replaces the round-1 literal-expression trees (k×dim literals inlined
     per centroid, re-codegen'd per Lloyd iteration — verdict 'What's wrong'
     #1): the kernel is O(batch × k × dim) vectorized, runs once per batch,
-    and adds NO shuffle — assignment is a map-side column."""
+    and adds NO shuffle — assignment is a map-side column.
+
+    ``round_dp`` rounds the cosine before the argsort: with it, a DuckDB twin
+    ordering by ``round(list_cosine_similarity(...), dp) DESC, cid`` picks the
+    same cell unless two true cosines agree to within 10^-dp — and then BOTH
+    engines fall to the deterministic smaller-cid tiebreak. This is the
+    cross-engine determinism dial for SQL-oracled k-means; leave None for the
+    IVF paths (their oracles replicate the unrounded expression)."""
     cents = np.asarray(centroids, dtype=np.float64)
     cnorm = np.linalg.norm(cents, axis=1, keepdims=True)
     cnorm[cnorm == 0] = 1.0
@@ -544,6 +552,8 @@ def centroid_topn_udf(centroids: list[list[float]], n: int = 1):
         vn = np.linalg.norm(m, axis=1, keepdims=True)
         vn[vn == 0] = 1.0
         cos = (m / vn) @ cents.T  # (batch, k)
+        if round_dp is not None:
+            cos = np.round(cos, round_dp)
         order = np.argsort(-cos, axis=1, kind="stable")[:, :n]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
@@ -552,14 +562,21 @@ def centroid_topn_udf(centroids: list[list[float]], n: int = 1):
 
 def kmeans_fit(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    k: int = 8, iters: int = 4,
+    k: int = 8, iters: int = 4, round_dp: int | None = None,
 ) -> list[list[float]]:
     """Deterministic mini k-means (IVF coarse quantizer): init = the k
     vectors with smallest md5(id) (seedless, replay-stable), then Lloyd
     iterations as DataFrame jobs — only the k×dim centroid matrix ever
     reaches the driver, the corpus never moves. Each iteration is one scan:
     assignment via the vectorized argmin kernel (no join, no shuffle), then a
-    partial-aggregated per-(cell, pos) mean. Cache `emb` before calling."""
+    partial-aggregated per-(cell, pos) mean. Cache `emb` before calling.
+
+    ``round_dp`` makes the fit replayable ACROSS ENGINES, not just across
+    partitionings: Lloyd means are rounded in the aggregate (HALF_UP, same as
+    DuckDB's round) and assignment cosines rounded before the argmin, so an
+    unrolled-CTE SQL twin follows the identical trajectory unless two true
+    values agree to within 10^-dp (and then both engines use the same
+    deterministic tiebreak). Used by the emb_kmeans_clusters catalog entry."""
     init = (
         emb.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -567,15 +584,16 @@ def kmeans_fit(
         .collect()
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
+    mean = F.avg("val") if round_dp is None else F.round(F.avg("val"), round_dp)
     for _ in range(iters):
-        assign = centroid_topn_udf(centroids, 1)
+        assign = centroid_topn_udf(centroids, 1, round_dp=round_dp)
         assigned = emb.select(
             F.element_at(assign(F.col(vec_col)), 1).alias("cid"),
             F.posexplode(vec_col).alias("pos", "val"),
         )
         rows = (
             assigned.groupBy("cid", "pos")
-            .agg(F.avg("val").alias("v"))
+            .agg(mean.alias("v"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("vs"))
             .collect()

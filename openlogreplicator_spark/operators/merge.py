@@ -574,6 +574,69 @@ def rewrite_buckets(table: LakeTable, buckets: Iterable[int]) -> dict:
     return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(req)}
 
 
+def cluster_buckets(
+    table: LakeTable,
+    target_rows_per_file: int = 4_000_000,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> dict:
+    """Time-cluster the table's data files: rewrite every bucket sorted by
+    ``warc_ts`` and SPLIT into ~``target_rows_per_file`` chunks, so each
+    bucket becomes a run of time-disjoint files and the manifest min/max
+    bounds (the inputs to ``read(ts_between=...)`` / ``read_state_since``)
+    prune at file granularity instead of bucket granularity — Iceberg's
+    sort-order rewrite_data_files (reference analogue: redo logs are
+    inherently scn-ordered on disk, so the replicator's resume-position seek
+    is cheap BECAUSE of physical time order; an LWW table loses that order
+    on merge, and this maintenance pass restores it).
+
+    Dirty buckets are LWW-folded in the same pass (free — the bucket is
+    rewritten anyway; same rule as purge_tombstones) and their marks
+    cleared; tombstones are preserved — maintenance commit, user state
+    untouched. Plan shape: ONE shuffle (repartition on _bucket), per-task
+    sort, and the partitionBy writer keeps the (bucket, warc_ts) task order
+    because the sort prefix satisfies its required ordering — the
+    maxRecordsPerFile rollover is what yields time-disjoint chunks."""
+    present = sorted({f["bucket"] for f in table.snap["files"]})
+    if not present:
+        return {"files": 0, "rows": 0, "buckets_rewritten": 0}
+    dirty = sorted(table.dirty_buckets() & set(present))
+    clean = [b for b in present if b not in set(dirty)]
+    parts = []
+    if dirty:
+        parts.append(
+            lww_compact_auto(
+                table.read(dirty),
+                key=table.key_col,
+                order=("warc_ts", "_seq"),
+                broadcast_budget_keys=broadcast_budget_keys,
+                approx_rows=table.rows_in_buckets(dirty),
+            )
+        )
+    if clean:
+        parts.append(table.read(clean))
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+    full = full.withColumn("_bucket", table.bucket_expr())
+    absdir, _rel = table.new_data_dir()
+    (
+        full.repartition(max(1, min(len(present), 64)), "_bucket")
+        .sortWithinPartitions("_bucket", "warc_ts", "_seq")
+        .write.option("maxRecordsPerFile", int(target_rows_per_file))
+        .partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = _collect_written_files(absdir, table)
+    table.commit_files(
+        new_files, present,
+        {"op": "cluster", "rows": rows, "buckets": len(present),
+         "target_rows_per_file": int(target_rows_per_file)},
+        extra={"needs_read_compaction": False, "dirty_buckets": []},
+    )
+    return {"files": len(new_files), "rows": rows,
+            "buckets_rewritten": len(present)}
+
+
 def rebucket(
     table: LakeTable,
     new_n_buckets: int,

@@ -4283,6 +4283,111 @@ def emb_dim_stats(spark, sf_dir):
     )
 
 
+# Lloyd k-means, SQL-replayed: the DuckDB twin unrolls both iterations as
+# CTEs and must follow the IDENTICAL trajectory — init = the k vectors with
+# smallest md5(id); every assignment orders by the 6dp-ROUNDED cosine with a
+# cid tiebreak (so sub-1e-6 cross-engine FP noise falls to the same
+# deterministic tiebreak on both sides); every Lloyd mean is rounded 6dp in
+# the aggregate (HALF_UP on both engines); empty cells keep their previous
+# centroid (coalesce vs the Python-side new.get fallback).
+_KMEANS_K, _KMEANS_ITERS = 4, 2
+
+
+def _kmeans_iter_sql(prev: str, a: str, m: str, nxt: str) -> str:
+    """One unrolled Lloyd iteration: assign to nearest (rounded) cosine
+    centroid, per-(cid, pos) rounded mean, coalesce empty cells."""
+    return f"""
+    {a} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+    {m} AS (
+      SELECT cid, list(cv ORDER BY pos) AS v FROM (
+        SELECT cid, pos, round(avg(val), 6) AS cv
+        FROM (SELECT cid, unnest(v) AS val,
+                     unnest(generate_series(1, len(v))) AS pos FROM {a})
+        GROUP BY cid, pos) GROUP BY cid),
+    {nxt} AS (
+      SELECT i.cid, coalesce({m}.v, i.v) AS v
+      FROM {prev} i LEFT JOIN {m} USING (cid))"""
+
+
+_KMEANS_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    init AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER)
+               AS cid, v
+      FROM e
+      QUALIFY row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KMEANS_K}),
+    {_kmeans_iter_sql("init", "a1", "m1", "c1")},
+    {_kmeans_iter_sql("c1", "a2", "m2", "c2")},
+    final AS (
+      SELECT vec_id, cid, cos FROM (
+        SELECT e.vec_id, c.cid,
+               round(list_cosine_similarity(e.v, c.v), 6) AS cos,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1)
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+           round(avg(cos), 4) AS avg_cos,
+           round(min(cos), 4) AS min_cos
+    FROM final GROUP BY cid
+    """
+
+
+@register("emb_kmeans_clusters", _KMEANS_SQL)
+def emb_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding corpus (the clustering
+    behind SemDeDup cells, IVF quantizers, and DCLM-style cluster-balanced
+    sampling), value-checked against a DuckDB twin that REPLAYS the whole
+    iterative fit as unrolled CTEs — init, both Lloyd iterations, and the
+    final assignment all follow the identical rounded trajectory (the
+    round_dp=6 dial in kmeans_fit/centroid_topn_udf; ties fall to the same
+    smaller-cid rule on both engines). Shape at 100 TB: per iteration ONE
+    corpus scan — assignment is a map-side Arrow kernel against the
+    broadcast k×dim matrix (no join, no shuffle), means partial-aggregate on
+    (cell, pos) (k×dim keys), and only the k×dim centroid matrix ever
+    reaches the driver. The final report is a k-row aggregate. Reference
+    analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, round_dp=6
+    )
+    assign = S.centroid_topn_udf(cents, 1, round_dp=6)
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cid int, centroid array<double>",
+    )
+    scored = (
+        emb.select(
+            "vec_id", "embedding",
+            F.element_at(assign(F.col("embedding")), 1).alias("cid"),
+        )
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            "cid",
+            F.round(
+                S.cosine(F.col("embedding"), F.col("centroid")), 6
+            ).alias("cos"),
+        )
+    )
+    return scored.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos"), 4).alias("avg_cos"),
+        F.round(F.min("cos"), 4).alias("min_cos"),
+    )
+
+
 _LEN_HIST_SQL = """
     SELECT lang,
            CAST(CASE WHEN n_chars <= 0 THEN 0

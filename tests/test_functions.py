@@ -152,6 +152,21 @@ def test_ivf_ann_recall_and_determinism(spark):
     for a, b in zip(cents, cents2):
         assert all(abs(x - y) < 1e-9 for x, y in zip(a, b))
 
+    # round_dp mode (the SQL-oracled trajectory): EXACT replay-stability —
+    # rounded means are bit-identical across partitionings, and on clustered
+    # data the rounded fit lands on the same clustering as the unrounded one
+    r1 = S.kmeans_fit(emb, k=4, iters=2, round_dp=6)
+    r2 = S.kmeans_fit(emb.repartition(9), k=4, iters=2, round_dp=6)
+    assert r1 == r2
+    a_r = S.centroid_topn_udf(r1, 1, round_dp=6)
+    a_u = S.centroid_topn_udf(S.kmeans_fit(emb, k=4, iters=2), 1)
+    both = emb.select(
+        F.element_at(a_r(F.col("embedding")), 1).alias("cr"),
+        F.element_at(a_u(F.col("embedding")), 1).alias("cu"),
+    )
+    assert both.filter(F.col("cr") != F.col("cu")).count() == 0
+    assert both.count() == 400
+
     queries = emb.filter(F.col("vec_id") < 5)
     ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=2).toPandas()
     brute = S.brute_force_topk(emb, queries, k=5).toPandas()

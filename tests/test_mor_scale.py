@@ -174,3 +174,61 @@ def test_read_state_since_prunes_and_matches_full_filter(spark, seeded):
     # the prune is real: the lo-bounded scan opens strictly fewer files
     pruned = set(t.read(ts_between=(since_us, None)).inputFiles())
     assert 0 < len(pruned) < len(set(t.read().inputFiles()))
+
+
+def test_cluster_buckets_time_splits_files_and_preserves_state(spark, seeded):
+    """Sort-order rewrite: after a compaction collapses each bucket to one
+    wide-time-range file, cluster_buckets re-splits buckets into
+    time-disjoint chunks — a narrow ts window then opens strictly fewer
+    files — while user-visible state, tombstones, and read_state_since
+    slices are all byte-identical; dirty buckets get LWW-folded for free."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators.merge import (
+        cluster_buckets,
+        read_state_since,
+    )
+
+    t = seeded  # 40 keys @ 2020-01-01
+    for i, day in enumerate((3, 7, 11, 15)):
+        when = dt.datetime(2020, 1, day)
+        rows = [(f"u{j}", when, 200 + i * 10 + j, "u", f"v{i}_{j}")
+                for j in range(8)]
+        if i == 0:
+            rows.append(("u20", when, 299, "d", None))  # tombstone survives
+        merge_append(t, _batch(spark, rows), epoch_id=i + 1)
+    compact_table(t)  # 1 file/bucket: bucket-granular bounds only
+    lo = int(dt.datetime(2020, 1, 14, tzinfo=dt.timezone.utc).timestamp() * 1e6)
+
+    def rows_opened(df) -> int:
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(p.removeprefix("file://")).metadata.num_rows
+            for p in set(df.inputFiles())
+        )
+
+    opened_compacted = rows_opened(t.read(ts_between=(lo, None)))
+
+    # make one bucket dirty again so the cluster pass must LWW-fold it
+    merge_append(t, _batch(
+        spark, [("u1", dt.datetime(2020, 1, 15), 400, "u", "final1")]),
+        epoch_id=9)
+    assert t.dirty_buckets()
+    want = sorted(map(tuple, read_state(t).collect()))
+
+    res = cluster_buckets(t, target_rows_per_file=2)
+    assert t.dirty_buckets() == set()
+    n_buckets = len({f["bucket"] for f in t.snap["files"]})
+    assert res["files"] > n_buckets  # chunks actually split
+    assert sorted(map(tuple, read_state(t).collect())) == want
+    assert read_state(t).filter("url = 'u20'").count() == 0  # still deleted
+
+    # the windowed scan now opens only each bucket's in-window tail chunks:
+    # strictly fewer ROWS come off disk than the bucket-granular files held
+    opened_clustered = rows_opened(t.read(ts_between=(lo, None)))
+    assert 0 < opened_clustered < opened_compacted
+    since = read_state_since(t, lo)
+    full = read_state(t).filter(F.unix_micros("warc_ts") >= lo)
+    assert sorted(map(tuple, since.collect())) == sorted(
+        map(tuple, full.collect()))
