@@ -2071,6 +2071,46 @@ def docs_dedup_survivors(spark, sf_dir):
     )
 
 
+@register(
+    "docs_softdedup_weights",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    sizes AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY component),
+    w AS (SELECT comp.doc_id, sizes.n
+          FROM comp JOIN sizes USING (component))
+    SELECT d.doc_id,
+           CAST(coalesce(w.n, 1) AS BIGINT) AS cluster_size,
+           round(1.0 / coalesce(w.n, 1), 6) AS weight
+    FROM documents d LEFT JOIN w USING (doc_id)
+    """,
+)
+def docs_softdedup_weights(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING near-duplicates (the
+    keep-one policy of docs_dedup_survivors), every document gets a training
+    weight of 1/|its duplicate cluster| — the down-weighting strategy for
+    data-constrained training where repeated content should count once in
+    expectation but hard deletion would discard coverage. Singleton docs
+    weigh 1.0; a 3-member SimHash cluster's members weigh 1/3 each, so every
+    cluster contributes exactly one document-equivalent. Shape at 100 TB:
+    the pair graph is the blocked SimHash path, components are the
+    O(log²n)-round star algorithm, and the weight join is cluster-sized —
+    never all-pairs. Reference analogue: none — training-data extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    sizes = comps.groupBy("component").agg(F.count("*").alias("n"))
+    w = comps.join(sizes, "component").select("doc_id", "n")
+    return d.join(w, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+        F.round(
+            F.lit(1.0) / F.coalesce(F.col("n"), F.lit(1)), 6
+        ).alias("weight"),
+    )
+
+
 _ASOF_SQL = """
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
          c AS (SELECT * FROM events WHERE event_type = 'click')
@@ -4316,7 +4356,10 @@ def _kmeans_iter_sql(prev: str, a: str, m: str, nxt: str) -> str:
       FROM {prev} i LEFT JOIN {m} USING (cid))"""
 
 
-_KMEANS_SQL = f"""
+# Shared CTE prefix: init + both Lloyd iterations ending at centroids `c2`
+# (reused by emb_cluster_balanced_sample, the same way the IVF recall gates
+# reuse the IVF assign CTE).
+_KMEANS_PREFIX = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
@@ -4328,7 +4371,11 @@ _KMEANS_SQL = f"""
       QUALIFY row_number() OVER (
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_KMEANS_K}),
     {_kmeans_iter_sql("init", "a1", "m1", "c1")},
-    {_kmeans_iter_sql("c1", "a2", "m2", "c2")},
+    {_kmeans_iter_sql("c1", "a2", "m2", "c2")}"""
+
+
+_KMEANS_SQL = f"""
+    {_KMEANS_PREFIX},
     final AS (
       SELECT vec_id, cid, cos FROM (
         SELECT e.vec_id, c.cid,
@@ -4385,6 +4432,56 @@ def emb_kmeans_clusters(spark, sf_dir):
         F.count("*").alias("n_members"),
         F.round(F.avg("cos"), 4).alias("avg_cos"),
         F.round(F.min("cos"), 4).alias("min_cos"),
+    )
+
+
+_CBS_PER = 20
+_CBS_SQL = f"""
+    {_KMEANS_PREFIX},
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.v), 6) DESC,
+                          c.cid) AS rn
+        FROM e CROSS JOIN c2 c) WHERE rn = 1)
+    SELECT cid, vec_id, label, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT a.cid, a.vec_id, emb.label,
+             row_number() OVER (
+               PARTITION BY a.cid
+               ORDER BY md5(CAST(a.vec_id AS VARCHAR)), a.vec_id) AS rk
+      FROM assigned a JOIN embeddings emb USING (vec_id))
+    WHERE rk <= {_CBS_PER}
+    """
+
+
+@register("emb_cluster_balanced_sample", _CBS_SQL)
+def emb_cluster_balanced_sample(spark, sf_dir):
+    """DCLM-style cluster-then-sample: fit k-means (same SQL-replayed
+    trajectory as emb_kmeans_clusters), then draw a deterministic
+    equal-quota sample per cluster — the md5-smallest vec_ids, i.e. a
+    seedless uniform hash draw — so the training subset covers embedding
+    space instead of letting dense regions dominate. Shape at 100 TB:
+    assignment is the map-side kernel column; the per-cluster rank window
+    partitions on cid, and in real cluster-balanced sampling k GROWS with
+    the corpus (DCLM uses 10^4-10^5 clusters), so partitions stay bounded —
+    the k=4 here is the test-scale dial, not the shape. Output is k×quota
+    rows. Reference analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, k=_KMEANS_K, iters=_KMEANS_ITERS, round_dp=6)
+    assign = S.centroid_topn_udf(cents, 1, round_dp=6)
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        emb.select(
+            F.element_at(assign(F.col("embedding")), 1).alias("cid"),
+            "vec_id", "label",
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CBS_PER)
+        .select("cid", "vec_id", "label", "rk")
     )
 
 
