@@ -2072,6 +2072,59 @@ def docs_dedup_survivors(spark, sf_dir):
 
 
 @register(
+    "docs_leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    grouped AS (
+      SELECT d.doc_id, CAST(coalesce(comp.component, d.doc_id) AS BIGINT)
+               AS group_key
+      FROM documents d LEFT JOIN comp USING (doc_id))
+    SELECT doc_id, group_key,
+           CASE
+             WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 < 95 THEN 'valid'
+             ELSE 'test'
+           END AS split
+    FROM grouped
+    """,
+)
+def docs_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/valid/test split: the split key is the document's
+    near-dup CLUSTER (SimHash connected component; its own id for
+    singletons), so every member of a duplicate cluster lands in the same
+    split — the guard against eval contamination that a plain per-doc hash
+    split (docs_train_split) cannot give: two near-identical documents can
+    otherwise straddle train and test and leak the answer. Same md5-bucket
+    90/5/5 rule as the per-doc split, applied to the group key. Shape at
+    100 TB: pair graph + components are the blocked near-linear path, the
+    group-key join is cluster-sized, and the split itself is a map-side
+    expression. Reference analogue: none — training-data extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    grouped = d.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long").alias("group_key"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("group_key").cast("string")), 1, 8), 16, 10
+        ).cast("long") % 100
+    )
+    return grouped.select(
+        "doc_id", "group_key",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "valid")
+        .otherwise("test").alias("split"),
+    )
+
+
+@register(
     "docs_softdedup_weights",
     f"""
     WITH RECURSIVE {_components_cte()},
