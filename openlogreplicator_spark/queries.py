@@ -1524,6 +1524,109 @@ def engine_state_since(spark, sf_dir):
     )
 
 
+# Incremental near-dup INDEX maintenance from the CDF changelog: the Spark
+# side never rescans the table — it folds each epoch's snapshot_diff batch
+# into a persisted MinHash signature index (upsert new sigs, anti-join away
+# deleted/superseded urls) and emits band-collision pairs from the MAINTAINED
+# index. The DuckDB twin recomputes the same 4-hash / 2-band index from
+# scratch over the final replay state — incremental maintenance must net to
+# the from-scratch answer exactly (same invariant family as
+# engine_incremental_agg, applied to a dedup index instead of an aggregate).
+_INC_MINHASH_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, text, op AS _op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev),
+    state AS (SELECT url, text FROM projected WHERE rn = 1 AND _op <> 'd'),
+    raw AS (
+      SELECT url,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM state),
+    tok AS (SELECT DISTINCT url, token FROM raw WHERE length(token) > 0),
+    sig AS (
+      SELECT url,
+             min(md5(token || '#0')) AS h0, min(md5(token || '#1')) AS h1,
+             min(md5(token || '#2')) AS h2, min(md5(token || '#3')) AS h3
+      FROM tok GROUP BY url),
+    bands AS (
+      SELECT url, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig
+      UNION ALL
+      SELECT url, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig)
+    SELECT DISTINCT l.url AS a, r.url AS b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+     AND l.url < r.url
+    """
+
+
+@register("engine_incremental_minhash", _INC_MINHASH_SQL)
+def engine_incremental_minhash(spark, sf_dir):
+    """Incremental dedup-index maintenance: a per-url MinHash LSH index is
+    kept current purely from CDF batches — for every epoch, sign only the
+    batch's inserted/updated after-images, anti-join away every changed
+    url's old signature (deletes included), persist, repeat — and near-dup
+    candidate pairs are answered from the MAINTAINED index. This is the op
+    a 100 TB corpus needs to keep dedup live under CDC churn: per epoch the
+    work is O(changed keys) signatures + an anti-join against the index,
+    never a corpus rescan (snapshot_diff itself prunes quiet buckets
+    driver-side). The DuckDB twin recomputes the index from scratch over
+    the final state — incremental must net to from-scratch exactly.
+    Reference analogue: the downstream-consumer contract of checkpointed
+    incremental delivery (WriterStream confirm protocol); the index is one
+    such consumer's materialization."""
+    import shutil as _shutil
+
+    from .lake.table import LakeTable
+    from .operators.merge import snapshot_diff
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, marks, _metrics = _shared_mor_replay(spark)
+    versions = LakeTable.load(spark, table_path).versions()
+    base = tempfile.mkdtemp(prefix="olr_inc_minhash_")
+    sig_path = None
+    from_v = min(versions)
+    for i, to_v in enumerate(marks):
+        if to_v == from_v:
+            continue
+        batch = snapshot_diff(spark, table_path, from_v, to_v)
+        changed_urls = batch.select("url").distinct()
+        upserts = batch.filter(F.col("_change") != "delete").select(
+            "url", "text"
+        )
+        new_sigs = S.minhash_signature(
+            S.tokens(upserts, "url", "text", distinct=False), "url",
+            n_hashes=4,
+        )
+        if sig_path is not None:
+            kept = spark.read.parquet(sig_path).join(
+                changed_urls, "url", "left_anti"
+            )
+            index = kept.unionByName(new_sigs)
+        else:
+            index = new_sigs
+        nxt = os.path.join(base, f"sig_v{to_v}")
+        index.write.parquet(nxt)
+        if sig_path is not None:
+            _shutil.rmtree(sig_path, ignore_errors=True)
+        sig_path, from_v = nxt, to_v
+    b = S.minhash_bands(
+        spark.read.parquet(sig_path), "url", n_hashes=4, band_size=2
+    )
+    left = b.select(F.col("url").alias("a"), "band_id", "band_hash")
+    right = b.select(F.col("url").alias("b"), "band_id", "band_hash")
+    return (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 @register("engine_replay_state_wap", _REPLAY_SQL)
 def engine_replay_state_wap(spark, sf_dir):
     """Write-audit-publish over the same fixed change log: epochs 0-1 commit
