@@ -1131,6 +1131,63 @@ def covariance_upper(
     )
 
 
+def pca_power_top(
+    cov_upper: DataFrame, dim: int, iters: int = 3, round_dp: int = 6
+) -> DataFrame:
+    """Dominant principal component by power iteration over the covariance
+    relation — the PCA step AFTER :func:`covariance_upper` has reduced the
+    corpus to a dim²-sized sufficient statistic. Returns ``(pos, loading,
+    eigval)``: the unit top eigenvector and its Rayleigh-quotient
+    eigenvalue.
+
+    Every arithmetic step (matrix-vector product = equi-join + partial agg
+    on the fixed dim keyspace, normalization, Rayleigh quotient) stays an
+    engine expression with ``F.round(·, round_dp)`` after each iteration —
+    the kmeans_fit determinism recipe — so a DuckDB twin of unrolled CTEs
+    replays the identical trajectory. v0 = round(1/sqrt(dim)) uniform
+    (deterministic, no RNG). Cost is iters tiny jobs over dim² rows; the
+    corpus itself is never touched here."""
+    from pyspark.sql import Window
+
+    spark = cov_upper.sparkSession
+    full = cov_upper.unionByName(
+        cov_upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    w_all = Window.partitionBy(F.lit(1))  # dim rows — bounded by design
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("i"),
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(dim))), round_dp).alias("x"),
+    )
+
+    def matvec(vec: DataFrame) -> DataFrame:
+        return (
+            full.join(vec.select(F.col("i").alias("j"), "x"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("x")).alias("s"))
+        )
+
+    for _ in range(iters):
+        w = matvec(v)
+        nrm = F.sqrt(F.sum(F.col("s") * F.col("s")).over(w_all))
+        v = w.select("i", F.round(F.col("s") / nrm, round_dp).alias("x"))
+    w_final = matvec(v)
+    lam = (
+        w_final.join(v, "i")
+        .agg(
+            F.round(
+                F.sum(F.col("s") * F.col("x"))
+                / F.sum(F.col("x") * F.col("x")),
+                round_dp,
+            ).alias("eigval")
+        )
+    )
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("pos"), F.col("x").alias("loading"), "eigval"
+    )
+
+
 # -------------------------------------------------- incremental (new-batch)
 
 

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions import bpe as BPE
 from .functions import sampling as SAMP
 from .functions import similarity as S
 from .functions import text as TXT
@@ -5502,8 +5503,10 @@ def ann_ivfpq_topk(spark, sf_dir):
     )
 
 
-_EMB_COV_SQL = """
-    WITH x AS (
+# Shared covariance CTE chain ending at `covu` (upper triangle, 6 dp) —
+# reused by emb_pca_power the same way _KMEANS_PREFIX is shared.
+_EMB_COV_CTES = """
+    x AS (
       SELECT vec_id,
              unnest(generate_series(1, len(embedding))) AS i,
              unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
@@ -5513,13 +5516,18 @@ _EMB_COV_SQL = """
     prods AS (
       SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
-      GROUP BY a.i, b.i)
-    SELECT p.i, p.j,
-           round(p.sxy / n.n - (sa.sx / n.n) * (sb.sx / n.n), 6) AS cov
-    FROM prods p
-    JOIN sums sa ON sa.i = p.i
-    JOIN sums sb ON sb.i = p.j
-    CROSS JOIN n
+      GROUP BY a.i, b.i),
+    covu AS (
+      SELECT p.i, p.j,
+             round(p.sxy / n.n - (sa.sx / n.n) * (sb.sx / n.n), 6) AS cov
+      FROM prods p
+      JOIN sums sa ON sa.i = p.i
+      JOIN sums sb ON sb.i = p.j
+      CROSS JOIN n)"""
+
+_EMB_COV_SQL = f"""
+    WITH {_EMB_COV_CTES}
+    SELECT i, j, cov FROM covu
     """
 
 
@@ -5768,5 +5776,207 @@ def ann_recall_eval_ivfpq(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
             F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_RECALL_K), 4)
             .alias("recall"),
+        )
+    )
+
+
+_BPE_MERGES = 8
+
+
+@register("docs_bpe_learn", BPE.bpe_sql(_BPE_MERGES))
+def docs_bpe_learn(spark, sf_dir):
+    """Distributed BPE tokenizer induction (Sennrich 2016) — learn the first
+    8 merges over the corpus, value-checked against a DuckDB twin that
+    REPLAYS the identical merge trajectory as unrolled CTEs (the
+    emb_kmeans_clusters pattern applied to tokenizer training). Determinism:
+    count ties fall to the lexicographically smallest pair on both engines,
+    and merge application is the doubled-space trick (functions/bpe.py) so
+    one engine-native non-overlapping replace() is exactly greedy-left on
+    both sides. Shape at 100 TB: the corpus is scanned ONCE (word-count
+    groupBy with map-side combine); each merge iteration runs on the cached
+    vocab-bounded distinct-word relation and collects a single winner row.
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    merges = BPE.bpe_learn(d, "text", n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(r, p, c) for r, p, c in merges], "rank int, pair string, cnt bigint"
+    )
+
+
+def _pca_iter_sql(prev: str, w: str, nxt: str) -> str:
+    """One unrolled power-iteration step: w = C·v, v' = round(w/||w||)."""
+    return f"""
+    {w} AS (
+      SELECT c.i AS i, sum(c.cov * v.x) AS s
+      FROM cov c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
+    {nxt} AS (
+      SELECT i, round(s / sqrt(sum(s * s) OVER ()), 6) AS x FROM {w})"""
+
+
+_PCA_SQL = f"""
+    WITH {_EMB_COV_CTES},
+    cov AS (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covu WHERE i <> j),
+    v0 AS (
+      SELECT unnest(generate_series(1, {_EMB_DIM})) AS i,
+             round(1.0 / sqrt(CAST({_EMB_DIM} AS DOUBLE)), 6) AS x),
+    {_pca_iter_sql("v0", "w1", "v1")},
+    {_pca_iter_sql("v1", "w2", "v2")},
+    {_pca_iter_sql("v2", "w3", "v3")},
+    w4 AS (
+      SELECT c.i AS i, sum(c.cov * v.x) AS s
+      FROM cov c JOIN v3 v ON v.i = c.j GROUP BY c.i),
+    lam AS (
+      SELECT round(sum(w.s * v.x) / sum(v.x * v.x), 6) AS eigval
+      FROM w4 w JOIN v3 v USING (i))
+    SELECT v.i AS pos, v.x AS loading, lam.eigval
+    FROM v3 v CROSS JOIN lam
+    """
+
+
+@register("emb_pca_power", _PCA_SQL)
+def emb_pca_power(spark, sf_dir):
+    """Dominant principal component of the corpus embeddings (anisotropy /
+    drift diagnostic; the whitening direction ABM-style embedding pipelines
+    remove first) — power iteration over the covariance sufficient
+    statistic, value-checked against a DuckDB twin that replays the
+    identical rounded trajectory as unrolled CTEs (the kmeans/BPE replay
+    pattern applied to an eigensolver). Shape at 100 TB: the ONLY
+    corpus-sized step is covariance_upper's per-partition float64 Gram
+    (fixed dim² shuffle keyspace); each iteration is then an equi-join +
+    partial agg over dim² rows — corpus size never reaches the iteration.
+    Reference analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    cov = S.covariance_upper(emb, "embedding", dim=_EMB_DIM)
+    return S.pca_power_top(cov, dim=_EMB_DIM, iters=3, round_dp=6)
+
+
+_NBQ_CURATED = ("src0", "src1", "src2", "src3", "src4")
+_NBQ_IN = ", ".join(f"'{s}'" for s in _NBQ_CURATED)
+
+_NBQ_SQL = f"""
+    WITH lab AS (
+      SELECT doc_id, text,
+             source IN ({_NBQ_IN}) AS curated
+      FROM documents),
+    tok AS (
+      SELECT doc_id, curated,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM lab),
+    tok2 AS (SELECT * FROM tok WHERE length(token) > 0),
+    cls AS (
+      SELECT token,
+             sum(CASE WHEN curated THEN 1 ELSE 0 END) AS g,
+             sum(CASE WHEN NOT curated THEN 1 ELSE 0 END) AS b
+      FROM tok2 GROUP BY token),
+    tot AS (SELECT sum(g) AS gt, sum(b) AS bt, count(*) AS v FROM cls),
+    llr AS (
+      SELECT token,
+             ln((g + 0.5) / (gt + 0.5 * v))
+               - ln((b + 0.5) / (bt + 0.5 * v)) AS llr
+      FROM cls CROSS JOIN tot),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(llr), 4) AS score
+      FROM tok2 JOIN llr USING (token) GROUP BY doc_id)
+    SELECT s.doc_id, d.source,
+           d.source IN ({_NBQ_IN}) AS curated,
+           s.n_tokens, s.score
+    FROM scored s JOIN documents d USING (doc_id)
+    """
+
+
+@register("docs_quality_classifier", _NBQ_SQL)
+def docs_quality_classifier(spark, sf_dir):
+    """Naive-Bayes quality classifier (the GPT-3 / CCNet curated-vs-crawl
+    filter, closed-form instead of SGD): a curated-source proxy labels the
+    corpus, per-token log-odds llr(t) = ln P(t|curated) − ln P(t|wild) with
+    add-0.5 smoothing over the shared vocabulary, and each document scores
+    the mean llr of its token multiset — the score a pipeline thresholds or
+    pareto-samples on (GPT-3 appendix A). Shape at 100 TB: explode → ONE
+    two-phase class-count agg on the vocab keyspace; totals are a one-row
+    broadcast crossJoin; scoring re-joins tokens on the vocab-keyed llr
+    relation (equi-join, Zipf head absorbed by map-side combine) and
+    partial-aggregates per doc. No model state beyond the llr relation —
+    it IS the persisted classifier. Reference analogue: none —
+    training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    lab = d.withColumn("curated", F.col("source").isin(*_NBQ_CURATED))
+    tok = S.tokens(lab, "doc_id", "text", distinct=False,
+                   extra_cols=("curated",))
+    cls = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("curated"), 1).otherwise(0)).alias("g"),
+        F.sum(F.when(~F.col("curated"), 1).otherwise(0)).alias("b"),
+    )
+    tot = cls.agg(
+        F.sum("g").alias("gt"), F.sum("b").alias("bt"),
+        F.count("*").alias("v"),
+    )
+    llr = cls.crossJoin(F.broadcast(tot)).select(
+        "token",
+        (
+            F.log((F.col("g") + 0.5) / (F.col("gt") + 0.5 * F.col("v")))
+            - F.log((F.col("b") + 0.5) / (F.col("bt") + 0.5 * F.col("v")))
+        ).alias("llr"),
+    )
+    scored = (
+        tok.join(llr, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("llr"), 4).alias("score"),
+        )
+    )
+    return scored.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id", "source",
+        F.col("source").isin(*_NBQ_CURATED).alias("curated"),
+        "n_tokens", "score",
+    )
+
+
+_BPE_FERT_FINAL = r""",
+    tokocc AS (
+      SELECT source, token FROM (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                 AS token
+        FROM documents)
+      WHERE length(token) > 0),
+    fert AS (
+      SELECT token, len(string_split(seq, ' ')) AS k FROM w8)
+    SELECT o.source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(f.k) AS BIGINT) AS n_bpe_tokens,
+           round(sum(f.k) * 1.0 / count(*), 4) AS fertility
+    FROM tokocc o JOIN fert f USING (token)
+    GROUP BY o.source
+    """
+
+
+@register("docs_bpe_fertility", BPE.bpe_sql(_BPE_MERGES, _BPE_FERT_FINAL))
+def docs_bpe_fertility(spark, sf_dir):
+    """Fertility (BPE symbols per word) of the freshly trained tokenizer,
+    per source — the metric tokenizer/vocab-size choices are judged by and
+    the per-source drift monitor a mixed-corpus pipeline watches (a source
+    whose fertility jumps is poorly covered by the merges). Trains the same
+    8 merges as docs_bpe_learn (the DuckDB twin replays the identical
+    trajectory and reuses its final vocab state), then encodes the corpus
+    BY JOINING occurrences to the vocab-keyed symbol-count relation —
+    applying k merges is k map-side rewrites of the vocab, never a per-doc
+    re-encode. Reference analogue: none — training-data pipeline
+    extension."""
+    d = T(spark, sf_dir, "documents")
+    merges = BPE.bpe_learn(d, "text", n_merges=_BPE_MERGES)
+    fert = BPE.segment_counts(d, merges)
+    occ = S.tokens(d, None, "text", distinct=False, extra_cols=("source",))
+    return (
+        occ.join(fert, "token")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("k").cast("long").alias("n_bpe_tokens"),
+            F.round(F.sum("k") / F.count("*"), 4).alias("fertility"),
         )
     )

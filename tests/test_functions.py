@@ -390,3 +390,28 @@ def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
     assert (out[3]["n_segs"], out[3]["kept_segs"]) == (1, 1)
     assert out[3]["clean_md5"] == md5("tail only")
     assert out[1]["dup_frac"] == 0.5 and out[2]["dup_frac"] == 1.0
+
+
+def test_pca_power_matches_numpy_eig(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: one dominant direction
+    base = rng.normal(size=(200, 8)) * np.array([5, 2, 1, 1, 1, 1, 1, 1])
+    rot, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+    X = base @ rot
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = S.covariance_upper(df, "embedding", dim=8)
+    out = S.pca_power_top(cov, dim=8, iters=8, round_dp=6)
+    rows = sorted(out.collect(), key=lambda r: r.pos)
+    v = np.array([r.loading for r in rows])
+    lam = rows[0].eigval
+    C = np.cov(np.asarray(X, dtype=np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    # direction matches up to sign; eigenvalue matches the largest
+    assert abs(abs(float(v @ top)) - 1.0) < 1e-3
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-3
