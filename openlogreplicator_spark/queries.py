@@ -5980,3 +5980,79 @@ def docs_bpe_fertility(spark, sf_dir):
             F.round(F.sum("k") / F.count("*"), 4).alias("fertility"),
         )
     )
+
+
+# Streaming lookup-enrichment gate: facts (the last epoch's committed DML)
+# enriched via DimensionLookup pinned at the epoch-2 snapshot — the
+# read-committed view a consumer epoch would see with the dimension's OWN
+# next commit still in flight. Oracle: left join onto the LWW replay of
+# files 0-2 only.
+_STREAM_ENRICH_SQL = f"""
+    WITH dim_ev AS (
+      SELECT * FROM read_parquet(['{_REPLAY_EVENTS}/events-00000.parquet',
+                                  '{_REPLAY_EVENTS}/events-00001.parquet',
+                                  '{_REPLAY_EVENTS}/events-00002.parquet'])
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    dim AS (
+      SELECT url, text AS dim_text, lang AS dim_lang FROM (
+        SELECT url, text, lang, op,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY warc_ts DESC, seq DESC) AS rn
+        FROM dim_ev) WHERE rn = 1 AND op <> 'd'),
+    facts AS (
+      SELECT url, seq AS fact_seq
+      FROM read_parquet('{_REPLAY_EVENTS}/events-00003.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL)
+    SELECT f.url, f.fact_seq, d.dim_text, d.dim_lang
+    FROM facts f LEFT JOIN dim d ON f.url = d.url
+    """
+
+
+@register("engine_stream_enrich", _STREAM_ENRICH_SQL)
+def engine_stream_enrich(spark, sf_dir):
+    """Streaming dimension-lookup enrichment (streaming/enrich.py
+    DimensionLookup — the Flink-lookup-join / KTable-join consumer shape
+    over the CDC-maintained lake table; reference analogue: clients of the
+    confirm-protocol sinks keep a materialized copy, src/stream +
+    WriterStream.cpp). The last epoch's committed DML rows are enriched
+    against the dimension PINNED at the epoch-2 snapshot: exactly the
+    read-committed view a consumer epoch sees while the dimension's next
+    commit is still in flight; left semantics keep facts whose key is
+    absent or tombstoned. Scale shape: the dimension resolves once per
+    snapshot version (cached across epochs), broadcasts under the
+    manifest-row-count budget (free bound, no count job), and falls back to
+    a key-shuffle join above it; fact volume never feeds the decision."""
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.enrich import DimensionLookup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    cur = LakeTable.load(spark, table_path)
+    ver = max(
+        v
+        for v in cur.versions()
+        if LakeTable.load(spark, table_path, version=v).last_epoch()
+        == (2, True)
+    )
+    look = DimensionLookup(
+        spark, table_path,
+        dim_cols={"dim_text": "text", "dim_lang": "lang"},
+        pin_version=ver,
+    )
+    ev = _ensure_replay_events()
+    facts = (
+        spark.read.schema(EVENTS_DDL)
+        .parquet(os.path.join(ev, "events-00003.parquet"))
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        )
+        .select("url", F.col("seq").alias("fact_seq"))
+    )
+    return look.enrich(facts).select(
+        "url", "fact_seq", "dim_text", "dim_lang"
+    )
