@@ -6056,3 +6056,144 @@ def engine_stream_enrich(spark, sf_dir):
     return look.enrich(facts).select(
         "url", "fact_seq", "dim_text", "dim_lang"
     )
+
+
+@register(
+    "events_user_sequences",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_sequences(spark, sf_dir):
+    """Per-user chronological event-type sequence — the behavioral-corpus
+    builder (user-action LM pretraining / next-event prediction datasets):
+    one row per user with the ordered action string. Shape at 100 TB: ONE
+    groupBy(user) shuffle carrying (ts, event_id, event_type) structs;
+    ordering happens inside the aggregate (array_sort on the collected
+    structs — (ts, event_id) is unique so the tie field never decides),
+    never a global sort or a window. Per-user state bounds the row, and the
+    power-law tail is the cdc_hot_keys salting discussion, not a new
+    shuffle. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), x -> x.event_type)"
+            ),
+            " ",
+        ).alias("seq"),
+    )
+
+
+# Count-min sketch: d=4 rows x w=64 buckets, bucket = unsigned-32-bit
+# md5(key||'#'||row) mod w — identical arithmetic on both engines (Spark
+# conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT), both unsigned).
+_CMS_D, _CMS_W, _CMS_TOPK = 4, 64, 20
+
+
+def _cms_bucket_sql(key: str, j: int) -> str:
+    return (
+        f"(CAST('0x' || substr(md5({key} || '#{j}'), 1, 8) AS BIGINT)"
+        f" % {_CMS_W})"
+    )
+
+
+_CMS_SQL = f"""
+    WITH keys AS (
+      SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+    sketch AS (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql('key', j)} AS bucket, "
+        f"CAST(count(*) AS BIGINT) AS cnt FROM keys GROUP BY bucket"
+        for j in range(_CMS_D))}),
+    top AS (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, key LIMIT {_CMS_TOPK}),
+    est AS (
+      SELECT t.key, t.exact_n, min(s.cnt) AS cms_n
+      FROM top t JOIN sketch s
+        ON {" OR ".join(
+            f"(s.j = {j} AND s.bucket = {_cms_bucket_sql('t.key', j)})"
+            for j in range(_CMS_D))}
+      GROUP BY t.key, t.exact_n)
+    SELECT key, exact_n, CAST(cms_n AS BIGINT) AS cms_n,
+           CAST(cms_n - exact_n AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@register("events_cms_heavy_hitters", _CMS_SQL)
+def events_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch vs exact truth on the top-k hottest keys — the
+    O(1)-memory approximate counter a 100 TB pipeline uses when exact
+    per-key counts can't fit (feature hashing, hot-key pre-detection ahead
+    of salting, stream frequency caps). The sketch is a DISTRIBUTIVE
+    aggregate over a FIXED d×w keyspace (d=4 rows × w=64 buckets here —
+    the accuracy dial): partial aggregation absorbs the corpus before the
+    shuffle, the sketch itself broadcasts anywhere. The gate reports
+    exact_n, cms_n and the overcount for the exact top-20 — CMS guarantees
+    cms_n ≥ exact_n (one-sided error ≤ n/w per row, min over rows), so the
+    oracle doubles as a structural correctness check. Buckets come from the
+    same md5 arithmetic on both engines (never reimplement a foreign
+    filter's hash). Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    key = F.col("user_id").cast("string").alias("key")
+    keys = ev.select(key)
+
+    def bucket(col, j):
+        return (
+            F.conv(F.substring(F.md5(F.concat(col, F.lit(f"#{j}"))), 1, 8),
+                   16, 10).cast("long") % _CMS_W
+        )
+
+    sketch = (
+        keys.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("key"), j).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ])
+            ).alias("jb")
+        )
+        .groupBy("jb.j", "jb.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        ev.groupBy(key)
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "key")
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "key", "exact_n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    bucket(F.col("key"), j).alias("bucket"),
+                )
+                for j in range(_CMS_D)
+            ])
+        ).alias("jb"),
+    ).select("key", "exact_n", "jb.j", "jb.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("key", "exact_n")
+        .agg(F.min("cnt").alias("cms_n"))
+    )
+    return est.select(
+        "key", "exact_n", "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )
