@@ -82,9 +82,12 @@ def bpe_learn(
     it map-side. The corpus is scanned exactly once (by :func:`word_seqs`)."""
     merges: list[tuple[int, str, int]] = []
     cur = word_seqs(docs, text_col).select("seq", "n").persist()
-    cur.count()
+    cached = [cur]
     try:
         for rank in range(1, n_merges + 1):
+            # this job materializes `cur` into its cache as a side effect —
+            # ONE job per iteration; earlier generations stay cached until
+            # the end (vocab-sized, trivial memory) so no lineage replays
             best = (
                 cur.withColumn("syms", F.split("seq", " "))
                 .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"), "n")
@@ -98,14 +101,14 @@ def bpe_learn(
                 break
             pair, cnt = best[0]["pair"], int(best[0]["cnt"])
             merges.append((rank, pair, cnt))
-            nxt = cur.select(
-                merge_apply(F.col("seq"), pair).alias("seq"), "n"
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
+            if rank < n_merges:  # the post-final vocab is never consumed
+                cur = cur.select(
+                    merge_apply(F.col("seq"), pair).alias("seq"), "n"
+                ).persist()
+                cached.append(cur)
     finally:
-        cur.unpersist()
+        for df in cached:
+            df.unpersist()
     return merges
 
 

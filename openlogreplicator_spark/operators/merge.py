@@ -695,7 +695,7 @@ def rebucket(
 def merge_into(
     table: LakeTable,
     batch: DataFrame,
-    epoch_id: int = 0,
+    epoch_id: int | None = 0,
     final: bool = True,
     extra_summary: dict | None = None,
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
@@ -703,7 +703,10 @@ def merge_into(
     """Merge a compacted (one-row-per-key) batch; returns commit stats.
 
     Exactly-once gate lives in the caller (pipeline) — this function is safe
-    to re-run regardless (idempotent by construction).
+    to re-run regardless (idempotent by construction). ``epoch_id=None``
+    commits WITHOUT advancing the confirmed-epoch watermark — for
+    engine-originated batches (delete_where) that are not source epochs and
+    must not interfere with the exactly-once gate.
     """
     t0 = time.time()
     key = table.key_col
@@ -711,10 +714,11 @@ def merge_into(
     # write); without it the whole decode→LWW DAG runs twice per epoch.
     summary = {
         "op": "merge",
-        "epoch_id": int(epoch_id),
         "final": bool(final),
         **(extra_summary or {}),
     }
+    if epoch_id is not None:
+        summary["epoch_id"] = int(epoch_id)
     b = batch.withColumn("_bucket", table.bucket_expr())
     if not table.snap["files"]:
         # Empty target (first epoch / batch replay): no carry-over to prune,
@@ -769,3 +773,54 @@ def merge_into(
         extra={"needs_read_compaction": bool(dirty), "dirty_buckets": dirty},
     )
     return {"touched_buckets": len(touched), "files": len(new_files), "rows": total_rows}
+
+
+def delete_where(
+    table: LakeTable,
+    predicate,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> dict:
+    """Predicate delete over current state — the GDPR / retention-erasure
+    surface (reference analogue: none in the log protocol itself; deletes
+    there are source ops — this is the ENGINE-originated twin a lake must
+    offer). Semantics, deliberately CDC-honest:
+
+    * the live winners matching ``predicate`` get LWW tombstones that
+      supersede exactly those winners (same warc_ts, _seq + 1) and ride the
+      NORMAL delete path (merge_into) — so a LATE out-of-order source event
+      older than the deleted winner still loses, while a strictly NEWER
+      source version legitimately resurrects the key (the log outranks the
+      operator; a re-crawled url reappears);
+    * the commit does NOT advance the confirmed-epoch watermark
+      (``epoch_id=None``) — an engine delete is not a source epoch and must
+      not trip the exactly-once replay gate;
+    * logical first, physical second: tombstones make the rows invisible
+      immediately, ``purge_tombstones`` performs the physical erasure after
+      the retention window (the compliance clock).
+
+    ``predicate`` is a Column or SQL string over the CURRENT schema,
+    evaluated against resolved live state (so it sees winner values, never
+    superseded versions). Cost: read_state of the table + a merge that
+    rewrites only the buckets holding victims.
+    """
+    key = table.key_col
+    state = read_state(table, broadcast_budget_keys)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    victims = state.filter(cond)
+    types = dict(state.dtypes)
+    payload = [
+        c for c in state.columns
+        if c not in (key, "warc_ts", "_seq", "_op")
+    ]
+    batch = victims.select(
+        key,
+        "warc_ts",
+        (F.col("_seq") + F.lit(1)).alias("_seq"),
+        F.lit("d").alias("_op"),
+        *[F.lit(None).cast(types[c]).alias(c) for c in payload],
+    )
+    return merge_into(
+        table, batch, epoch_id=None,
+        extra_summary={"op": "delete_where"},
+        broadcast_budget_keys=broadcast_budget_keys,
+    )

@@ -6197,3 +6197,55 @@ def events_cms_heavy_hitters(spark, sf_dir):
         "key", "exact_n", "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# delete_where gate: one batch replay of the fixed log, then an ENGINE
+# predicate delete of every winner whose lang is 'de'; result must equal
+# the plain replay minus exactly those winners. Built once per process.
+_DELETE_REPLAY: dict[str, str] = {}
+
+_DELETE_WHERE_SQL = f"""
+    WITH base AS ({_REPLAY_SQL})
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM base WHERE lang IS DISTINCT FROM 'de'
+    """
+
+
+@register("engine_delete_where", _DELETE_WHERE_SQL)
+def engine_delete_where(spark, sf_dir):
+    """Predicate delete (operators/merge.delete_where) — the GDPR /
+    right-to-be-forgotten surface: resolve the live winners matching a
+    predicate, tombstone exactly them through the NORMAL LWW delete path
+    (same warc_ts, _seq+1 — a late source event older than the winner still
+    loses, a strictly newer one legitimately resurrects), commit WITHOUT
+    advancing the confirmed-epoch watermark (engine deletes are not source
+    epochs), leave physical erasure to purge_tombstones' retention clock.
+    The oracle is the full replay minus the predicate's winners — proving
+    the delete removed exactly the matching keys and nothing else. Cost
+    shape: read_state + a merge rewriting only the buckets holding victims.
+    Reference analogue: deletes in the reference are source ops
+    (OpCode 11.3); the engine-originated twin is what a lake target adds."""
+    from .lake.table import LakeTable
+    from .operators.merge import delete_where, read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    hit = _DELETE_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit):
+        d = tempfile.mkdtemp(prefix="olr_delete_")
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt")
+        )
+        p.run_batch_replay()
+        t = LakeTable.load(spark, p.table_path)
+        before = t.last_epoch()
+        delete_where(t, "lang = 'de'")
+        # the watermark must not move: engine deletes are not source epochs
+        assert LakeTable.load(spark, p.table_path).last_epoch() == before
+        _DELETE_REPLAY[ev] = p.table_path
+        hit = p.table_path
+    t = LakeTable.load(spark, hit)
+    return read_state(t).select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
