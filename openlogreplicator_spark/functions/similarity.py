@@ -1147,14 +1147,28 @@ def pca_power_top(
     replays the identical trajectory. v0 = round(1/sqrt(dim)) uniform
     (deterministic, no RNG). Cost is iters tiny jobs over dim² rows; the
     corpus itself is never touched here."""
-    from pyspark.sql import Window
+    v, lam = _power_once(_cov_mirror(cov_upper), dim, iters, round_dp)
+    return v.crossJoin(F.broadcast(lam)).select(
+        F.col("i").alias("pos"), F.col("x").alias("loading"), "eigval"
+    )
 
-    spark = cov_upper.sparkSession
-    full = cov_upper.unionByName(
+
+def _cov_mirror(cov_upper: DataFrame) -> DataFrame:
+    return cov_upper.unionByName(
         cov_upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"
         )
     )
+
+
+def _power_once(
+    full: DataFrame, dim: int, iters: int, round_dp: int
+) -> tuple[DataFrame, DataFrame]:
+    """(unit eigenvector (i, x), one-row (eigval)) of ``full``'s dominant
+    eigenpair — the rounded power-iteration trajectory."""
+    from pyspark.sql import Window
+
+    spark = full.sparkSession
     w_all = Window.partitionBy(F.lit(1))  # dim rows — bounded by design
     v = spark.range(1, dim + 1).select(
         F.col("id").alias("i"),
@@ -1183,8 +1197,54 @@ def pca_power_top(
             ).alias("eigval")
         )
     )
-    return v.crossJoin(F.broadcast(lam)).select(
-        F.col("i").alias("pos"), F.col("x").alias("loading"), "eigval"
+    return v, lam
+
+
+def pca_power_components(
+    cov_upper: DataFrame, dim: int, n_components: int = 2,
+    iters: int = 3, round_dp: int = 6,
+) -> DataFrame:
+    """Top-k principal components by power iteration with Hotelling
+    deflation: after each dominant eigenpair (v, λ), iterate on
+    C' = round(C − λ·v·vᵀ) — every step stays an engine expression on the
+    dim²-sized relation (deflation is two 64-row joins + a crossJoin of the
+    one-row eigenvalue), so the unrolled-CTE DuckDB twin replays the exact
+    trajectory component by component. Returns
+    ``(component, pos, loading, eigval)``."""
+    spark = cov_upper.sparkSession
+    full = _cov_mirror(cov_upper)
+    rows: list[tuple[int, int, float, float]] = []
+    for comp in range(1, n_components + 1):
+        v, lam = _power_once(full, dim, iters, round_dp)
+        # dim-row driver round-trip (the kmeans centroid pattern): cuts the
+        # deflated lineage at the component boundary — without it the
+        # component-c plan nests component-(c-1)'s whole iteration tree at
+        # every matvec and Catalyst analysis blows up quadratically.
+        v_rows = {r["i"]: float(r["x"]) for r in v.collect()}
+        lam_val = float(lam.collect()[0]["eigval"])
+        rows.extend(
+            (comp, i, v_rows[i], lam_val) for i in sorted(v_rows)
+        )
+        if comp < n_components:
+            v_lit = spark.createDataFrame(
+                [(i, x) for i, x in sorted(v_rows.items())], "i long, x double"
+            )
+            vi = v_lit.select(F.col("i"), F.col("x").alias("xi"))
+            vj = v_lit.select(F.col("i").alias("j"), F.col("x").alias("xj"))
+            full = (
+                full.join(F.broadcast(vi), "i")
+                .join(F.broadcast(vj), "j")
+                .select(
+                    "i", "j",
+                    F.round(
+                        F.col("cov")
+                        - F.lit(lam_val) * F.col("xi") * F.col("xj"),
+                        round_dp,
+                    ).alias("cov"),
+                )
+            )
+    return spark.createDataFrame(
+        rows, "component int, pos long, loading double, eigval double"
     )
 
 

@@ -5803,12 +5803,12 @@ def docs_bpe_learn(spark, sf_dir):
     )
 
 
-def _pca_iter_sql(prev: str, w: str, nxt: str) -> str:
+def _pca_iter_sql(prev: str, w: str, nxt: str, cov: str = "cov") -> str:
     """One unrolled power-iteration step: w = C·v, v' = round(w/||w||)."""
     return f"""
     {w} AS (
       SELECT c.i AS i, sum(c.cov * v.x) AS s
-      FROM cov c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
+      FROM {cov} c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
     {nxt} AS (
       SELECT i, round(s / sqrt(sum(s * s) OVER ()), 6) AS x FROM {w})"""
 
@@ -6248,4 +6248,64 @@ def engine_delete_where(spark, sf_dir):
     t = LakeTable.load(spark, hit)
     return read_state(t).select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+def _pca_comp_sql(c: int, cov: str) -> str:
+    """Unrolled power iteration (3 steps + Rayleigh) for ONE component,
+    with CTE names prefixed c{c} and the matrix relation ``cov``."""
+    p = f"c{c}"
+    return f"""
+    {p}v0 AS (
+      SELECT unnest(generate_series(1, {_EMB_DIM})) AS i,
+             round(1.0 / sqrt(CAST({_EMB_DIM} AS DOUBLE)), 6) AS x),
+    {_pca_iter_sql(f"{p}v0", f"{p}w1", f"{p}v1", cov)},
+    {_pca_iter_sql(f"{p}v1", f"{p}w2", f"{p}v2", cov)},
+    {_pca_iter_sql(f"{p}v2", f"{p}w3", f"{p}v3", cov)},
+    {p}w4 AS (
+      SELECT m.i AS i, sum(m.cov * v.x) AS s
+      FROM {cov} m JOIN {p}v3 v ON v.i = m.j GROUP BY m.i),
+    {p}lam AS (
+      SELECT round(sum(w.s * v.x) / sum(v.x * v.x), 6) AS eigval
+      FROM {p}w4 w JOIN {p}v3 v USING (i))"""
+
+
+_PCA2_SQL = f"""
+    WITH {_EMB_COV_CTES},
+    cov AS (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covu WHERE i <> j),
+    {_pca_comp_sql(1, "cov")},
+    defl1 AS (
+      SELECT m.i, m.j, round(m.cov - l.eigval * a.x * b.x, 6) AS cov
+      FROM cov m
+      JOIN c1v3 a ON a.i = m.i
+      JOIN c1v3 b ON b.i = m.j
+      CROSS JOIN c1lam l),
+    {_pca_comp_sql(2, "defl1")}
+    SELECT 1 AS component, v.i AS pos, v.x AS loading, l.eigval
+    FROM c1v3 v CROSS JOIN c1lam l
+    UNION ALL
+    SELECT 2 AS component, v.i AS pos, v.x AS loading, l.eigval
+    FROM c2v3 v CROSS JOIN c2lam l
+    """
+
+
+@register("emb_pca_top2", _PCA2_SQL)
+def emb_pca_top2(spark, sf_dir):
+    """Top-2 principal components via power iteration + Hotelling deflation
+    (C' = C − λ₁v₁v₁ᵀ after the dominant pair) — the 2-D projection basis
+    an embedding-drift dashboard or whitening step consumes. Deflation stays
+    an engine expression over the dim² relation (two dim-row joins + a
+    one-row eigenvalue crossJoin, re-rounded), so the unrolled-CTE DuckDB
+    twin replays both components' exact trajectories. Shape at 100 TB:
+    identical to emb_pca_power — covariance_upper's per-partition Gram is
+    the only corpus-sized step; everything after runs on dim²-bounded
+    relations. Reference analogue: none — training-data pipeline
+    extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    cov = S.covariance_upper(emb, "embedding", dim=_EMB_DIM)
+    return S.pca_power_components(
+        cov, dim=_EMB_DIM, n_components=2, iters=3, round_dp=6
     )

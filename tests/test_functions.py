@@ -415,3 +415,34 @@ def test_pca_power_matches_numpy_eig(spark):
     # direction matches up to sign; eigenvalue matches the largest
     assert abs(abs(float(v @ top)) - 1.0) < 1e-3
     assert abs(lam - evals[-1]) / evals[-1] < 1e-3
+
+
+def test_pca_components_match_numpy_and_are_orthogonal(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(300, 8)) * np.array([6, 3, 1, 1, 1, 1, 1, 1])
+    rot, _ = np.linalg.qr(rng.normal(size=(8, 8)))
+    X = base @ rot
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    cov = S.covariance_upper(df, "embedding", dim=8)
+    out = S.pca_power_components(cov, dim=8, n_components=2, iters=10,
+                                 round_dp=6)
+    rows = out.collect()
+    v1 = np.array([r.loading for r in sorted(
+        (r for r in rows if r.component == 1), key=lambda r: r.pos)])
+    v2 = np.array([r.loading for r in sorted(
+        (r for r in rows if r.component == 2), key=lambda r: r.pos)])
+    lam1 = next(r.eigval for r in rows if r.component == 1)
+    lam2 = next(r.eigval for r in rows if r.component == 2)
+    C = np.cov(np.asarray(X, dtype=np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    assert abs(abs(float(v1 @ evecs[:, -1])) - 1.0) < 1e-3
+    assert abs(abs(float(v2 @ evecs[:, -2])) - 1.0) < 1e-3
+    assert abs(float(v1 @ v2)) < 1e-3  # deflation keeps components orthogonal
+    assert abs(lam1 - evals[-1]) / evals[-1] < 1e-3
+    assert abs(lam2 - evals[-2]) / evals[-2] < 1e-3
+    assert lam1 > lam2
