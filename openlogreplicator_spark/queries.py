@@ -6309,3 +6309,123 @@ def emb_pca_top2(spark, sf_dir):
     return S.pca_power_components(
         cov, dim=_EMB_DIM, n_components=2, iters=3, round_dp=6
     )
+
+
+@register(
+    "events_ewma_daily_rate",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    folded AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list_reduce(
+               list_transform(list(n ORDER BY day), x -> CAST(x AS DOUBLE)),
+               (a, b) -> CAST(0.3 AS DOUBLE) * b + CAST(0.7 AS DOUBLE) * a)
+               AS ewma_raw,
+             avg(n) AS avg_raw
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days, round(ewma_raw, 4) AS ewma,
+           round(avg_raw, 4) AS avg_daily
+    FROM folded
+    """,
+)
+def events_ewma_daily_rate(spark, sf_dir):
+    """EWMA-smoothed daily event rate per type (alpha=0.3) — the
+    alerting-baseline recursion (rate spikes/stalls against a smoothed
+    floor, the ingest-health twin of events_anomaly_zscore's z-scores).
+    A recursive statistic has no windowed-SQL form, but as a LEFT FOLD over
+    the ordered per-day counts it is one higher-order-function expression:
+    both engines seed with the first day and fold identically (Spark
+    aggregate over slice(...) == DuckDB list_reduce), so the doubles match
+    bitwise. Shape at 100 TB: the corpus-sized step is the (type, day)
+    count partial agg — types×days rows after; per-type arrays are
+    days-bounded. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    per_type = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, n))),"
+            " x -> CAST(x.n AS DOUBLE))"
+        ).alias("ns"),
+        F.avg("n").alias("avg_raw"),
+    )
+    ewma = F.expr(
+        "aggregate(slice(ns, 2, size(ns) - 1), ns[0],"
+        " (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)"
+    )
+    return per_type.select(
+        "event_type", "n_days",
+        F.round(ewma, 4).alias("ewma"),
+        F.round("avg_raw", 4).alias("avg_daily"),
+    )
+
+
+_TOPTERMS_K = 3
+
+_TOPTERMS_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM documents),
+    tok2 AS (SELECT doc_id, token FROM tok WHERE length(token) > 0),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok2 GROUP BY doc_id, token),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok2 GROUP BY token),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.token,
+             round(t.tf * ln((n.n + 1) / (d.df + 1)), 6) AS score
+      FROM tf t JOIN df d USING (token) CROSS JOIN n)
+    SELECT doc_id, token, score, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, token, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rk
+      FROM scored)
+    WHERE rk <= {_TOPTERMS_K}
+    """
+
+
+@register("docs_top_terms_per_doc", _TOPTERMS_SQL)
+def docs_top_terms_per_doc(spark, sf_dir):
+    """Per-document TF-IDF top-k terms — keyword extraction (search-index
+    previews, topic tags, the per-doc salience signal next to
+    docs_tfidf_by_lang's per-language aggregate). Scores are rounded to 6dp
+    BEFORE the rank so FP noise cannot flip a near-tie differently per
+    engine; residual ties break on the token. Shape at 100 TB: tf and df
+    are two partial-agg counts, the scoring join is vocab-keyed, and the
+    top-k window partitions by doc (bounded by per-doc vocabulary) — no
+    global sort. Reference analogue: none — training-data pipeline
+    extension."""
+    d = T(spark, sf_dir, "documents")
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_rel = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = d.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(df_rel, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TOPTERMS_K)
+        .select("doc_id", "token", "score", "rk")
+    )
