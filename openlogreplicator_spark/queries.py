@@ -6429,3 +6429,72 @@ def docs_top_terms_per_doc(spark, sf_dir):
         .filter(F.col("rk") <= _TOPTERMS_K)
         .select("doc_id", "token", "score", "rk")
     )
+
+
+# Dedup-methodology agreement: the Jaccard-verified MinHash pipeline vs the
+# SimHash hamming<=3 pipeline on the same bounded id range — both CTEs are
+# the existing entries' spellings, so this gate moves with them.
+_METHOD_AGREE_SQL = f"""
+    WITH {_MINHASH_CAND_SQL},
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b),
+    mh AS (
+      SELECT a, b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+      WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 4) >= 0.6),
+    sh AS (
+      SELECT a, b FROM ({_simhash_sql()})
+      WHERE a < 2000 AND b < 2000)
+    SELECT method, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+      SELECT CASE WHEN s.a IS NULL THEN 'minhash_only'
+                  WHEN m.a IS NULL THEN 'simhash_only'
+                  ELSE 'both' END AS method
+      FROM mh m FULL OUTER JOIN sh s ON m.a = s.a AND m.b = s.b)
+    GROUP BY method
+    """
+
+
+@register("docs_dedup_method_agreement", _METHOD_AGREE_SQL)
+def docs_dedup_method_agreement(spark, sf_dir):
+    """Agreement matrix between the two production near-dup pipelines on
+    the same id range — Jaccard-verified MinHash (J ≥ 0.6, token-SET
+    similarity) vs SimHash (hamming ≤ 3, weighted-profile similarity).
+    The both/only counts are the calibration evidence for choosing (or
+    stacking) methods on a new corpus: a large simhash_only cell means
+    profile-similar docs whose token sets diverge (paraphrase-ish), a
+    large minhash_only cell means set-overlap the 64-bit profile blurs.
+    Shape: both pair generators are the existing blocked/banded paths
+    (never all-pairs); the agreement join is pair-keyed. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    cand = S.minhash_candidate_pairs(
+        d, "doc_id", "text", n_hashes=8, band_size=4
+    )
+    mh = (
+        S.jaccard_pairs(d, cand, "doc_id", "text")
+        .filter(F.round("jaccard", 4) >= 0.6)
+        .select("a", "b")
+    )
+    sh = S.simhash_near_dup_pairs(
+        d, "doc_id", "text", max_hamming=3
+    ).select("a", "b")
+    joined = mh.withColumn("m", F.lit(1)).join(
+        sh.withColumn("s", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    return (
+        joined.select(
+            F.when(F.col("s").isNull(), F.lit("minhash_only"))
+            .when(F.col("m").isNull(), F.lit("simhash_only"))
+            .otherwise(F.lit("both"))
+            .alias("method")
+        )
+        .groupBy("method")
+        .agg(F.count("*").alias("n_pairs"))
+    )
