@@ -520,6 +520,7 @@ class LakeTable:
         self,
         buckets: Iterable[int] | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
+        eq: dict[str, str] | None = None,
     ) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.
 
@@ -537,9 +538,29 @@ class LakeTable:
         outside the window BEFORE any read-time LWW, so it is only sound for
         queries that filter the event-time column to the same window — never
         for resolving current state on a merge-on-read table.
-        """
+
+        ``eq={"col": value}`` skips files whose manifest string bounds
+        (``col_bounds``, Iceberg lower/upper_bounds analogue) exclude the
+        value — selective after ``cluster_buckets(sort_cols=(col, ...))``
+        gives files narrow ranges. Soundness gate, enforced HERE rather than
+        documented away: files in DIRTY buckets are never eq-pruned. On a
+        clean bucket every key holds exactly one row, so dropping a file
+        whose rows all fail the predicate cannot change any other key; on a
+        dirty bucket a superseded old version could outlive its pruned
+        winner and win read-time LWW — resurrection. Columns are matched by
+        FIELD ID across schema versions (a renamed column's old files carry
+        bounds under the old physical name)."""
         bucket_set = set(buckets) if buckets is not None else None
         lo, hi = ts_between if ts_between is not None else (None, None)
+        eq_dirty = self.dirty_buckets() if eq else set()
+        eq_ids: dict[int, str] = {}
+        if eq:
+            cur_by_name = {f["name"]: f for f in self.current_schema()}
+            for col, val in eq.items():
+                f = cur_by_name.get(col)
+                if f is not None:
+                    eq_ids[f["id"]] = val
+        ver_names: dict[int, dict[int, str]] = {}
         by_ver: dict[int, list[str]] = {}
         for fe in self.snap["files"]:
             if bucket_set is not None and fe["bucket"] not in bucket_set:
@@ -550,6 +571,21 @@ class LakeTable:
                 or (lo is not None and fmax < lo)
             ):
                 continue
+            if eq_ids and fe["bucket"] not in eq_dirty:
+                cb = fe.get("col_bounds") or {}
+                ver = fe["schema_ver"]
+                if ver not in ver_names:
+                    ver_names[ver] = {
+                        f["id"]: f["name"] for f in self.schema_at(ver)
+                    }
+                skip = False
+                for fid, val in eq_ids.items():
+                    b = cb.get(ver_names[ver].get(fid, ""))
+                    if b is not None and (val < b[0] or val > b[1]):
+                        skip = True
+                        break
+                if skip:
+                    continue
             by_ver.setdefault(fe["schema_ver"], []).append(
                 os.path.join(self.path, fe["path"])
             )

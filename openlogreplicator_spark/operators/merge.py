@@ -85,6 +85,45 @@ def _file_ts_bounds(md, stats_col: str) -> tuple[int | None, int | None]:
     return lo, hi
 
 
+# String-column manifest bounds: values longer than this are NOT recorded —
+# a truncated max would under-report the file's upper bound and make the
+# equality prune unsound, so long columns (text, html) simply never prune.
+_COL_BOUNDS_MAX_LEN = 64
+
+
+def _file_col_bounds(md) -> dict[str, list[str]]:
+    """Per-file [min, max] for every short STRING column whose statistics
+    are usable in EVERY row group (Iceberg lower_bounds/upper_bounds
+    analogue). Missing stats in any row group drop the column — absent
+    bounds mean 'never prune'."""
+    bounds: dict[str, list[str]] | None = None
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        rg_bounds: dict[str, list[str]] = {}
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if not (isinstance(mn, str) and isinstance(mx, str)):
+                continue
+            if len(mn) > _COL_BOUNDS_MAX_LEN or len(mx) > _COL_BOUNDS_MAX_LEN:
+                continue
+            rg_bounds[c.path_in_schema] = [mn, mx]
+        if bounds is None:
+            bounds = rg_bounds
+        else:
+            # keep only columns usable in every row group, widen the rest
+            bounds = {
+                col: [min(b[0], rg_bounds[col][0]),
+                      max(b[1], rg_bounds[col][1])]
+                for col, b in bounds.items()
+                if col in rg_bounds
+            }
+    return bounds or {}
+
+
 def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], int]:
     """Manifest entries for every parquet file a commit's write produced.
 
@@ -100,16 +139,16 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
             if fn.endswith(".parquet"):
                 paths.append(os.path.join(root, fn))
 
-    def meta(ap: str) -> tuple[str, int, int | None, int | None]:
+    def meta(ap: str):
         md = pq.ParquetFile(ap).metadata
         lo, hi = _file_ts_bounds(md, STATS_COL)
-        return ap, md.num_rows, lo, hi
+        return ap, md.num_rows, lo, hi, _file_col_bounds(md)
 
     entries, rows = [], 0
     if not paths:
         return entries, rows
     with concurrent.futures.ThreadPoolExecutor(min(16, len(paths))) as ex:
-        for ap, n, lo, hi in ex.map(meta, paths):
+        for ap, n, lo, hi, cb in ex.map(meta, paths):
             rows += n
             e = {
                 "path": os.path.relpath(ap, table.path),
@@ -119,6 +158,8 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
             }
             if lo is not None:
                 e["ts_min_us"], e["ts_max_us"] = lo, hi
+            if cb:
+                e["col_bounds"] = cb
             entries.append(e)
     return entries, rows
 
@@ -578,6 +619,7 @@ def cluster_buckets(
     table: LakeTable,
     target_rows_per_file: int = 4_000_000,
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+    sort_cols: tuple[str, ...] = ("warc_ts",),
 ) -> dict:
     """Time-cluster the table's data files: rewrite every bucket sorted by
     ``warc_ts`` and SPLIT into ~``target_rows_per_file`` chunks, so each
@@ -619,9 +661,15 @@ def cluster_buckets(
         full = full.unionByName(p)
     full = full.withColumn("_bucket", table.bucket_expr())
     absdir, _rel = table.new_data_dir()
+    # sort_cols picks the clustering dimension(s): the default warc_ts
+    # yields time-disjoint chunks (read(ts_between) pruning); a leading
+    # low-cardinality column, e.g. ("lang", "warc_ts"), gives files narrow
+    # col_bounds so read(eq={"lang": ...}) prunes instead. The sort prefix
+    # (_bucket, ...) still satisfies the partitionBy writer's required
+    # ordering, so per-task order survives into the files either way.
     (
         full.repartition(max(1, min(len(present), 64)), "_bucket")
-        .sortWithinPartitions("_bucket", "warc_ts", "_seq")
+        .sortWithinPartitions("_bucket", *sort_cols, "_seq")
         .write.option("maxRecordsPerFile", int(target_rows_per_file))
         .partitionBy("_bucket")
         .parquet(absdir)
@@ -630,7 +678,8 @@ def cluster_buckets(
     table.commit_files(
         new_files, present,
         {"op": "cluster", "rows": rows, "buckets": len(present),
-         "target_rows_per_file": int(target_rows_per_file)},
+         "target_rows_per_file": int(target_rows_per_file),
+         "sort_cols": list(sort_cols)},
         extra={"needs_read_compaction": False, "dirty_buckets": []},
     )
     return {"files": len(new_files), "rows": rows,

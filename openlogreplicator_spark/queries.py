@@ -6498,3 +6498,59 @@ def docs_dedup_method_agreement(spark, sf_dir):
         .groupBy("method")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# eq-skip gate: replay, cluster with lang leading so files carry narrow
+# lang bounds, then serve a lang slice through the PRUNED read — the value
+# hash proves the skipped files contained nothing the slice needed.
+_LANG_SLICE_REPLAY: dict[str, str] = {}
+
+_LANG_SLICE_SQL = f"""
+    WITH base AS ({_REPLAY_SQL})
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM base WHERE lang = 'de'
+    """
+
+
+@register("engine_lang_slice_pruned", _LANG_SLICE_SQL)
+def engine_lang_slice_pruned(spark, sf_dir):
+    """Column-stats file skipping on a non-key column (manifest
+    ``col_bounds``, the Iceberg lower/upper_bounds analogue): after a
+    cluster rewrite sorted (lang, warc_ts), each file carries a narrow lang
+    range, and read(eq={'lang': 'de'}) opens only files whose bounds admit
+    'de' — asserted strictly fewer than the full scan before returning.
+    The DuckDB oracle replays the log and filters the winners to lang='de',
+    so the value hash proves the SKIPPED files contained nothing the slice
+    needed. Soundness at scale: read() refuses to eq-prune DIRTY buckets
+    (a superseded old version could outlive its pruned winner and win
+    read-time LWW — tests/test_colstats_skip.py pins the hazard); bounds
+    are matched by field id across renames; long columns never record
+    bounds (a truncated max would under-report). Reference analogue:
+    checkpoint headers carry per-file scn ranges for exactly this skip —
+    generalized here beyond the time column."""
+    from .lake.table import LakeTable
+    from .operators.merge import cluster_buckets
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    hit = _LANG_SLICE_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit):
+        d = tempfile.mkdtemp(prefix="olr_langslice_")
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt")
+        )
+        p.run_batch_replay()
+        t = LakeTable.load(spark, p.table_path)
+        cluster_buckets(t, target_rows_per_file=64,
+                        sort_cols=("lang", "warc_ts"))
+        _LANG_SLICE_REPLAY[ev] = p.table_path
+        hit = p.table_path
+    t = LakeTable.load(spark, hit)
+    pruned = t.read(eq={"lang": "de"})
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles()), \
+        "eq bounds must skip files after the lang-leading cluster rewrite"
+    return (
+        pruned.filter((F.col("_op") != "d") & (F.col("lang") == "de"))
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+    )
