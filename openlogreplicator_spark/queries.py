@@ -6554,3 +6554,67 @@ def engine_lang_slice_pruned(spark, sf_dir):
         pruned.filter((F.col("_op") != "d") & (F.col("lang") == "de"))
         .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
     )
+
+
+@register(
+    "events_props_schema_infer",
+    """
+    WITH kv AS (
+      SELECT k, json_extract_string(props, '$.' || k) AS v
+      FROM (SELECT props, unnest(json_keys(props)) AS k
+            FROM events WHERE props IS NOT NULL)),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_rows FROM events)
+    SELECT k,
+           CAST(count(*) AS BIGINT) AS n_present,
+           round(count(*) / n.n_rows, 4) AS presence,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN regexp_full_match(v, '-?[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           CAST(sum(CASE WHEN regexp_full_match(v, '-?[0-9]*\\.[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_float,
+           CAST(sum(CASE WHEN v IN ('true', 'false')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+           min(v) AS example
+    FROM kv CROSS JOIN n
+    GROUP BY k, n.n_rows
+    """,
+)
+def events_props_schema_infer(spark, sf_dir):
+    """Semi-structured schema inference over the JSON payload column — the
+    drift monitor a pipeline points at evolving upstream props: per key,
+    presence share, distinct-value count, and type votes (int / float /
+    bool by the same regex on both engines), plus a deterministic example
+    (min value). New keys appearing or a key's type votes shifting is the
+    schema-evolution alarm for columns the DICTIONARY does not govern
+    (reference analogue: the reference only tracks dictionary-declared
+    columns; untyped payload drift is the lake-side extension). Shape at
+    100 TB: explode keys → one partial-agg groupBy over the key space
+    (bounded by the payload vocabulary, not the corpus). JVM-side
+    from_json(map<string,string>) renders values exactly like DuckDB's
+    json_extract_string (unquoted primitives), which is what makes the
+    type-vote regexes cross-engine."""
+    ev = T(spark, sf_dir, "events")
+    kv = ev.filter(F.col("props").isNotNull()).select(
+        F.explode(F.from_json("props", "map<string,string>")).alias("k", "v")
+    )
+    n = ev.agg(F.count("*").cast("double").alias("n_rows"))
+    return (
+        kv.crossJoin(F.broadcast(n))
+        .groupBy("k", "n_rows")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.round(F.count("*") / F.first("n_rows"), 4).alias("presence"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.sum(
+                F.when(F.col("v").rlike("^-?[0-9]+$"), 1).otherwise(0)
+            ).alias("n_int"),
+            F.sum(
+                F.when(F.col("v").rlike("^-?[0-9]*\\.[0-9]+$"), 1).otherwise(0)
+            ).alias("n_float"),
+            F.sum(
+                F.when(F.col("v").isin("true", "false"), 1).otherwise(0)
+            ).alias("n_bool"),
+            F.min("v").alias("example"),
+        )
+        .drop("n_rows")
+    )
