@@ -492,6 +492,87 @@ class LakeTable:
             )
         return out
 
+    def _select_files(
+        self,
+        buckets: Iterable[int] | None = None,
+        ts_between: tuple[int | None, int | None] | None = None,
+        eq: dict[str, str] | None = None,
+        stats: dict | None = None,
+    ) -> list[dict]:
+        """The ONE file-selection path behind read() and plan_scan() —
+        bucket prune, manifest ts-bounds prune, dirty-gated eq-bounds prune
+        (see read()'s docstring for the soundness rules). ``stats`` (when
+        given) is filled with per-stage skip counters."""
+        bucket_set = set(buckets) if buckets is not None else None
+        lo, hi = ts_between if ts_between is not None else (None, None)
+        eq_dirty = self.dirty_buckets() if eq else set()
+        eq_ids: dict[int, str] = {}
+        if eq:
+            cur_by_name = {f["name"]: f for f in self.current_schema()}
+            for col, val in eq.items():
+                f = cur_by_name.get(col)
+                if f is not None:
+                    eq_ids[f["id"]] = val
+        ver_names: dict[int, dict[int, str]] = {}
+        if stats is not None:
+            stats.update(
+                files_total=len(self.snap["files"]),
+                skipped_bucket=0, skipped_ts=0, skipped_eq=0,
+                files_selected=0, rows_selected=0,
+            )
+        out: list[dict] = []
+        for fe in self.snap["files"]:
+            if bucket_set is not None and fe["bucket"] not in bucket_set:
+                if stats is not None:
+                    stats["skipped_bucket"] += 1
+                continue
+            fmin, fmax = fe.get("ts_min_us"), fe.get("ts_max_us")
+            if fmin is not None and (
+                (hi is not None and fmin > hi)
+                or (lo is not None and fmax < lo)
+            ):
+                if stats is not None:
+                    stats["skipped_ts"] += 1
+                continue
+            if eq_ids and fe["bucket"] not in eq_dirty:
+                cb = fe.get("col_bounds") or {}
+                ver = fe["schema_ver"]
+                if ver not in ver_names:
+                    ver_names[ver] = {
+                        f["id"]: f["name"] for f in self.schema_at(ver)
+                    }
+                skip = False
+                for fid, val in eq_ids.items():
+                    b = cb.get(ver_names[ver].get(fid, ""))
+                    if b is not None and (val < b[0] or val > b[1]):
+                        skip = True
+                        break
+                if skip:
+                    if stats is not None:
+                        stats["skipped_eq"] += 1
+                    continue
+            if stats is not None:
+                stats["files_selected"] += 1
+                stats["rows_selected"] += fe["rows"]
+            out.append(fe)
+        return out
+
+    def plan_scan(
+        self,
+        buckets: Iterable[int] | None = None,
+        ts_between: tuple[int | None, int | None] | None = None,
+        eq: dict[str, str] | None = None,
+    ) -> dict:
+        """Metadata-only prune-effectiveness report for a prospective
+        read(): per-stage skip counters (bucket / ts-bounds / eq-bounds)
+        plus selected file and row totals — the EXPLAIN for file skipping,
+        answered from the snapshot alone (no Spark job, no data I/O). The
+        selection logic IS read()'s (one shared code path), so the report
+        can never drift from what the scan would actually open."""
+        stats: dict = {}
+        self._select_files(buckets, ts_between, eq, stats=stats)
+        return stats
+
     def plan_compaction(
         self,
         max_files_per_bucket: int = 4,
@@ -550,42 +631,8 @@ class LakeTable:
         winner and win read-time LWW — resurrection. Columns are matched by
         FIELD ID across schema versions (a renamed column's old files carry
         bounds under the old physical name)."""
-        bucket_set = set(buckets) if buckets is not None else None
-        lo, hi = ts_between if ts_between is not None else (None, None)
-        eq_dirty = self.dirty_buckets() if eq else set()
-        eq_ids: dict[int, str] = {}
-        if eq:
-            cur_by_name = {f["name"]: f for f in self.current_schema()}
-            for col, val in eq.items():
-                f = cur_by_name.get(col)
-                if f is not None:
-                    eq_ids[f["id"]] = val
-        ver_names: dict[int, dict[int, str]] = {}
         by_ver: dict[int, list[str]] = {}
-        for fe in self.snap["files"]:
-            if bucket_set is not None and fe["bucket"] not in bucket_set:
-                continue
-            fmin, fmax = fe.get("ts_min_us"), fe.get("ts_max_us")
-            if fmin is not None and (
-                (hi is not None and fmin > hi)
-                or (lo is not None and fmax < lo)
-            ):
-                continue
-            if eq_ids and fe["bucket"] not in eq_dirty:
-                cb = fe.get("col_bounds") or {}
-                ver = fe["schema_ver"]
-                if ver not in ver_names:
-                    ver_names[ver] = {
-                        f["id"]: f["name"] for f in self.schema_at(ver)
-                    }
-                skip = False
-                for fid, val in eq_ids.items():
-                    b = cb.get(ver_names[ver].get(fid, ""))
-                    if b is not None and (val < b[0] or val > b[1]):
-                        skip = True
-                        break
-                if skip:
-                    continue
+        for fe in self._select_files(buckets, ts_between, eq):
             by_ver.setdefault(fe["schema_ver"], []).append(
                 os.path.join(self.path, fe["path"])
             )

@@ -121,3 +121,40 @@ def test_eq_prune_follows_renames_by_field_id(spark, tmp_path):
     got = {r["url"] for r in
            pruned.filter(F.col("language") == "aa").collect()}
     assert got == {f"u{i}" for i in range(10)}
+
+
+def test_plan_scan_matches_actual_read(spark, events_dir, tmp_path):
+    """plan_scan is the metadata EXPLAIN for file skipping: its
+    files_selected must equal what read() actually opens, for every
+    combination of prunes."""
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"),
+                    str(tmp_path / "c"))
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    cluster_buckets(t, target_rows_per_file=40,
+                    sort_cols=("lang", "warc_ts"))
+    t = LakeTable.load(spark, p.table_path)
+    lang = sorted(
+        r["lang"] for r in
+        t.read().select("lang").dropna().distinct().collect()
+    )[0]
+    some_bucket = t.snap["files"][0]["bucket"]
+    cases = [
+        dict(),
+        dict(eq={"lang": lang}),
+        dict(buckets=[some_bucket]),
+        dict(buckets=[some_bucket], eq={"lang": lang}),
+    ]
+    for kw in cases:
+        plan = t.plan_scan(**kw)
+        opened = len(t.read(**kw).inputFiles())
+        assert plan["files_selected"] == opened, (kw, plan)
+        assert (
+            plan["files_total"]
+            == plan["files_selected"] + plan["skipped_bucket"]
+            + plan["skipped_ts"] + plan["skipped_eq"]
+        )
+    # the eq case must actually skip something on this clustered layout
+    assert t.plan_scan(eq={"lang": lang})["skipped_eq"] > 0
