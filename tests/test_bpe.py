@@ -102,3 +102,37 @@ def test_word_seqs_weighted(spark):
         r.seq: r.n for r in bpe.word_seqs(df, "text").collect()
     }
     assert rows == {"l o w </w>": 3, "n e w </w>": 1}
+
+
+def test_doubled_space_trick_is_greedy_left_fuzz():
+    """The algebra behind merge_apply, fuzzed: doubling separators, ONE
+    non-overlapping replace of ' a  b ' -> ' ab ', and collapsing must
+    equal the imperative greedy-left merge for ANY symbol sequence and any
+    adjacent pair — including runs (a a a), pair symbols that are prefixes
+    of other symbols (a vs ab), and already-merged multi-char symbols.
+    Python str.replace shares the non-overlapping left-to-right semantics
+    of Spark's and DuckDB's replace(), so this pins the cross-engine
+    behavior without a Spark session in the loop."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    symbols = st.sampled_from(["a", "b", "ab", "ba", "aa", "</w>", "c"])
+
+    def trick(seq: str, a: str, b: str) -> str:
+        doubled = " " + seq.replace(" ", "  ") + " "
+        out = doubled.replace(f" {a}  {b} ", f" {a}{b} ")
+        return re.sub(" +", " ", out).strip()
+
+    @settings(max_examples=500, deadline=None)
+    @given(st.lists(symbols, min_size=1, max_size=12), st.data())
+    def run(syms, data):
+        pairs = [
+            (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+        ] or [("a", "b")]
+        a, b = data.draw(st.sampled_from(pairs))
+        seq = " ".join(syms)
+        assert trick(seq, a, b) == _py_merge(seq, f"{a} {b}")
+
+    run()
