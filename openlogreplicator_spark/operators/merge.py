@@ -168,12 +168,22 @@ def read_state(
     table: LakeTable,
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
     buckets: Iterable[int] | None = None,
+    eq: dict[str, str] | None = None,
 ) -> DataFrame:
     """User-facing scan: live rows only (tombstones filtered, internal cols
     kept). On a merge-on-read table (uncompacted appended deltas), winners
     are resolved at read time — same LWW total order, so state is identical
     to the copy-on-write path. ``buckets`` restricts the scan (exact:
     buckets partition keys, so a bucket subset is a complete key subset).
+
+    ``eq={"col": v}`` returns only winners with ``col == v``, served with
+    manifest col_bounds file skipping where sound: clean buckets prune at
+    file granularity (one row per key — dropping a file whose rows all
+    fail the predicate cannot change any other key), dirty buckets are
+    never pruned (read()'s gate) and their winners are resolved by LWW
+    over the FULL version set before the predicate applies — so a key
+    whose superseded version matched but whose winner doesn't is
+    correctly absent.
 
     Scale shape (round-2 verdict tasks 4+5): read-time LWW runs ONLY over the
     dirty buckets (buckets partition keys, so per-bucket LWW is exact); clean
@@ -186,20 +196,25 @@ def read_state(
         present &= set(buckets)
     dirty = table.dirty_buckets() & present
     if not dirty:
-        df = table.read(present if buckets is not None else None)
+        df = table.read(present if buckets is not None else None, eq=eq)
     else:
         clean = present - dirty
         resolved = lww_compact_auto(
-            table.read(dirty),
+            table.read(dirty),  # never eq-pruned: LWW needs every version
             key=table.key_col,
             order=("warc_ts", "_seq"),
             broadcast_budget_keys=broadcast_budget_keys,
             approx_rows=table.rows_in_buckets(dirty),
         )
         df = (
-            resolved.unionByName(table.read(clean)) if clean else resolved
+            resolved.unionByName(table.read(clean, eq=eq))
+            if clean else resolved
         )
-    return df.filter(F.col("_op") != "d")
+    df = df.filter(F.col("_op") != "d")
+    if eq:
+        for col, val in eq.items():
+            df = df.filter(F.col(col) == F.lit(val))
+    return df
 
 
 def read_state_since(
@@ -873,3 +888,129 @@ def delete_where(
         extra_summary={"op": "delete_where"},
         broadcast_budget_keys=broadcast_budget_keys,
     )
+
+
+def zorder_buckets(
+    table: LakeTable,
+    cat_col: str = "lang",
+    ts_col: str = STATS_COL,
+    bits: int = 8,
+    target_rows_per_file: int = 4_000_000,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> dict:
+    """Two-dimensional Z-order cluster rewrite (Iceberg/Delta z-order
+    analogue): interleave the bits of a dense categorical code and a
+    min/max-normalized time code into one `_z` sort key, rewrite each
+    bucket `_z`-sorted and chunked — so BOTH `read(eq={cat_col: v})` and
+    `read(ts_between=...)` prune files on the SAME layout, where a plain
+    ``cluster_buckets(sort_cols=...)`` lets only its LEADING column prune
+    well. The `_z` column is written into the files (harmless: reads
+    project the current schema by name) so the layout is inspectable.
+
+    Scale notes: the categorical dictionary is collected (capped at
+    2^bits distinct values — z-order wants LOW-cardinality dimensions;
+    beyond that, bucket or hash the column first), the time range comes
+    FREE from manifest ts bounds (no extra pass over the data), and the
+    rewrite itself is the same one-shuffle shape as cluster_buckets.
+    Dirty buckets are LWW-folded in the same pass, marks cleared,
+    tombstones preserved — a maintenance commit, user state untouched."""
+    present = sorted({f["bucket"] for f in table.snap["files"]})
+    if not present:
+        return {"files": 0, "rows": 0, "buckets_rewritten": 0}
+    dirty = sorted(table.dirty_buckets() & set(present))
+    clean = [b for b in present if b not in set(dirty)]
+    parts = []
+    if dirty:
+        parts.append(
+            lww_compact_auto(
+                table.read(dirty),
+                key=table.key_col,
+                order=(ts_col, "_seq"),
+                broadcast_budget_keys=broadcast_budget_keys,
+                approx_rows=table.rows_in_buckets(dirty),
+            )
+        )
+    if clean:
+        parts.append(table.read(clean))
+    full = parts[0]
+    for p in parts[1:]:
+        full = full.unionByName(p)
+
+    # categorical dictionary: dense codes in value order (deterministic)
+    cats = sorted(
+        r[0]
+        for r in full.select(cat_col).dropna().distinct().collect()
+    )
+    if len(cats) > (1 << bits):
+        raise ValueError(
+            f"{cat_col} has {len(cats)} distinct values > 2^{bits}; "
+            "z-order wants a low-cardinality dimension — bucket it first"
+        )
+    # scale the dense index across the FULL code range so a low-cardinality
+    # dimension varies in the TOP interleave bits (codes 0, 64, 128, 192 for
+    # 4 values at bits=8) — raw indices 0..3 would vary only in the lowest
+    # positions and the z order would degenerate to a ts sort
+    step = (1 << bits) // max(len(cats), 1)
+    mapping = F.create_map(
+        *[
+            x
+            for i, c in enumerate(cats)
+            for x in (F.lit(c), F.lit(i * max(step, 1)))
+        ]
+    )
+    cat_code = F.coalesce(F.element_at(mapping, F.col(cat_col)), F.lit(0))
+
+    # time range from manifest bounds — metadata, no data pass
+    los = [f["ts_min_us"] for f in table.snap["files"] if "ts_min_us" in f]
+    his = [f["ts_max_us"] for f in table.snap["files"] if "ts_max_us" in f]
+    if los and his and max(his) > min(los):
+        lo, hi = min(los), max(his)
+    else:  # stat-less files: one agg job as the fallback
+        row = full.agg(
+            F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))),
+            F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))),
+        ).collect()[0]
+        lo, hi = int(row[0]), max(int(row[1]), int(row[0]) + 1)
+    span = max(hi - lo, 1)
+    maxc = (1 << bits) - 1
+    ts_code = F.least(
+        F.lit(maxc),
+        F.floor(
+            (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.lit(lo))
+            * F.lit(maxc + 1) / F.lit(span + 1)
+        ).cast("int"),
+    )
+    ts_code = F.greatest(F.lit(0), F.coalesce(ts_code, F.lit(0)))
+
+    z = F.lit(0)
+    for b in range(bits):
+        z = (
+            z.bitwiseOR(
+                F.shiftleft(F.shiftright(cat_code, b).bitwiseAND(F.lit(1)),
+                            2 * b + 1)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(ts_code, b).bitwiseAND(F.lit(1)),
+                            2 * b)
+            )
+        )
+
+    full = full.withColumn("_bucket", table.bucket_expr()).withColumn(
+        "_z", z.cast("int")
+    )
+    absdir, _rel = table.new_data_dir()
+    (
+        full.repartition(max(1, min(len(present), 64)), "_bucket")
+        .sortWithinPartitions("_bucket", "_z", "_seq")
+        .write.option("maxRecordsPerFile", int(target_rows_per_file))
+        .partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows = _collect_written_files(absdir, table)
+    table.commit_files(
+        new_files, present,
+        {"op": "zorder", "rows": rows, "buckets": len(present),
+         "cols": [cat_col, ts_col], "bits": int(bits)},
+        extra={"needs_read_compaction": False, "dirty_buckets": []},
+    )
+    return {"files": len(new_files), "rows": rows,
+            "buckets_rewritten": len(present)}

@@ -158,3 +158,81 @@ def test_plan_scan_matches_actual_read(spark, events_dir, tmp_path):
         )
     # the eq case must actually skip something on this clustered layout
     assert t.plan_scan(eq={"lang": lang})["skipped_eq"] > 0
+
+
+def test_zorder_both_dims_prune_same_layout(spark, tmp_path):
+    """Z-order interleave: eq on the categorical AND ts_between both skip
+    files on the SAME layout — the multi-dim win a one-dim sort_cols
+    rewrite cannot give (only its leading column prunes well). Needs
+    several files per bucket (one file per bucket has whole-bucket bounds
+    and nothing to skip)."""
+    from openlogreplicator_spark.operators.merge import (
+        ts_micros,
+        zorder_buckets,
+    )
+
+    langs = ["de", "en", "fr", "zh"]
+    rows = [
+        (f"u{i}", TS + dt.timedelta(minutes=i), i, "c", f"t{i}",
+         langs[i % 4])
+        for i in range(400)
+    ]
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, key_col="url",
+                         n_buckets=2, schema_ver=1)
+    merge_into(t, spark.createDataFrame(rows, DDL), epoch_id=0)
+    t = LakeTable.load(spark, t.path)
+    before = sorted(
+        (r["url"], r["_seq"]) for r in read_state(t).collect()
+    )
+    zorder_buckets(t, cat_col="lang", ts_col="warc_ts", bits=8,
+                   target_rows_per_file=25)
+    t = LakeTable.load(spark, t.path)
+    assert len(t.snap["files"]) >= 8  # several files per bucket
+
+    # user state untouched by the maintenance rewrite
+    after = sorted(
+        (r["url"], r["_seq"]) for r in read_state(t).collect()
+    )
+    assert after == before
+
+    mid_lo = ts_micros(TS + dt.timedelta(minutes=300))
+    plan_eq = t.plan_scan(eq={"lang": "de"})
+    plan_ts = t.plan_scan(ts_between=(mid_lo, None))
+    assert plan_eq["skipped_eq"] > 0, plan_eq
+    assert plan_ts["skipped_ts"] > 0, plan_ts
+
+    # eq slice through read() equals scan+filter; ts slice exact too
+    got = sorted(
+        (r["url"], r["_seq"])
+        for r in t.read(eq={"lang": "de"})
+        .filter(F.col("lang") == "de").collect()
+    )
+    want = sorted(
+        (r["url"], r["_seq"])
+        for r in t.read().filter(F.col("lang") == "de").collect()
+    )
+    assert got == want
+    got_ts = sorted(
+        r["url"] for r in t.read(ts_between=(mid_lo, None))
+        .filter(F.col("warc_ts") >= TS + dt.timedelta(minutes=300))
+        .collect()
+    )
+    assert got_ts == sorted(f"u{i}" for i in range(300, 400))
+
+
+def test_read_state_eq_slice(spark, tmp_path):
+    """read_state(eq=...) composes pruning with LWW correctly: a key whose
+    SUPERSEDED version matched the predicate but whose winner does not is
+    absent (dirty path resolves LWW before filtering)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, key_col="url",
+                         n_buckets=1, schema_ver=1)
+    merge_append(t, spark.createDataFrame(
+        [("u1", TS, 1, "c", "old", "de"),
+         ("u2", TS, 2, "c", "keep", "de")], DDL), epoch_id=0)
+    t = LakeTable.load(spark, t.path)
+    merge_append(t, spark.createDataFrame(
+        [("u1", TS2, 3, "u", "new", "en")], DDL), epoch_id=1)
+    t = LakeTable.load(spark, t.path)
+    rows = {r["url"]: r["lang"]
+            for r in read_state(t, eq={"lang": "de"}).collect()}
+    assert rows == {"u2": "de"}  # u1's winner is en — absent from the slice
