@@ -946,16 +946,17 @@ def zorder_buckets(
             f"{cat_col} has {len(cats)} distinct values > 2^{bits}; "
             "z-order wants a low-cardinality dimension — bucket it first"
         )
-    # scale the dense index across the FULL code range so a low-cardinality
-    # dimension varies in the TOP interleave bits (codes 0, 64, 128, 192 for
-    # 4 values at bits=8) — raw indices 0..3 would vary only in the lowest
-    # positions and the z order would degenerate to a ts sort
-    step = (1 << bits) // max(len(cats), 1)
+    # place the dense index in the TOP ceil(log2 n) bits ONLY (codes 0, 64,
+    # 128 for 3 values at bits=8) — raw indices would vary only in the
+    # lowest interleave positions (z degenerates to a ts sort), and
+    # evenly-SCALED codes like 85 = 01010101 pollute every position (ts
+    # locality inside a category region is destroyed and ts never prunes)
+    shift = bits - max(1, (max(len(cats) - 1, 1)).bit_length())
     mapping = F.create_map(
         *[
             x
             for i, c in enumerate(cats)
-            for x in (F.lit(c), F.lit(i * max(step, 1)))
+            for x in (F.lit(c), F.lit(i << max(shift, 0)))
         ]
     )
     cat_code = F.coalesce(F.element_at(mapping, F.col(cat_col)), F.lit(0))

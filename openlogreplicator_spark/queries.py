@@ -6721,3 +6721,138 @@ def engine_incremental_join(spark, sf_dir):
             _shutil.rmtree(j_path, ignore_errors=True)
         j_path, from_v = nxt, to_v
     return spark.read.parquet(j_path).select("host", "a_url", "b_url")
+
+
+# Z-order gate: replay, z-order rewrite on (lang, warc_ts), then serve a
+# slice constrained on BOTH dimensions through the pruned read — asserting
+# each dimension's prune engaged before returning.
+_ZORDER_REPLAY: dict[str, str] = {}
+
+_ZORDER_SLICE_SQL = f"""
+    WITH base AS ({_REPLAY_SQL})
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM base
+    WHERE lang = 'en'
+      AND warc_ts >= TIMESTAMP '2020-01-03 00:00:00'
+    """
+
+
+@register("engine_zorder_slice", _ZORDER_SLICE_SQL)
+def engine_zorder_slice(spark, sf_dir):
+    """Two-dimensional z-order file skipping end-to-end (operators/merge.py
+    zorder_buckets — Iceberg/Delta z-order analogue): after ONE rewrite
+    interleaving the lang code with the time code, a slice constrained on
+    BOTH dimensions (lang='en' AND warc_ts >= T) is served with files
+    skipped by BOTH prunes — each asserted > 0 via plan_scan before
+    returning — where a one-dimensional sort layout prunes only its
+    leading column. The DuckDB oracle replays the log and applies the same
+    two filters to the winners, so the value hash proves the doubly-pruned
+    scan missed nothing. Reference analogue: scn-ordered redo files give
+    the reference its one physical clustering dimension; z-order is the
+    lake-side generalization to two."""
+    from .lake.table import LakeTable
+    from .operators.merge import zorder_buckets
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    hit = _ZORDER_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit):
+        d = tempfile.mkdtemp(prefix="olr_zorder_")
+        # one bucket + small files: each lang region spans several files,
+        # so the time dimension can split WITHIN a region (a region that
+        # fits one file has whole-range ts bounds and ts never prunes)
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+            n_buckets=1,
+        )
+        p.run_batch_replay()
+        t = LakeTable.load(spark, p.table_path)
+        zorder_buckets(t, cat_col="lang", ts_col="warc_ts", bits=8,
+                       target_rows_per_file=8)
+        _ZORDER_REPLAY[ev] = p.table_path
+        hit = p.table_path
+    t = LakeTable.load(spark, hit)
+    lo_us = 1_578_009_600_000_000  # 2020-01-03 00:00:00 UTC in micros
+    plan = t.plan_scan(ts_between=(lo_us, None), eq={"lang": "en"})
+    assert plan["skipped_ts"] > 0 and plan["skipped_eq"] > 0, plan
+    import datetime as _dt
+
+    cut = _dt.datetime(2020, 1, 3)
+    return (
+        t.read(ts_between=(lo_us, None), eq={"lang": "en"})
+        .filter(
+            (F.col("_op") != "d")
+            & (F.col("lang") == "en")
+            & (F.col("warc_ts") >= F.lit(cut))
+        )
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+    )
+
+
+_COOC_WIN, _COOC_TOPK = 3, 30
+
+_COOC_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents),
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT least(t[x], t[x + {d}]) AS a,
+                   greatest(t[x], t[x + {d}]) AS b,
+                   1.0 / {d} AS w
+            FROM (SELECT t, unnest(generate_series(1, len(t) - {d})) AS x
+                  FROM toks WHERE len(t) > {d})'''
+        for d in range(1, _COOC_WIN + 1))})
+    SELECT a, b, cooc FROM (
+      SELECT a, b, round(sum(w), 6) AS cooc FROM pairs GROUP BY a, b)
+    ORDER BY cooc DESC, a, b LIMIT {_COOC_TOPK}
+    """
+
+
+@register("docs_skipgram_cooc", _COOC_SQL)
+def docs_skipgram_cooc(spark, sf_dir):
+    """Distance-weighted co-occurrence counts (the GloVe X_ij statistic:
+    window ±3, weight 1/d) — the sufficient statistic embedding trainers
+    and collocation miners consume; docs_bigram_pmi is the d=1 special
+    case. Shape at 100 TB: the window pairs are generated map-side from
+    the token array (no self-join of the token relation — the classic
+    mistake is tokens ⋈ tokens on doc_id with a position filter, which
+    shuffles O(len²) per doc), then ONE partial-agg groupBy on the pair
+    vocabulary and a TakeOrderedAndProject head. Weights are summed then
+    rounded 6dp before the rank so engine-order FP noise cannot reorder
+    the cut. Reference analogue: none — training-data pipeline
+    extension."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> length(x) > 0)"
+        ).alias("t")
+    )
+    parts = []
+    for dist in range(1, _COOC_WIN + 1):
+        parts.append(
+            toks.filter(F.expr(f"size(t) > {dist}")).select(
+                F.explode(
+                    F.expr(
+                        f"transform(slice(t, 1, size(t) - {dist}),"
+                        f" (x, i) -> struct("
+                        f"least(x, t[i + {dist}]) AS a,"
+                        f" greatest(x, t[i + {dist}]) AS b))"
+                    )
+                ).alias("p"),
+                F.lit(1.0 / dist).alias("w"),
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    return (
+        pairs.select("p.a", "p.b", "w")
+        .groupBy("a", "b")
+        .agg(F.round(F.sum("w"), 6).alias("cooc"))
+        .orderBy(F.desc("cooc"), "a", "b")
+        .limit(_COOC_TOPK)
+    )
