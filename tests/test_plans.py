@@ -305,3 +305,40 @@ def test_chunk_windows_is_shuffle_free(spark):
     read_schema = scan[scan.index("ReadSchema:"):
                        scan.index("\n", scan.index("ReadSchema:"))]
     assert "text" in read_schema and "lang" not in read_schema, read_schema
+
+
+def test_skipgram_cooc_is_map_side_pairs(spark):
+    """docs_skipgram_cooc: window pairs come from the token ARRAY map-side
+    — no join anywhere before the aggregate (the O(len^2)-per-doc
+    tokens-join-tokens anti-pattern), and the head is
+    TakeOrderedAndProject, never a global sort."""
+    p = plan_of(QUERIES["docs_skipgram_cooc"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_quality_classifier_broadcasts_totals_only(spark):
+    """docs_quality_classifier: the one-row totals ride a broadcast
+    nested-loop crossJoin; the vocab-keyed llr scoring join must be a real
+    equi-join (hash/sort), never a nested loop over the corpus."""
+    p = plan_of(QUERIES["docs_quality_classifier"](spark, SF_DIR))
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p  # totals x2 stages
+    assert ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+            or "BroadcastHashJoin" in p), p
+
+
+def test_user_sequences_single_exchange(spark):
+    """events_user_sequences: ordering happens INSIDE the aggregate — one
+    groupBy shuffle, no Window, no global Sort above the aggregate."""
+    p = plan_of(QUERIES["events_user_sequences"](spark, SF_DIR))
+    assert p.count("Exchange") == 1, p
+    assert "Window" not in p, p
+
+
+def test_ewma_is_fold_not_window(spark):
+    """events_ewma_daily_rate: the recursion rides a HOF fold over the
+    collected day array — no Window operator, two aggregation phases
+    (daily counts, then per-type fold)."""
+    p = plan_of(QUERIES["events_ewma_daily_rate"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "aggregate(" in p or "HashAggregate" in p or "SortAggregate" in p, p
