@@ -6856,3 +6856,83 @@ def docs_skipgram_cooc(spark, sf_dir):
         .orderBy(F.desc("cooc"), "a", "b")
         .limit(_COOC_TOPK)
     )
+
+
+_RFM_SQL = """
+    WITH anchor AS (SELECT max(ts) AS mx FROM events),
+    per_user AS (
+      SELECT user_id,
+             CAST(date_diff('second', max(ts), anchor.mx) AS BIGINT)
+               AS rec_secs,
+             CAST(count(*) AS BIGINT) AS freq,
+             round(sum(value), 4) AS monetary
+      FROM events CROSS JOIN anchor
+      GROUP BY user_id, anchor.mx),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_user),
+    scored AS (
+      SELECT user_id,
+             CAST(1 + (4 * (row_number() OVER
+                     (ORDER BY rec_secs, user_id) - 1)) // n.n
+               AS INTEGER) AS r,
+             CAST(1 + (4 * (row_number() OVER
+                     (ORDER BY freq DESC, user_id) - 1)) // n.n
+               AS INTEGER) AS f,
+             CAST(1 + (4 * (row_number() OVER
+                     (ORDER BY monetary DESC, user_id) - 1)) // n.n
+               AS INTEGER) AS m
+      FROM per_user CROSS JOIN n)
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r, f, m
+    """
+
+
+@register("events_rfm_segments", _RFM_SQL)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic behavioral-cohort cut, as the (r, f, m) cell histogram a
+    campaign or retention dashboard consumes. Quartiles are RANK-based
+    with a deterministic total order (metric, then user_id) and the
+    identical 1 + 4*(rn-1)/n arithmetic on both engines — never ntile on
+    raw doubles, whose tie handling is the cross-engine trap
+    (quantile_buckets' lesson). Monetary is rounded BEFORE the rank.
+    Shape at 100 TB: one per-user partial agg, then three rank windows
+    over the users-sized relation (at real scale: the two-pass
+    percentile-cut path in functions/sampling.quantile_buckets replaces
+    the global-order windows; this entry is the exact-rank twin), and a
+    64-cell-bounded final rollup. Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.first(F.unix_timestamp("mx"))
+                - F.unix_timestamp(F.max("ts"))
+            ).cast("long").alias("rec_secs"),
+            F.count("*").alias("freq"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .select("user_id", "rec_secs", "freq", "monetary")
+    )
+    n = per_user.agg(F.count("*").alias("n"))
+    scored = per_user.crossJoin(F.broadcast(n))
+
+    def quart(order_cols):
+        w = Window.orderBy(*order_cols)
+        # floor division on both engines: DuckDB CAST(double AS INT)
+        # ROUNDS while Spark's cast truncates — never divide-then-cast
+        return (
+            F.lit(1)
+            + F.floor(
+                F.lit(4) * (F.row_number().over(w) - 1) / F.col("n")
+            )
+        ).cast("int")
+
+    out = scored.select(
+        quart([F.col("rec_secs"), F.col("user_id")]).alias("r"),
+        quart([F.desc("freq"), F.col("user_id")]).alias("f"),
+        quart([F.desc("monetary"), F.col("user_id")]).alias("m"),
+    )
+    return out.groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
