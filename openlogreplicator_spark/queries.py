@@ -6936,3 +6936,58 @@ def events_rfm_segments(spark, sf_dir):
         quart([F.desc("monetary"), F.col("user_id")]).alias("m"),
     )
     return out.groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "emb_norm_hist",
+    """
+    WITH norms AS (
+      SELECT label,
+             round(sqrt(list_reduce(
+               list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b)), 6) AS nrm
+      FROM embeddings)
+    SELECT label,
+           CAST(floor(nrm / 0.5) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM norms GROUP BY label, bucket
+    """,
+)
+def emb_norm_hist(spark, sf_dir):
+    """Per-label L2-norm histogram (0.5-wide buckets) over the embedding
+    corpus — the norm-collapse / anisotropic-drift health check read next
+    to emb_dim_stats (dead dims) and emb_outliers (direction outliers): a
+    label whose norms pile into one bucket or drift between snapshots
+    signals encoder regression. Norms are rounded 6dp BEFORE bucketing so
+    an FP-boundary value cannot land in different buckets per engine.
+    Shape at 100 TB: pure map-side expression (sum-of-squares fold) into
+    one partial-agg groupBy on the (labels × buckets)-bounded keyspace.
+    Reference analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+        ),
+        6,
+    )
+    norms = emb.select("label", nrm.alias("nrm"))
+    return (
+        norms.groupBy(
+            "label", F.floor(F.col("nrm") / 0.5).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
