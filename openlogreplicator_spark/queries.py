@@ -6991,3 +6991,153 @@ def emb_norm_hist(spark, sf_dir):
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
     )
+
+
+@register(
+    "events_cohort_ltv",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+               AS cohort_week
+      FROM events GROUP BY user_id),
+    joined AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(date_diff('week',
+                            CAST(f.cohort_week AS TIMESTAMP),
+                            CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+               AS INTEGER) AS age_weeks,
+             e.value
+      FROM events e JOIN firsts f USING (user_id)),
+    cells AS (
+      SELECT cohort_week, age_weeks,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             round(sum(value), 2) AS week_value
+      FROM joined GROUP BY cohort_week, age_weeks)
+    SELECT cohort_week, age_weeks, n_users, week_value,
+           round(sum(week_value) OVER (
+             PARTITION BY cohort_week ORDER BY age_weeks), 2) AS cum_value
+    FROM cells
+    """,
+)
+def events_cohort_ltv(spark, sf_dir):
+    """Cohort LTV triangle — cumulative captured value per signup-week
+    cohort by age week (the revenue twin of events_retention's
+    user-count triangle; the curve a data-buying or crawl-budget decision
+    reads). Shape at 100 TB: first-touch week is ONE per-user partial agg
+    joined back (user-keyed equi-join), cells are a (cohorts × ages)-
+    bounded groupBy, and the cumulative window runs on the cells-sized
+    relation only — never over raw events. week_value is rounded BEFORE
+    the running sum so both engines accumulate identical addends in
+    identical age order (sum of pre-rounded doubles in one fixed order is
+    deterministic cross-engine). Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id").select(
+        "user_id", "cohort_week",
+        (
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp("cohort_week")
+                ) / (7 * 86400)
+            )
+        ).cast("int").alias("age_weeks"),
+        "value",
+    )
+    cells = joined.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("week_value"),
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_weeks")
+    return cells.select(
+        "cohort_week", "age_weeks", "n_users", "week_value",
+        F.round(F.sum("week_value").over(w), 2).alias("cum_value"),
+    )
+
+
+_SIL_SQL = """
+    WITH comp AS (
+      SELECT label, pos, round(avg(val), 6) AS c
+      FROM (SELECT label,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     AS val,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings)
+      GROUP BY label, pos),
+    cent AS (SELECT label, list(c ORDER BY pos) AS centroid
+             FROM comp GROUP BY label),
+    scored AS (
+      SELECT e.vec_id, e.label AS own, c.label AS other,
+             round(CAST(list_cosine_similarity(
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+               c.centroid) AS DOUBLE), 6) AS cosc
+      FROM embeddings e CROSS JOIN cent c),
+    per_vec AS (
+      SELECT vec_id, own,
+             max(CASE WHEN other = own THEN cosc END) AS intra,
+             max(CASE WHEN other <> own THEN cosc END) AS best_inter
+      FROM scored GROUP BY vec_id, own)
+    SELECT own AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(intra), 4) AS avg_intra,
+           round(avg(best_inter), 4) AS avg_best_inter,
+           round(avg(intra - best_inter), 4) AS separation
+    FROM per_vec GROUP BY own
+    """
+
+
+@register("emb_label_silhouette", _SIL_SQL)
+def emb_label_silhouette(spark, sf_dir):
+    """Centroid-silhouette label-separation report: per label, each
+    vector's cosine to its OWN centroid vs its best OTHER centroid, and
+    the mean gap — the clustering-quality / embedding-collapse diagnostic
+    (separation → 0 means labels are no longer distinguishable; the
+    cheap centroid form of the silhouette score, never all-pairs).
+    Shape at 100 TB: centroids are a (labels × dim) partial agg; scoring
+    joins each vector against the BROADCAST labels-sized centroid set
+    map-side; the report is a labels-bounded rollup. Per-centroid cosines
+    are rounded 6dp before the max/avg so near-ties fold identically per
+    engine. Reference analogue: none — training-data pipeline
+    extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, c))),"
+               " x -> x.c)").alias("centroid")
+    ).select(F.col("label").alias("other"), "centroid")
+    scored = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            F.col("label").alias("own"),
+            "other",
+            F.round(
+                S.cosine(F.col("embedding"), F.col("centroid")), 6
+            ).alias("cosc"),
+        )
+    )
+    per_vec = scored.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("other") == F.col("own"), F.col("cosc"))).alias(
+            "intra"
+        ),
+        F.max(F.when(F.col("other") != F.col("own"), F.col("cosc"))).alias(
+            "best_inter"
+        ),
+    )
+    return per_vec.groupBy(F.col("own").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("intra"), 4).alias("avg_intra"),
+        F.round(F.avg("best_inter"), 4).alias("avg_best_inter"),
+        F.round(F.avg(F.col("intra") - F.col("best_inter")), 4).alias(
+            "separation"
+        ),
+    )
