@@ -346,6 +346,55 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+# ------------------------------------------------- URL canonicalization
+
+# Split an absolute URL into (scheme, authority, rest). Java∩RE2 common
+# dialect (same rule as PII_PATTERNS): the PATTERN must behave identically
+# on both engines; replacement spellings may differ per dialect.
+URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+# Query parameters that never change page identity (analytics trackers) —
+# the standard Common-Crawl / SURT-style canonicalization drop list.
+URL_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the key under which a
+    crawl dedups page identities (SURT / Common-Crawl canonicalization):
+    scheme+host lowercased (path case PRESERVED — it is significant),
+    leading ``www.`` dropped, scheme-default port dropped (``:443`` only
+    for https, ``:80`` only for http — stripping cross-scheme would merge
+    distinct origins), fragment dropped, tracking query params dropped
+    (split → filter → rejoin, so surviving params keep their order and a
+    dangling ``?``/``&`` never appears), trailing path slash dropped.
+    Pure JVM expression chain — no UDF, exact DuckDB twin."""
+    scheme = F.lower(F.regexp_extract(url, URL_PARTS_RE, 1))
+    host = F.lower(F.regexp_extract(url, URL_PARTS_RE, 2))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_replace(F.regexp_extract(url, URL_PARTS_RE, 3), "#.*$", "")
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), "/$", "")
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda x: (~x.rlike(URL_TRACKING_RE)) & (F.length(x) > 0),
+    )
+    q2 = F.array_join(kept, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(F.length(q2) > 0, F.concat(F.lit("?"), q2)).otherwise(F.lit("")),
+    )
+
+
 # ----------------------------------------------- Gopher-style rule filter
 
 # The 8 most frequent English words — the Gopher (Rae et al. 2021, §A1.1)

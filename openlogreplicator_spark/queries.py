@@ -7141,3 +7141,131 @@ def emb_label_silhouette(spark, sf_dir):
             "separation"
         ),
     )
+
+
+_MESSY_URL_SPEC = dict(seed=11, n_pages=300)
+_MESSY_URLS = fixture_path(_REPLAY_BASE, "messy_urls", _MESSY_URL_SPEC)
+
+
+def _ensure_messy_urls() -> str:
+    from .datagen import write_messy_urls
+
+    return ensure_fixture(
+        _MESSY_URLS, lambda d: write_messy_urls(d, **{
+            "n_pages": _MESSY_URL_SPEC["n_pages"],
+            "seed": _MESSY_URL_SPEC["seed"],
+        })
+    )
+
+
+# DuckDB twin of functions/text.canonicalize_url — same algorithm, same
+# Java∩RE2-safe patterns; only replacement/list spellings differ by dialect.
+_URL_CANON_SQL = f"""
+    WITH parts AS (
+      SELECT url,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+        lower(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS host0,
+        regexp_replace(regexp_extract(url,
+          '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3), '#.*$', '')
+          AS rest
+      FROM read_parquet('{_MESSY_URLS}/*.parquet')),
+    norm AS (
+      SELECT url, scheme,
+        CASE WHEN scheme = 'https'
+               THEN regexp_replace(regexp_replace(host0, '^www\\.', ''),
+                                   ':443$', '')
+             WHEN scheme = 'http'
+               THEN regexp_replace(regexp_replace(host0, '^www\\.', ''),
+                                   ':80$', '')
+             ELSE regexp_replace(host0, '^www\\.', '') END AS host,
+        regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/$', '') AS path,
+        CASE WHEN contains(rest, '?')
+             THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS q
+      FROM parts),
+    canon AS (
+      SELECT url,
+        scheme || '://' || host || path ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END AS canonical_url
+      FROM (SELECT *, list_filter(string_split(q, '&'),
+              x -> NOT regexp_matches(x,
+                '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)=')
+              AND len(x) > 0) AS kept
+            FROM norm))
+    SELECT canonical_url,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM canon GROUP BY canonical_url
+    """
+
+
+@register("docs_url_canonical_dedup", _URL_CANON_SQL)
+def docs_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization dedup — the crawl-frontier identity step every
+    web pipeline runs BEFORE content dedup (SURT / Common-Crawl canonical
+    form): scheme+host case, www, default ports, fragments, tracking
+    params, trailing slash all collapse; path case and real query params
+    are PRESERVED (the fixture plants both so an over-aggressive
+    canonicalizer hash-fails). Runs on a deterministic messy-URL fixture
+    (replay-fixture urls are born canonical). The value hash covers the
+    full canonical string of every group, so the exact canonicalization —
+    not just group counts — is cross-checked against DuckDB's RE2. Shape
+    at 100 TB: pure map-side expression chain into one partial-agg groupBy
+    on the canonical key. Reference analogue: none — training-data
+    pipeline extension."""
+    d = spark.read.parquet(_ensure_messy_urls())
+    return (
+        d.select("url", TXT.canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("url").alias("n_variants"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register("engine_rollback_replay", _REPLAY_SQL)
+def engine_rollback_replay(spark, sf_dir):
+    """Disaster-recovery rollback + re-delivery convergence, end-to-end
+    through the differential gate (rollback_to itself is pytest-pinned;
+    this entry value-hashes the CONVERGED state): replay all four epochs,
+    roll main back to the snapshot that confirmed epoch 1 (one atomic
+    `_current` swap — the confirmed-epoch watermark and the schema
+    dictionary regress WITH the snapshot, so the rolled-back table is a
+    bit-exact epoch-1 state), then re-deliver epochs 2-3 from the source.
+    Because the watermark regressed, the exactly-once gate ACCEPTS the
+    re-delivery (by design — the reference replays redo from the restored
+    checkpoint scn, StateDisk checkpoint chain), and idempotent MERGE
+    re-applies it; the final state must equal the plain four-file replay,
+    which is exactly the DuckDB oracle. Shape at 100 TB: rollback is O(1)
+    metadata; re-delivery cost is the epochs replayed, same as any resume."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_rollback_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    restore_ver = None
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+        if i == 1:
+            restore_ver = LakeTable.current_version(p.table_path)
+
+    rolled = LakeTable.load(spark, p.table_path).rollback_to(restore_ver)
+    if rolled.last_epoch() != (1, True):
+        raise AssertionError(
+            f"rollback did not regress the watermark: {rolled.last_epoch()}"
+        )
+    # re-delivery: the SAME epochs from the source converge idempotently
+    for i, f in enumerate(files[2:], start=2):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )

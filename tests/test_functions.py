@@ -446,3 +446,43 @@ def test_pca_components_match_numpy_and_are_orthogonal(spark):
     assert abs(lam1 - evals[-1]) / evals[-1] < 1e-3
     assert abs(lam2 - evals[-2]) / evals[-2] < 1e-3
     assert lam1 > lam2
+
+
+def test_canonicalize_url_semantics(spark):
+    cases = [
+        # (raw, expected canonical)
+        ("HTTPS://WWW.Site1.Example:443/Article/4?page=2&utm_source=x#top",
+         "https://site1.example/Article/4?page=2"),
+        ("http://site2.example:80/p/9/", "http://site2.example/p/9"),
+        # cross-scheme default port must NOT strip (distinct origin)
+        ("http://site3.example:443/p/1", "http://site3.example:443/p/1"),
+        # path case preserved; all-tracking query drops the '?' entirely
+        ("https://site4.example/CaseSensitive?utm_a=1&gclid=g&fbclid=f",
+         "https://site4.example/CaseSensitive"),
+        # real params survive in order, tracking removed mid-list
+        ("https://site5.example/p?b=2&utm_x=1&a=1",
+         "https://site5.example/p?b=2&a=1"),
+        ("https://site6.example", "https://site6.example"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(
+            TXT.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_messy_urls_collapse_to_pages(spark, tmp_path):
+    from openlogreplicator_spark.datagen import write_messy_urls
+
+    d = write_messy_urls(str(tmp_path / "urls"), n_pages=60, seed=11)
+    df = spark.read.parquet(d).withColumn(
+        "canonical_url", TXT.canonicalize_url(F.col("url"))
+    )
+    # every variant of a page canonicalizes to ONE url, and distinct
+    # canonical forms == page identities (no over- or under-merge)
+    per_page = df.groupBy("page_id").agg(
+        F.countDistinct("canonical_url").alias("n")
+    )
+    assert per_page.filter(F.col("n") != 1).count() == 0
+    assert df.select("canonical_url").distinct().count() == 60
