@@ -1628,6 +1628,233 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+@register(
+    "events_ab_lift",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1,
+             round(avg(value) FILTER (WHERE user_id % 2 = 0), 6) AS m0,
+             round(avg(value) FILTER (WHERE user_id % 2 = 1), 6) AS m1,
+             round(var_samp(value) FILTER (WHERE user_id % 2 = 0), 6) AS v0,
+             round(var_samp(value) FILTER (WHERE user_id % 2 = 1), 6) AS v1
+      FROM events GROUP BY event_type)
+    SELECT event_type, n0, n1, m0, m1,
+           round(m1 - m0, 4) AS lift,
+           round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 4) AS welch_t
+    FROM stats
+    """,
+)
+def events_ab_lift(spark, sf_dir):
+    """A/B experiment readout — per-metric (event_type) treatment lift with
+    Welch's t statistic, under a deterministic 50/50 unit-of-randomization
+    split (user_id parity here; hash(unit_id) mod k in production — same
+    assignment algebra as docs_train_split's md5 buckets). The standard
+    experimentation query a feature-flag platform runs over the event
+    stream. Cross-engine determinism: means and variances are rounded 6dp
+    AFTER aggregation, and the t statistic is computed FROM the rounded
+    stats, so FP summation order cannot flip the hash. Shape at 100 TB:
+    one partial-agg groupBy over event types — variant splits ride as
+    conditional aggregates, never a self-join; the t arithmetic runs on
+    the types-sized relation. Reference analogue: none — training-data
+    pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    v0 = F.col("user_id") % 2 == 0
+    v1 = F.col("user_id") % 2 == 1
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.round(F.avg(F.when(v0, F.col("value"))), 6).alias("m0"),
+        F.round(F.avg(F.when(v1, F.col("value"))), 6).alias("m1"),
+        F.round(F.var_samp(F.when(v0, F.col("value"))), 6).alias("v0"),
+        F.round(F.var_samp(F.when(v1, F.col("value"))), 6).alias("v1"),
+    )
+    return stats.select(
+        "event_type", "n0", "n1", "m0", "m1",
+        F.round(F.col("m1") - F.col("m0"), 4).alias("lift"),
+        F.round(
+            (F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")),
+            4,
+        ).alias("welch_t"),
+    )
+
+
+# P10 table/regex filter through the value gate: only urls matching the
+# tracked pattern may contribute winners. Filtering the LOG commutes with
+# LWW (winners are per-url), so the oracle filters the event CTE.
+_FILTER_RLIKE = r"^https://site1[0-9]\."
+_REPLAY_FILTERED_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL
+        AND regexp_matches(url, '^https://site1[0-9]\\.')),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_replay_state_url_filtered", _REPLAY_FILTERED_SQL)
+def engine_replay_state_url_filtered(spark, sf_dir):
+    """Tracked-table/regex filtering (P10, reference Schema.cpp:2092-2116
+    table-regex tracking) end-to-end through the value gate: the pipeline
+    replays the fixed log with a url_rlike filter CONFIG active (the
+    online-reload T8 path — the filter arrives from the config file, not
+    code), so only tracked urls are decoded, merged, and materialized.
+    The DuckDB twin applies the same RE2∩Java-safe pattern to the raw log
+    before its LWW — append-time filtering must commute with per-key LWW
+    exactly. Shape at 100 TB: the url predicate is pushed into the parquet
+    scan (plan-tested for apply_log_filters), so untracked data is never
+    decoded — the reference's motivation for filtering at the parser."""
+    import json as _json
+
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_filtered_")
+    cfg = os.path.join(d, "filters.json")
+    with open(cfg, "w") as f:
+        _json.dump({"url_rlike": _FILTER_RLIKE}, f)
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        filter_config_path=cfg,
+    )
+    p.run_batch_replay()
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+@register("engine_rebucket_replay", _REPLAY_SQL)
+def engine_rebucket_replay(spark, sf_dir):
+    """Partition evolution through the value gate (Iceberg bucket[N]
+    transform evolution; operators/merge.rebucket): replay the fixed log,
+    rewrite the table from its creation-time bucket count to a coprime new
+    one (16 → 13 — every key moves buckets unless hashes collide, the
+    worst case), then serve the state from the NEW layout. LWW folds in
+    the same rewrite pass, so the rebucketed table is also fully
+    compacted; the state must be bit-identical to the plain replay, which
+    is exactly the DuckDB oracle. Shape at 100 TB: one repartition
+    shuffle on the new bucket expr — the one-shot answer when a table
+    outgrows its creation-time n_buckets."""
+    from .lake.table import LakeTable
+    from .operators.merge import rebucket
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_rebucket_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_batch_replay()
+    t = LakeTable.load(spark, p.table_path)
+    old_n = t.n_buckets
+    rebucket(t, 13)
+    t2 = LakeTable.load(spark, p.table_path)
+    if (old_n, t2.n_buckets) != (16, 13):
+        raise AssertionError(f"rebucket did not evolve: {old_n}->{t2.n_buckets}")
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+_INC_INVIDX_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, text, op AS _op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev),
+    state AS (SELECT url, text FROM projected WHERE rn = 1 AND _op <> 'd'),
+    raw AS (
+      SELECT url,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+      FROM state),
+    tok AS (SELECT DISTINCT url, token FROM raw WHERE length(token) > 0)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           md5(string_agg(url, '|' ORDER BY url)) AS postings_md5
+    FROM tok GROUP BY token
+    """
+
+
+@register("engine_incremental_inverted_index", _INC_INVIDX_SQL)
+def engine_incremental_inverted_index(spark, sf_dir):
+    """Incrementally-maintained full-text INVERTED INDEX (token → posting
+    list) over the CDC-maintained corpus — the search-serving twin of
+    engine_incremental_minhash's dedup index: per epoch, tokenize ONLY the
+    CDF batch's after-images, anti-join away every changed url's old
+    postings (deletes included), persist — O(changed keys) per epoch,
+    never a corpus rescan. The result hashes each token's FULL sorted
+    posting list (not just document frequency), so a single stale or
+    leaked posting anywhere in the maintained index hash-fails against
+    the DuckDB twin's from-scratch index over the final replay state.
+    Shape at 100 TB: postings are (token, url) — the maintenance anti-join
+    is url-keyed; the report is a vocab-keyed partial agg. Reference
+    analogue: downstream-consumer materialization of checkpointed
+    incremental delivery (WriterStream confirm contract), like the
+    MinHash index."""
+    import shutil as _shutil
+
+    from .lake.table import LakeTable
+    from .operators.merge import snapshot_diff
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, marks, _metrics = _shared_mor_replay(spark)
+    versions = LakeTable.load(spark, table_path).versions()
+    base = tempfile.mkdtemp(prefix="olr_inc_invidx_")
+    idx_path = None
+    from_v = min(versions)
+    for to_v in marks:
+        if to_v == from_v:
+            continue
+        batch = snapshot_diff(spark, table_path, from_v, to_v)
+        changed_urls = batch.select("url").distinct()
+        upserts = batch.filter(F.col("_change") != "delete").select(
+            "url", "text"
+        )
+        new_postings = S.tokens(upserts, "url", "text", distinct=True)
+        if idx_path is not None:
+            kept = spark.read.parquet(idx_path).join(
+                changed_urls, "url", "left_anti"
+            )
+            index = kept.unionByName(new_postings)
+        else:
+            index = new_postings
+        nxt = os.path.join(base, f"idx_v{to_v}")
+        index.write.parquet(nxt)
+        if idx_path is not None:
+            _shutil.rmtree(idx_path, ignore_errors=True)
+        idx_path, from_v = nxt, to_v
+    return (
+        spark.read.parquet(idx_path)
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.md5(
+                F.concat_ws("|", F.array_sort(F.collect_list("url"))).cast(
+                    "binary"
+                )
+            ).alias("postings_md5"),
+        )
+    )
+
+
 @register("engine_replay_state_wap", _REPLAY_SQL)
 def engine_replay_state_wap(spark, sf_dir):
     """Write-audit-publish over the same fixed change log: epochs 0-1 commit
