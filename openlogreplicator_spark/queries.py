@@ -1628,6 +1628,89 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+@register("engine_replay_state_streaming", _REPLAY_SQL)
+def engine_replay_state_streaming(spark, sf_dir):
+    """The STREAMING ingest path through the value gate (batch replay is
+    engine_replay_state; this runs the same log through Structured
+    Streaming — readStream → checkpointed micro-batches → foreachBatch
+    epochs, S1-S4/T1-T3 live, one file per trigger so all four epochs and
+    both DDL boundaries exercise the per-epoch gate): the final table
+    state must value-hash identically to the DuckDB batch replay —
+    micro-batching is an execution choice, never a semantics change.
+    Stale-suppression stays OFF so before-images ride untouched; the
+    epoch re-read optimization (checkpoint offset log → plain batch scan,
+    AQE restored) is on the path, so its exactness is gated here too."""
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_stream_replay_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_available_now(max_files_per_trigger=1)
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+@register(
+    "emb_matryoshka_error",
+    """
+    WITH ks AS (SELECT unnest([8, 16, 32]) AS k),
+    per_vec AS (
+      SELECT label, k,
+             round(sqrt(list_reduce(list_transform(embedding[1:k],
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)
+                   / list_reduce(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                     (a, b) -> a + b)), 6) AS cos_trunc
+      FROM embeddings CROSS JOIN ks)
+    SELECT label, CAST(k AS INT) AS k,
+           round(avg(cos_trunc), 4) AS avg_cos,
+           round(min(cos_trunc), 4) AS min_cos
+    FROM per_vec GROUP BY label, k
+    """,
+)
+def emb_matryoshka_error(spark, sf_dir):
+    """Matryoshka truncation audit: cosine between each vector and its
+    first-k-dims truncation (algebraically √(energy share in the prefix),
+    so it needs no second pass over the truncated vector) for k ∈
+    {8,16,32}, rolled up per label — the report that prices MRL-style
+    dimension cuts for ANN serving (emb_quantize_error's twin along the
+    dimension axis instead of the precision axis). Per-vector ratios are
+    rounded 6dp before the avg/min fold. Shape at 100 TB: pure map-side
+    expression (two HOF folds per k) into a (labels × 3)-bounded partial
+    agg; the k fan-out is an explode of a 3-element literal, never a join.
+    Reference analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    fanned = emb.select(
+        "label",
+        "embedding",
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32))).alias("k"),
+    )
+    cos_trunc = F.round(
+        F.sqrt(
+            sq(F.slice(F.col("embedding"), F.lit(1), F.col("k")))
+            / sq(F.col("embedding"))
+        ),
+        6,
+    )
+    return (
+        fanned.select("label", F.col("k").cast("int").alias("k"),
+                      cos_trunc.alias("cos_trunc"))
+        .groupBy("label", "k")
+        .agg(
+            F.round(F.avg("cos_trunc"), 4).alias("avg_cos"),
+            F.round(F.min("cos_trunc"), 4).alias("min_cos"),
+        )
+    )
+
+
 @register(
     "events_ab_lift",
     """
