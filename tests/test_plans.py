@@ -342,3 +342,31 @@ def test_ewma_is_fold_not_window(spark):
     p = plan_of(QUERIES["events_ewma_daily_rate"](spark, SF_DIR))
     assert "Window" not in p, p
     assert "aggregate(" in p or "HashAggregate" in p or "SortAggregate" in p, p
+
+
+def test_ab_lift_single_partial_agg(spark):
+    """events_ab_lift: variant splits ride as conditional aggregates in ONE
+    groupBy over event_type — no join, no window; exactly one shuffle."""
+    p = plan_of(QUERIES["events_ab_lift"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_matryoshka_is_map_side_folds(spark):
+    """emb_matryoshka_error: the k fan-out is a 3-element literal explode,
+    never a join; the rollup is one partial-agg groupBy."""
+    p = plan_of(QUERIES["emb_matryoshka_error"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_url_canonical_dedup_no_join(spark):
+    """docs_url_canonical_dedup: canonicalization is a pure map-side
+    expression chain; the distinct-variant count is the two-phase shape
+    (partial agg on (canonical, url), then rollup) — two exchanges, no
+    join, no window."""
+    p = plan_of(QUERIES["docs_url_canonical_dedup"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange") == 2, p
