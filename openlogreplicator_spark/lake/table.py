@@ -420,6 +420,35 @@ class LakeTable:
         s = self.snap.get("summary", {})
         return int(s.get("epoch_id", -1)), bool(s.get("final", True))
 
+    def file_commits(self) -> dict[str, dict]:
+        """Row-provenance map: live file basename → the commit that ADDED it
+        ({"version": v, "epoch_id": e|None}) — the metadata half of the
+        Iceberg ``_file`` column (pair with ``read(with_file=True)``).
+        Derived from the manifest chain: a manifest's filename carries the
+        version that wrote it, and that snapshot's summary carries the epoch.
+        O(chain) snapshot-JSON reads, no data scan. Caveat (same as
+        Iceberg's): a manifest-chain collapse or compaction rewrite
+        re-attributes its files to the maintenance commit — provenance means
+        "commit that wrote the bytes", not "epoch that delivered the row",
+        once maintenance has rewritten them."""
+        live = {f["path"] for f in self.snap["files"]}
+        out: dict[str, dict] = {}
+        for m in self.snap["manifests"]:
+            mver = int(os.path.basename(m["path"]).split("-")[0][1:])
+            with open(
+                os.path.join(self.path, "_snapshots", f"v{mver:08d}.json")
+            ) as fh:
+                s = json.load(fh).get("summary", {})
+            epoch = s.get("epoch_id")
+            with open(os.path.join(self.path, m["path"])) as fh:
+                for fe in json.load(fh)["files"]:
+                    if fe["path"] in live:
+                        out[os.path.basename(fe["path"])] = {
+                            "version": mver,
+                            "epoch_id": None if epoch is None else int(epoch),
+                        }
+        return out
+
     def bucket_expr(self, key=None):
         key = key if key is not None else F.col(self.key_col)
         return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
@@ -602,8 +631,14 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
         eq: dict[str, str] | None = None,
+        with_file: bool = False,
     ) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.
+
+        ``with_file=True`` appends a ``_file`` column carrying each row's
+        physical file basename (Spark's ``_metadata.file_path``, the Iceberg
+        ``_file`` metadata-column analogue) — the hook row-level provenance
+        (which commit wrote this row) builds on via the manifest chain.
 
         Files are grouped by the schema version they were written under and
         remapped (rename by field id, cast for widenings) — the Iceberg
@@ -639,6 +674,8 @@ class LakeTable:
         cur = self.current_schema()
         if not by_ver:
             ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
+            if with_file:
+                ddl += ", `_file` string"
             return self.spark.createDataFrame([], ddl)
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
@@ -651,6 +688,12 @@ class LakeTable:
                     cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
                 else:
                     cols.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
+            if with_file:
+                cols.append(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_file")
+                )
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:

@@ -1628,6 +1628,65 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+_PROVENANCE_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, seq AS _seq, op AS _op,
+             CAST(regexp_extract(filename, 'events-(\\d+)\\.parquet', 1)
+                  AS INTEGER) AS epoch_id,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, _seq, epoch_id
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_row_provenance", _PROVENANCE_SQL)
+def engine_row_provenance(spark, sf_dir):
+    """Row-level provenance — every live row answers "which commit wrote
+    you" (Iceberg's ``_file`` metadata column joined through the manifest
+    chain; reference analogue: every output record carries the scn/rba of
+    the redo vector it came from, Builder.cpp column metadata): the scan
+    carries ``_metadata.file_path`` (read(with_file=True)), the manifest
+    chain maps each live file to the commit that added it
+    (LakeTable.file_commits — O(chain) metadata reads, no data scan), and
+    on an append-only MoR replay the winning row's file IS its delivering
+    epoch's delta — so the DuckDB twin can recompute the expected epoch
+    from each winner's source FILENAME in the raw log. A single
+    mis-attributed file anywhere in the manifest chain hash-fails. Shape
+    at 100 TB: the file→commit map is files-sized metadata broadcast
+    against the scan; LWW is the standard two-phase max_by."""
+    from .lake.table import LakeTable
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    t = LakeTable.load(spark, table_path)
+    fc = t.file_commits()
+    fmap = spark.createDataFrame(
+        [(k, v["epoch_id"]) for k, v in fc.items()],
+        "_file string, epoch_id int",
+    )
+    raw = t.read(with_file=True)
+    winners = (
+        raw.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("warc_ts", "_seq", "_op", "_file"),
+                F.struct("warc_ts", "_seq"),
+            ).alias("w")
+        )
+        .select("url", "w._seq", "w._op", "w._file")
+        .filter(F.col("_op") != "d")
+    )
+    return winners.join(F.broadcast(fmap), "_file").select(
+        "url", "_seq", "epoch_id"
+    )
+
+
 @register("engine_replay_state_streaming", _REPLAY_SQL)
 def engine_replay_state_streaming(spark, sf_dir):
     """The STREAMING ingest path through the value gate (batch replay is

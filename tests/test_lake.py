@@ -244,3 +244,47 @@ def test_drop_column_guards(table):
         table.evolve("drop_column", "url")  # merge key
     with pytest.raises(ValueError):
         table.evolve("drop_column", "nope")  # unknown column
+
+
+def test_with_file_and_file_commits_provenance(spark, table):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    _write_rows(spark, table, [("u1", t0, 1, "c", "a")])
+    t1 = LakeTable.load(spark, table.path)
+    t1.commit_files(
+        [], [], {"op": "merge_append", "epoch_id": 7, "rows_written": 0}
+    )
+    # second data commit under an epoch-bearing summary
+    df = spark.createDataFrame(
+        [("u2", t0, 2, "c", "b")],
+        "url string, warc_ts timestamp, _seq long, _op string, text string",
+    )
+    t2 = LakeTable.load(spark, table.path)
+    df2 = df.withColumn("_bucket", t2.bucket_expr())
+    absdir, _rel = t2.new_data_dir()
+    df2.write.partitionBy("_bucket").parquet(absdir)
+    files = []
+    for root, _d, fs in os.walk(absdir):
+        for fn in fs:
+            if fn.endswith(".parquet"):
+                files.append({
+                    "path": os.path.relpath(os.path.join(root, fn), t2.path),
+                    "bucket": int(os.path.basename(root).split("=")[1]),
+                    "schema_ver": t2.current_schema_ver, "rows": 1,
+                })
+    t2.commit_files(files, [], {"op": "merge_append", "epoch_id": 8,
+                                "rows_written": 1})
+
+    t3 = LakeTable.load(spark, table.path)
+    fc = t3.file_commits()
+    got = t3.read(with_file=True).select("url", "_file").collect()
+    assert {r.url for r in got} == {"u1", "u2"}
+    for r in got:
+        assert r._file in fc, (r._file, sorted(fc))
+        # the epoch-bearing commit attributes its own files; the plain
+        # append's files carry epoch_id=None
+        if r.url == "u2":
+            assert fc[r._file]["epoch_id"] == 8
+        else:
+            assert fc[r._file]["epoch_id"] is None
