@@ -1628,6 +1628,158 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+# Undo-chain consistency: a committed 'u'/'d' event's before-image must
+# equal the PREVIOUS committed state's text — lag of (text if not delete
+# else NULL) over the committed per-url order. The reference trusts this
+# invariant when it pairs undo with redo (OpCode0501 undo ⋈ redo); this
+# audit proves a log actually satisfies it.
+_UNDO_AUDIT_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq, op, text,
+             decode(before['text'][1]) AS before_text
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    chained AS (
+      SELECT op, before_text,
+             lag(CASE WHEN op = 'd' THEN NULL ELSE text END)
+               OVER (PARTITION BY url ORDER BY warc_ts, seq) AS prev_text
+      FROM ev)
+    SELECT op,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(before_text) AS BIGINT) AS n_with_before,
+           CAST(sum(CASE WHEN before_text IS NOT NULL
+                          AND before_text = prev_text
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+           CAST(sum(CASE WHEN before_text IS NULL AND prev_text IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_born_absent,
+           CAST(sum(CASE WHEN before_text IS NOT NULL
+                          AND (prev_text IS NULL OR before_text <> prev_text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM chained GROUP BY op
+    """
+
+
+@register("cdc_undo_chain_audit", _UNDO_AUDIT_SQL)
+def cdc_undo_chain_audit(spark, sf_dir):
+    """Undo-chain consistency audit over the committed change log: every
+    'u'/'d' before-image must equal the previous committed state's text
+    for its key (lag over the per-url (warc_ts, seq) order, with deletes
+    resetting state to absent) — the invariant the reference's undo⋈redo
+    pairing assumes (OpCode0501; Transaction.cpp rollback chains) and the
+    first thing to check when a source's supplemental logging is
+    misconfigured. n_violations must be 0 on a healthy log; the per-op
+    counts (including born-absent keys) are what the gate value-hashes.
+    Shape at 100 TB: one window exchange on the key — identical
+    partitioning to LWW, so the audit co-locates with the engine's own
+    shuffle. Reference analogue: src/parser/OpCode0501.cpp undo-record
+    supplemental-log checks."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        )
+        .select(
+            "url", "warc_ts", "seq", "op", "text",
+            F.element_at(F.col("before"), "text").cast("string")
+            .alias("before_text"),
+        )
+    )
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    chained = ev.select(
+        "op", "before_text",
+        F.lag(
+            F.when(F.col("op") == "d", F.lit(None).cast("string"))
+            .otherwise(F.col("text"))
+        ).over(w).alias("prev_text"),
+    )
+    has_b = F.col("before_text").isNotNull()
+    return chained.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.count("before_text").alias("n_with_before"),
+        F.sum(
+            F.when(has_b & (F.col("before_text") == F.col("prev_text")), 1)
+            .otherwise(0)
+        ).alias("n_match"),
+        F.sum(
+            F.when(~has_b & F.col("prev_text").isNull(), 1).otherwise(0)
+        ).alias("n_born_absent"),
+        F.sum(
+            F.when(
+                has_b
+                & (
+                    F.col("prev_text").isNull()
+                    | (F.col("before_text") != F.col("prev_text"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations"),
+    )
+
+
+_HTML_MARKUP_SQL = f"""
+    WITH pages AS (
+      SELECT lang, decode(html) AS h, text
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL AND html IS NOT NULL)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           round(avg(len(regexp_extract_all(h, '<[^>]+>'))), 4) AS avg_tags,
+           round(avg(len(regexp_extract_all(h, '(?i)<script\\b'))), 4)
+             AS avg_scripts,
+           round(avg(CAST(length(text) AS DOUBLE) / length(h)), 4)
+             AS avg_text_ratio
+    FROM pages GROUP BY lang
+    """
+
+
+@register("docs_html_markup_stats", _HTML_MARKUP_SQL)
+def docs_html_markup_stats(spark, sf_dir):
+    """Markup-density profile of the raw html payloads (tag count, script
+    count, extracted-text-to-markup ratio per language) — the
+    boilerplate/quality signal trafilatura-style extraction pipelines
+    read before deciding how aggressively to strip (a page whose text
+    ratio collapses is navigation chrome, not content). Runs on the raw
+    change log's binary html column decoded JVM-side — the engine's only
+    catalog op that touches the html BYTES with expressions (extraction
+    itself is the frozen Arrow kernel, functions/extract.py). Shape at
+    100 TB: pure map-side regexp counts into a langs-sized partial agg.
+    Reference analogue: the reference hex-dumps LOB payloads without
+    inspecting them; markup profiling is the web-pipeline extension."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = (
+        spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+            & F.col("html").isNotNull()
+        )
+        .select(
+            "lang", F.decode(F.col("html"), "UTF-8").alias("h"), "text"
+        )
+    )
+    return pages.groupBy("lang").agg(
+        F.count("*").alias("n_pages"),
+        F.round(F.avg(F.regexp_count(F.col("h"), F.lit(r"<[^>]+>"))), 4)
+        .alias("avg_tags"),
+        F.round(
+            F.avg(F.regexp_count(F.col("h"), F.lit(r"(?i)<script\b"))), 4
+        ).alias("avg_scripts"),
+        F.round(
+            F.avg(F.length("text").cast("double") / F.length("h")), 4
+        ).alias("avg_text_ratio"),
+    )
+
+
 _PROVENANCE_SQL = f"""
     WITH ev AS (
       SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
