@@ -1628,6 +1628,42 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+@register("engine_purge_replay", _REPLAY_SQL)
+def engine_purge_replay(spark, sf_dir):
+    """Tombstone physical erasure (GDPR retention clock) through the value
+    gate: replay the fixed log as MoR epochs, purge EVERY delete tombstone
+    (cutoff beyond the log's horizon — safe once the watermark passed it,
+    T4), then serve the state. Purged keys must stay absent — on a
+    merge-on-read table the purge pass LWW-folds the dirty subset of every
+    bucket it rewrites, precisely so dropping a tombstone cannot resurrect
+    the older delta versions beneath it (the round-3 resurrection bug,
+    pinned here end-to-end against the DuckDB replay, whose winners
+    exclude deletes by predicate). Reference analogue: checkpoint GC
+    dropping obsolete undo once the scn horizon passes,
+    Metadata.cpp:505-554."""
+    import datetime as _dt
+    import glob as _glob
+
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import purge_tombstones
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_purge_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    purge_tombstones(p.ensure_table(), _dt.datetime(2100, 1, 1))
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 # Undo-chain consistency: a committed 'u'/'d' event's before-image must
 # equal the PREVIOUS committed state's text — lag of (text if not delete
 # else NULL) over the committed per-url order. The reference trusts this

@@ -76,6 +76,66 @@ def rate_micro_batch_events(
     )
 
 
+# JSON-lines change-log interchange: binary columns ride as base64, the
+# event time as exact epoch micros (a formatted timestamp string would
+# round-trip through parser precision; micros are the log's native unit).
+_JSONL_DDL = (
+    "seq long, warc_ts_us long, op string, url string, html string,"
+    " text string, lang string, before map<string,string>,"
+    " extras map<string,string>, schema_ver int, rolled_back boolean,"
+    " action string, col_name string, new_name string, new_type string"
+)
+
+
+def jsonl_events(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """Read a JSON-lines change log into the events schema — the second
+    archived-log format next to parquet (S3; reference analogue: the
+    replicator ingests both online and archived redo, Reader format
+    dispatch). Schema is pinned (never inferred — inference would scan
+    twice and could type-drift per file); html/before values decode from
+    base64; warc_ts from exact epoch micros. ``streaming=True`` returns a
+    readStream over the same layout, so the checkpointed micro-batch path
+    works identically to the parquet tail."""
+    reader = spark.readStream if streaming else spark.read
+    df = reader.schema(_JSONL_DDL).json(path)
+    return df.select(
+        "seq",
+        F.timestamp_micros(F.col("warc_ts_us")).alias("warc_ts"),
+        "op", "url",
+        F.unbase64(F.col("html")).alias("html"),
+        "text", "lang",
+        F.transform_values(
+            F.col("before"), lambda _k, v: F.unbase64(v)
+        ).alias("before"),
+        "extras", "schema_ver", "rolled_back",
+        "action", "col_name", "new_name", "new_type",
+    )
+
+
+def write_events_jsonl(events_df: DataFrame, out_dir: str) -> None:
+    """Export an events-schema DataFrame as the JSON-lines interchange
+    layout ``jsonl_events`` reads (base64 binaries, epoch-micro times) —
+    the round-trip tool for moving a change log between engines."""
+    (
+        events_df.select(
+            "seq",
+            F.unix_micros(F.col("warc_ts")).alias("warc_ts_us"),
+            "op", "url",
+            F.base64(F.col("html")).alias("html"),
+            "text", "lang",
+            F.transform_values(
+                F.col("before"), lambda _k, v: F.base64(v)
+            ).alias("before"),
+            "extras", "schema_ver", "rolled_back",
+            "action", "col_name", "new_name", "new_type",
+        )
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+
+
 def kafka_events(kafka_df: DataFrame) -> DataFrame:
     """Map a kafka (key, value) frame carrying sinks.builders JSON messages
     back into the DML subset of the events schema (the reference's round-trip:
