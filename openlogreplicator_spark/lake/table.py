@@ -435,10 +435,16 @@ class LakeTable:
         out: dict[str, dict] = {}
         for m in self.snap["manifests"]:
             mver = int(os.path.basename(m["path"]).split("-")[0][1:])
-            with open(
-                os.path.join(self.path, "_snapshots", f"v{mver:08d}.json")
-            ) as fh:
-                s = json.load(fh).get("summary", {})
+            try:
+                with open(
+                    os.path.join(self.path, "_snapshots", f"v{mver:08d}.json")
+                ) as fh:
+                    s = json.load(fh).get("summary", {})
+            except FileNotFoundError:
+                # a referenced manifest outlives its snapshot JSON under
+                # expire_snapshots: the version is still known from the
+                # manifest name, the epoch attribution is gone
+                s = {}
             epoch = s.get("epoch_id")
             with open(os.path.join(self.path, m["path"])) as fh:
                 for fe in json.load(fh)["files"]:

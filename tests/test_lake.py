@@ -288,3 +288,17 @@ def test_with_file_and_file_commits_provenance(spark, table):
             assert fc[r._file]["epoch_id"] == 8
         else:
             assert fc[r._file]["epoch_id"] is None
+
+
+def test_file_commits_survives_snapshot_expiry(spark, table):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1)
+    for i in range(3):
+        _write_rows(spark, table, [(f"u{i}", t0, i, "c", "x")])
+        table = LakeTable.load(spark, table.path)
+    table.expire_snapshots(keep_last=1)
+    t = LakeTable.load(spark, table.path)
+    fc = t.file_commits()  # must not raise on expired snapshot JSONs
+    files = {r._file for r in t.read(with_file=True).collect()}
+    assert files <= set(fc)
