@@ -83,6 +83,7 @@ class CdcPipeline:
         max_html_bytes: int | None = None,
         dead_letter_path: str | None = None,
         branch: str | None = None,
+        source_format: str = "parquet",
     ):
         self.spark = spark
         self.events_path = events_path
@@ -106,6 +107,12 @@ class CdcPipeline:
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
         self.dead_letter_path = dead_letter_path
+        # change-log layout: "parquet" (default) or "jsonl" (the JSON-lines
+        # interchange from streaming/sources.py) — batch, streaming, and the
+        # epoch re-read path all dispatch on it
+        if source_format not in ("parquet", "jsonl"):
+            raise ValueError(f"unknown source_format: {source_format!r}")
+        self.source_format = source_format
         # write-audit-publish: when set, every epoch commits to this branch
         # ref; main (`_current`) is untouched until LakeTable.publish_branch
         self.branch = branch
@@ -408,6 +415,10 @@ class CdcPipeline:
             return batch_df
         if not paths:
             return batch_df
+        if self.source_format == "jsonl":
+            from .sources import jsonl_events
+
+            return jsonl_events(self.spark, paths)
         return self.spark.read.schema(EVENTS_DDL).parquet(*paths)
 
     def _apply_epoch_reread(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -467,12 +478,21 @@ class CdcPipeline:
         suppress_stale routes DML through the per-key stateful high-watermark
         pre-filter: events at-or-below a key's stored (warc_ts, seq) maximum
         are dropped before LWW/merge, shrinking steady-state epochs."""
-        reader = self.spark.readStream.schema(EVENTS_DDL)
         if max_bytes_per_trigger is not None:
-            reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+            opts = {"maxBytesPerTrigger": max_bytes_per_trigger}
         else:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        stream = reader.parquet(self.events_path)
+            opts = {"maxFilesPerTrigger": max_files_per_trigger}
+        if self.source_format == "jsonl":
+            from .sources import jsonl_events
+
+            stream = jsonl_events(
+                self.spark, self.events_path, streaming=True, options=opts
+            )
+        else:
+            reader = self.spark.readStream.schema(EVENTS_DDL)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            stream = reader.parquet(self.events_path)
         # batch re-read applies only to the raw file stream: under
         # suppress_stale the foreachBatch input is the stateful pre-filter's
         # OUTPUT, which a re-scan of the source files would bypass.
@@ -494,5 +514,10 @@ class CdcPipeline:
     def run_batch_replay(self) -> None:
         """S6 batch mode (reference ReplicatorBatch.cpp): apply the whole log
         as a single epoch — the replay-verification and bench path."""
-        df = self.spark.read.schema(EVENTS_DDL).parquet(self.events_path)
+        if self.source_format == "jsonl":
+            from .sources import jsonl_events
+
+            df = jsonl_events(self.spark, self.events_path)
+        else:
+            df = self.spark.read.schema(EVENTS_DDL).parquet(self.events_path)
         self.apply_epoch(df, epoch_id=0)

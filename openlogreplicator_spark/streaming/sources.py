@@ -87,19 +87,9 @@ _JSONL_DDL = (
 )
 
 
-def jsonl_events(
-    spark: SparkSession, path: str, streaming: bool = False
-) -> DataFrame:
-    """Read a JSON-lines change log into the events schema — the second
-    archived-log format next to parquet (S3; reference analogue: the
-    replicator ingests both online and archived redo, Reader format
-    dispatch). Schema is pinned (never inferred — inference would scan
-    twice and could type-drift per file); html/before values decode from
-    base64; warc_ts from exact epoch micros. ``streaming=True`` returns a
-    readStream over the same layout, so the checkpointed micro-batch path
-    works identically to the parquet tail."""
-    reader = spark.readStream if streaming else spark.read
-    df = reader.schema(_JSONL_DDL).json(path)
+def _project_jsonl(df: DataFrame) -> DataFrame:
+    """Wire layout → events schema (one definition for batch, streaming,
+    and the epoch re-read path)."""
     return df.select(
         "seq",
         F.timestamp_micros(F.col("warc_ts_us")).alias("warc_ts"),
@@ -112,6 +102,27 @@ def jsonl_events(
         "extras", "schema_ver", "rolled_back",
         "action", "col_name", "new_name", "new_type",
     )
+
+
+def jsonl_events(
+    spark: SparkSession,
+    path: str | list[str],
+    streaming: bool = False,
+    options: dict | None = None,
+) -> DataFrame:
+    """Read a JSON-lines change log into the events schema — the second
+    archived-log format next to parquet (S3; reference analogue: the
+    replicator ingests both online and archived redo, Reader format
+    dispatch). Schema is pinned (never inferred — inference would scan
+    twice and could type-drift per file); html/before values decode from
+    base64; warc_ts from exact epoch micros. ``streaming=True`` returns a
+    readStream over the same layout, so the checkpointed micro-batch path
+    works identically to the parquet tail; ``options`` forwards reader
+    options (maxFilesPerTrigger etc.)."""
+    reader = (spark.readStream if streaming else spark.read).schema(_JSONL_DDL)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return _project_jsonl(reader.json(path))
 
 
 def write_events_jsonl(events_df: DataFrame, out_dir: str) -> None:

@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--metrics")
     ap.add_argument("--filters")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="change-log layout: parquet (default) or the "
+                         "JSON-lines interchange (base64 binaries, "
+                         "epoch-micro times)")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--max-files-per-trigger", type=int, default=32)
     ap.add_argument("--merge-mode", choices=["auto", "cow", "mor"], default="auto")
@@ -83,6 +88,7 @@ def main() -> None:
         compact_every=args.compact_every,
         lww_strategy=args.lww_strategy,
         branch=args.branch,
+        source_format=args.format,
     )
     if args.streaming:
         p.run_available_now(

@@ -240,13 +240,21 @@ def test_jsonl_source_replays_identically(spark, events_dir, tmp_path):
 
     p1 = CdcPipeline(spark, events_dir, str(tmp_path / "t1"), str(tmp_path / "c1"))
     p1.run_batch_replay()
-    p2 = CdcPipeline(spark, "unused", str(tmp_path / "t2"), str(tmp_path / "c2"))
-    p2.apply_epoch(jsonl_events(spark, jl_dir), epoch_id=0)
+    p2 = CdcPipeline(spark, jl_dir, str(tmp_path / "t2"), str(tmp_path / "c2"),
+                     source_format="jsonl")
+    p2.run_batch_replay()
+
+    # streaming flavor: checkpointed micro-batches over the SAME jsonl dir
+    # (exercises the jsonl epoch re-read path too)
+    p3 = CdcPipeline(spark, jl_dir, str(tmp_path / "t3"), str(tmp_path / "c3"),
+                     source_format="jsonl")
+    p3.run_available_now(max_files_per_trigger=2)
 
     cols = ["url", "warc_ts", "_seq", "text", "lang", "http_status"]
     a = sorted(map(tuple, p1.target_state().select(*cols).collect()))
     b = sorted(map(tuple, p2.target_state().select(*cols).collect()))
-    assert a == b and len(a) > 0
+    c = sorted(map(tuple, p3.target_state().select(*cols).collect()))
+    assert a == b == c and len(a) > 0
 
     # html bytes survive the base64 round-trip exactly
     orig = {r.seq: r.html for r in pq_events.select("seq", "html").collect()}
