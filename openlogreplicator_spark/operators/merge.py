@@ -31,7 +31,7 @@ import time
 from collections.abc import Iterable
 
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
@@ -215,6 +215,56 @@ def read_state(
         for col, val in eq.items():
             df = df.filter(F.col(col) == F.lit(val))
     return df
+
+
+def read_state_partial(table: LakeTable) -> DataFrame:
+    """Current state under PARTIAL-IMAGE semantics: update events carry only
+    the columns that changed (NULL = unchanged — the Debezium /
+    OpenLogReplicator column-filter output shape, reference Builder.cpp
+    after-image emission of changed columns only); unchanged columns carry
+    forward from the key's previous live version, and a delete tombstone
+    resets the carry (a later re-create starts blank — it must NOT inherit
+    the dead row's columns). Whole-row LWW cannot express this, so the
+    resolution is a read-time fold over the key's FULL retained version
+    history:
+
+      life  = running count of prior tombstones per key  (delete segmenting)
+      value = last non-NULL per column within (key, life), version order
+      row   = the key's newest version, kept unless it is a tombstone
+
+    Requires the table to RETAIN versions: merge-on-read appends without
+    batch collapse (CdcPipeline(partial_updates=True) enforces it) and no
+    LWW compaction — compact_table / rebucket would fold NULLs as values.
+    Scale shape: one exchange on the key serves both windows (the fill
+    window's (key, life) partitioning is a refinement of the key
+    partitioning, and the pick window reuses it); the payload shuffles
+    once, same as the salted LWW path."""
+    key = table.key_col
+    df = table.read()
+    meta = {key, "warc_ts", "_seq", "_op"}
+    payload = [f["name"] for f in table.current_schema() if f["name"] not in meta]
+    is_del = F.when(F.col("_op") == "d", 1).otherwise(0)
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("warc_ts", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("_life", F.sum(is_del).over(w_run) - is_del)
+    w_fill = (
+        Window.partitionBy(key, "_life")
+        .orderBy("warc_ts", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = df.select(
+        key, "warc_ts", "_seq", "_op",
+        *[F.last(c, ignorenulls=True).over(w_fill).alias(c) for c in payload],
+    )
+    w_pick = Window.partitionBy(key).orderBy(F.desc("warc_ts"), F.desc("_seq"))
+    return (
+        filled.withColumn("_rn", F.row_number().over(w_pick))
+        .filter((F.col("_rn") == 1) & (F.col("_op") != "d"))
+        .drop("_rn")
+    )
 
 
 def read_state_since(

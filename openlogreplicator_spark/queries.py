@@ -1628,6 +1628,98 @@ def engine_incremental_minhash(spark, sf_dir):
     )
 
 
+# Partial-image semantics: committed 'u' events are masked to carry only
+# "changed" columns (text dropped when seq%3=1, lang when seq%3=2 — a
+# deterministic stand-in for a source emitting changed columns only); the
+# oracle resolves by delete-segmented last-non-NULL per column, exactly
+# read_state_partial's fold.
+_PARTIAL_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    masked AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op,
+             CASE WHEN op = 'u' AND seq % 3 = 1 THEN NULL ELSE text END
+               AS text,
+             CASE WHEN op = 'u' AND seq % 3 = 2 THEN NULL ELSE lang END
+               AS lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status
+      FROM ev),
+    lifed AS (
+      SELECT *,
+             sum(CASE WHEN _op = 'd' THEN 1 ELSE 0 END) OVER
+               (PARTITION BY url ORDER BY warc_ts, _seq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - CASE WHEN _op = 'd' THEN 1 ELSE 0 END AS _life
+      FROM masked),
+    filled AS (
+      SELECT url, warc_ts, _seq, _op,
+             last_value(text IGNORE NULLS) OVER w AS text,
+             last_value(lang IGNORE NULLS) OVER w AS lang,
+             last_value(http_status IGNORE NULLS) OVER w AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, _seq DESC) AS rn
+      FROM lifed
+      WINDOW w AS (PARTITION BY url, _life ORDER BY warc_ts, _seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM filled WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_partial_update_state", _PARTIAL_SQL)
+def engine_partial_update_state(spark, sf_dir):
+    """Partial-image CDC end-to-end (the Debezium / OpenLogReplicator
+    changed-columns-only output shape — reference Builder.cpp emits only
+    columns present in the redo vector unless full supplemental logging is
+    on): the fixed log's committed updates are masked to NULL out
+    deterministic column subsets, replayed through the pipeline in
+    partial_updates mode (raw-version MoR appends — no batch collapse, no
+    LWW compaction), and the state is served by the read-time fold
+    (operators/merge.read_state_partial): last non-NULL per column within
+    the key's tombstone-segmented life, newest version wins row identity,
+    re-creates after a delete inherit nothing. The DuckDB twin replays the
+    identical fold; a single wrongly-carried column anywhere hash-fails.
+    Shape at 100 TB: one key exchange serves both fold windows."""
+    import glob as _glob
+
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_partial_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    is_u = F.col("op") == "u"
+    for i, f in enumerate(files):
+        batch = (
+            spark.read.schema(EVENTS_DDL).parquet(f)
+            .withColumn(
+                "text",
+                F.when(is_u & (F.col("seq") % 3 == 1), F.lit(None))
+                .otherwise(F.col("text")),
+            )
+            .withColumn(
+                "lang",
+                F.when(is_u & (F.col("seq") % 3 == 2), F.lit(None))
+                .otherwise(F.col("lang")),
+            )
+        )
+        p.apply_epoch(batch, epoch_id=i)
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 @register("engine_purge_replay", _REPLAY_SQL)
 def engine_purge_replay(spark, sf_dir):
     """Tombstone physical erasure (GDPR retention clock) through the value

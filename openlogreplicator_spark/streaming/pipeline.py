@@ -84,6 +84,7 @@ class CdcPipeline:
         dead_letter_path: str | None = None,
         branch: str | None = None,
         source_format: str = "parquet",
+        partial_updates: bool = False,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -113,6 +114,20 @@ class CdcPipeline:
         if source_format not in ("parquet", "jsonl"):
             raise ValueError(f"unknown source_format: {source_format!r}")
         self.source_format = source_format
+        # partial-image updates (Debezium/OLR changed-columns-only shape):
+        # NULL payload column = unchanged. Resolution is a read-time fold
+        # over retained versions (operators/merge.read_state_partial), so
+        # the table must keep ALL versions: MoR appends without batch
+        # collapse, and no LWW compaction pass may ever run on it.
+        self.partial_updates = bool(partial_updates)
+        if self.partial_updates and merge_mode == "cow":
+            raise ValueError("partial_updates requires merge-on-read")
+        if self.partial_updates and compact_every:
+            raise ValueError(
+                "partial_updates is incompatible with LWW delta compaction "
+                "(compact_every must be 0): compaction would fold NULL "
+                "partial images as values"
+            )
         # write-audit-publish: when set, every epoch commits to this branch
         # ref; main (`_current`) is untouched until LakeTable.publish_branch
         self.branch = branch
@@ -166,10 +181,15 @@ class CdcPipeline:
     def target_state(self) -> DataFrame:
         """Live rows of the target (tombstones filtered) at the current
         schema — of the REF this pipeline writes: a WAP-staging pipeline's
-        target is its branch head, a plain pipeline's is main."""
+        target is its branch head, a plain pipeline's is main. Partial-image
+        pipelines resolve by the read-time column fold instead of LWW."""
+        t = LakeTable.load(self.spark, self.table_path, branch=self.branch)
+        if self.partial_updates:
+            from ..operators.merge import read_state_partial
+
+            return read_state_partial(t)
         return read_state(
-            LakeTable.load(self.spark, self.table_path, branch=self.branch),
-            broadcast_budget_keys=self.lww_broadcast_budget,
+            t, broadcast_budget_keys=self.lww_broadcast_budget
         )
 
     # ------------------------------------------------------------ the epoch
@@ -269,18 +289,28 @@ class CdcPipeline:
         #    approx-distinct estimate vs the broadcast budget). Costs one
         #    extra narrow-column job per epoch, hence not the local default.
         #  * maxby: single partial+final max_by shuffle of the full payload.
-        compacted = {
-            "semijoin": lambda: lww_compact_semijoin(dml, "url"),
-            "salted": lambda: lww_compact_salted(dml, "url", n_salts=self.n_salts),
-            "auto": lambda: lww_compact_auto(
-                dml, "url", n_salts=self.n_salts,
-                broadcast_budget_keys=self.lww_broadcast_budget,
-            ),
-            "maxby": lambda: lww_compact(dml, "url"),
-        }[self.lww_strategy]()
+        if self.partial_updates:
+            # every version row must reach the table: within-batch partials
+            # for one key coalesce at READ time with full history (an
+            # in-batch collapse could not see across epochs anyway)
+            compacted = dml
+        else:
+            compacted = {
+                "semijoin": lambda: lww_compact_semijoin(dml, "url"),
+                "salted": lambda: lww_compact_salted(
+                    dml, "url", n_salts=self.n_salts
+                ),
+                "auto": lambda: lww_compact_auto(
+                    dml, "url", n_salts=self.n_salts,
+                    broadcast_budget_keys=self.lww_broadcast_budget,
+                ),
+                "maxby": lambda: lww_compact(dml, "url"),
+            }[self.lww_strategy]()
         mode = self.merge_mode
         if mode == "auto":
             mode = self._runtime_merge_mode or "cow"
+        if self.partial_updates:
+            mode = "mor"
         merge_kwargs = dict(
             epoch_id=int(epoch_id),
             final=True,

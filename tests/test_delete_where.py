@@ -101,3 +101,53 @@ def test_delete_where_no_match_is_noop_commit(spark, seeded):
     assert _live_urls(spark, t.path) == {f"u{i}" for i in range(12)}
     # still a (summary-only or empty) commit at most one version ahead
     assert LakeTable.current_version(t.path) <= v0 + 1
+
+
+def test_partial_update_fold_semantics(spark, tmp_path):
+    """read_state_partial: NULL payload columns carry forward within a
+    key's life; a delete tombstone resets the carry (re-create must not
+    inherit the dead row's columns); newest version wins row identity."""
+    import datetime as dt
+
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    def ev(seq, op, url, text, lang):
+        return (seq, dt.datetime(2020, 1, 1, 0, 0, seq), op, url,
+                None, text, lang, None, None, 1, False,
+                None, None, None, None)
+
+    rows = [
+        ev(0, "c", "u1", "t0", "en"),
+        ev(1, "u", "u1", None, "de"),      # text carries t0
+        ev(2, "u", "u1", "t2", None),      # lang carries de
+        ev(3, "c", "u2", "x0", "fr"),
+        ev(4, "d", "u2", None, None),
+        ev(5, "c", "u2", None, "pl"),      # after delete: text must be NULL
+        ev(6, "c", "u3", "z0", "es"),
+        ev(7, "d", "u3", None, None),      # u3 ends deleted -> absent
+    ]
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+
+    df = spark.createDataFrame(rows, EVENTS_DDL)
+    p = CdcPipeline(
+        spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    # two epochs: the fold must also coalesce ACROSS epochs
+    p.apply_epoch(df.filter(F.col("seq") < 4), epoch_id=0)
+    p.apply_epoch(df.filter(F.col("seq") >= 4), epoch_id=1)
+    got = {
+        r.url: (r.text, r.lang, r._seq)
+        for r in p.target_state().select("url", "text", "lang", "_seq").collect()
+    }
+    assert got == {"u1": ("t2", "de", 2), "u2": (None, "pl", 5)}
+
+    # guards: partial mode refuses CoW and LWW compaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        CdcPipeline(spark, "x", str(tmp_path / "t2"), str(tmp_path / "c2"),
+                    merge_mode="cow", partial_updates=True)
+    with _pytest.raises(ValueError):
+        CdcPipeline(spark, "x", str(tmp_path / "t3"), str(tmp_path / "c3"),
+                    merge_mode="mor", compact_every=4, partial_updates=True)
