@@ -370,3 +370,30 @@ def test_url_canonical_dedup_no_join(spark):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert p.count("Exchange") == 2, p
+
+
+def test_partial_update_state_single_exchange(spark):
+    """engine_partial_update_state's fold: the (key, life) fill window and
+    the key-ordered pick window both run on the ONE key exchange
+    (HashPartitioning(url) satisfies the refined clustering), so the full
+    history shuffles exactly once — plus the scan-side union only."""
+    import datetime as dt
+    import tempfile as tf
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import read_state_partial
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    d = tf.mkdtemp(prefix="olr_partial_plan_")
+    rows = [(i, dt.datetime(2020, 1, 1, 0, 0, i), "c",
+             f"https://s.example/{i % 3}", None, "t", "en", None, None, 1,
+             False, None, None, None, None) for i in range(6)]
+    p = CdcPipeline(spark, "unused", os.path.join(d, "t"),
+                    os.path.join(d, "c"), merge_mode="mor", compact_every=0,
+                    partial_updates=True)
+    p.apply_epoch(spark.createDataFrame(rows, EVENTS_DDL), epoch_id=0)
+    from openlogreplicator_spark.lake.table import LakeTable
+
+    plan = plan_of(read_state_partial(LakeTable.load(spark, p.table_path)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
