@@ -151,3 +151,56 @@ def test_partial_update_fold_semantics(spark, tmp_path):
     with _pytest.raises(ValueError):
         CdcPipeline(spark, "x", str(tmp_path / "t3"), str(tmp_path / "c3"),
                     merge_mode="mor", compact_every=4, partial_updates=True)
+
+
+def test_partial_updates_streaming_resume(spark, tmp_path, events_dir):
+    """Partial-image mode through run_available_now: checkpointed
+    micro-batches append raw versions; a second availableNow run resumes
+    from the checkpoint as a no-op; final fold state equals the one-epoch
+    batch-partial replay of the same masked log."""
+    import glob
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    # masked copy of the log: updates drop text every third seq — masked
+    # FILE BY FILE so the ordered-archive layout (one epoch per file, DDLs
+    # in log order across files) survives; a df.write.parquet rewrite would
+    # scramble events across part files and deliver DDLs out of order
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    masked_dir = str(tmp_path / "masked")
+    _os.makedirs(masked_dir)
+    for f in sorted(glob.glob(_os.path.join(events_dir, "*.parquet"))):
+        t = pq.read_table(f)
+        ops, seqs = t["op"].to_pylist(), t["seq"].to_pylist()
+        texts = [
+            None if (o == "u" and s % 3 == 1) else x
+            for o, s, x in zip(ops, seqs, t["text"].to_pylist())
+        ]
+        t = t.set_column(
+            t.schema.get_field_index("text"), "text",
+            pa.array(texts, pa.string()),
+        )
+        pq.write_table(t, _os.path.join(masked_dir, _os.path.basename(f)))
+
+    ps = CdcPipeline(spark, masked_dir, str(tmp_path / "ts"),
+                     str(tmp_path / "cs"), merge_mode="mor",
+                     compact_every=0, partial_updates=True)
+    ps.run_available_now(max_files_per_trigger=2)
+    v1 = LakeTable.current_version(ps.table_path)
+    ps.run_available_now(max_files_per_trigger=2)  # resume: nothing new
+    assert LakeTable.current_version(ps.table_path) == v1
+
+    pb = CdcPipeline(spark, masked_dir, str(tmp_path / "tb"),
+                     str(tmp_path / "cb"), merge_mode="mor",
+                     compact_every=0, partial_updates=True)
+    pb.run_batch_replay()
+
+    cols = ["url", "warc_ts", "_seq", "text", "lang"]
+    a = sorted(map(tuple, ps.target_state().select(*cols).collect()))
+    b = sorted(map(tuple, pb.target_state().select(*cols).collect()))
+    assert a == b and len(a) > 0
