@@ -116,11 +116,15 @@ class LakeTable:
         n_buckets: int = 16,
         schema_ver: int = 1,
         reserved_cols: list[str] | None = None,
+        flags: dict[str, Any] | None = None,
     ) -> "LakeTable":
         """Create an empty table. ``fields`` = [(name, spark_ddl_type), ...].
 
         ``reserved_cols``: columns (beyond the key) the engine addresses by
-        name — e.g. LWW order columns — protected from rename_column."""
+        name — e.g. LWW order columns — protected from rename_column.
+        ``flags``: extra top-level snapshot keys carried forward by every
+        commit — e.g. ``{"partial_images": True}`` marks a table whose rows
+        are partial images, which LWW-folding maintenance must refuse."""
         os.makedirs(os.path.join(path, "_snapshots", "manifests"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = [
@@ -139,6 +143,7 @@ class LakeTable:
             "manifests": [],
             "files": [],
             "summary": {"op": "create"},
+            **(flags or {}),
         }
         t = LakeTable(spark, path, snap)
         t._write_snapshot(snap)
@@ -405,6 +410,14 @@ class LakeTable:
 
     def current_schema(self) -> list[dict]:
         return self.schema_at(self.current_schema_ver)
+
+    @property
+    def partial_images(self) -> bool:
+        """True when rows are partial images (NULL = unchanged): whole-row
+        LWW folding (compact/purge/rebucket/cluster/zorder, read-time LWW)
+        is UNSOUND on such a table — resolution belongs to
+        operators.merge.read_state_partial / compact_partial only."""
+        return bool(self.snap.get("partial_images"))
 
     def last_epoch(self) -> tuple[int, bool]:
         """(last confirmed epoch_id, whether it was finalized); (-1, True) if none.

@@ -164,6 +164,19 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
     return entries, rows
 
 
+def _refuse_partial(table: LakeTable, op: str) -> None:
+    """Soundness gate, enforced in code: whole-row LWW folding on a
+    partial-image table would freeze NULL (= unchanged) markers as values
+    and break the read-time column fold. Only compact_partial may rewrite
+    such a table's history."""
+    if table.partial_images:
+        raise ValueError(
+            f"{op} is unsound on a partial-image table "
+            "(rows are NULL-means-unchanged partial images); use "
+            "compact_partial for bounded-history maintenance"
+        )
+
+
 def read_state(
     table: LakeTable,
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
@@ -191,6 +204,7 @@ def read_state(
     the snapshot's exact per-bucket row counts as a free key-count bound —
     above the broadcast budget the salted two-phase form engages instead of
     broadcasting a hash of every distinct key in the table."""
+    _refuse_partial(table, "read_state (whole-row LWW)")
     present = {f["bucket"] for f in table.snap["files"]}
     if buckets is not None:
         present &= set(buckets)
@@ -265,6 +279,101 @@ def read_state_partial(table: LakeTable) -> DataFrame:
         .filter((F.col("_rn") == 1) & (F.col("_op") != "d"))
         .drop("_rn")
     )
+
+
+def compact_partial(table: LakeTable, watermark_us: int) -> dict:
+    """Bounded-history maintenance for PARTIAL-IMAGE tables: collapse each
+    key's version history UP TO the event-time watermark into one full
+    row, keep newer versions raw. Sound because T4's watermark contract
+    says no event with warc_ts ≤ watermark can still arrive — so no future
+    row can ever need a carry-forward source OLDER than the folded row
+    (which carries the filled values), and none can sort between the
+    folded-away versions. A prefix that ends in a tombstone keeps the
+    tombstone (the key stays dead and keeps segmenting later lives;
+    physical erasure remains a purge concern). Without this, a partial
+    table's read cost grows with total history; with it, history is
+    bounded by the watermark lag.
+
+    Buckets are discovered from manifest ts bounds (only buckets holding a
+    file that CAN contain pre-watermark rows are read or rewritten —
+    metadata-only prune, same machinery as ts_between skipping); the fold
+    is the read_state_partial machinery restricted to the prefix — one key
+    exchange. Reference analogue: checkpoint GC collapses redo older than
+    the confirmed scn horizon, Metadata.cpp:505-554."""
+    if not table.partial_images:
+        raise ValueError("compact_partial requires a partial-image table")
+    key = table.key_col
+    watermark_us = int(watermark_us)
+    affected = set()
+    rows_before = 0
+    for fe in table.snap["files"]:
+        lo = fe.get("ts_min_us")
+        if lo is None or lo <= watermark_us:
+            affected.add(fe["bucket"])
+    for fe in table.snap["files"]:
+        if fe["bucket"] in affected:
+            rows_before += fe["rows"]
+    if not affected:
+        return {"buckets": 0, "rows_before": 0, "rows_after": 0}
+
+    df = table.read(affected)
+    meta = {key, "warc_ts", "_seq", "_op"}
+    payload = [f["name"] for f in table.current_schema() if f["name"] not in meta]
+    cols = [key, "warc_ts", "_seq", "_op", *payload]
+    in_prefix = F.unix_micros(F.col("warc_ts")) <= F.lit(watermark_us)
+    pre, suf = df.filter(in_prefix), df.filter(~in_prefix).select(*cols)
+    is_del = F.when(F.col("_op") == "d", 1).otherwise(0)
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy("warc_ts", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = pre.withColumn("_life", F.sum(is_del).over(w_run) - is_del)
+    w_fill = (
+        Window.partitionBy(key, "_life")
+        .orderBy("warc_ts", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = pre.select(
+        key, "warc_ts", "_seq", "_op",
+        *[F.last(c, ignorenulls=True).over(w_fill).alias(c) for c in payload],
+    )
+    w_pick = Window.partitionBy(key).orderBy(F.desc("warc_ts"), F.desc("_seq"))
+    folded = (
+        filled.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)  # tombstone winners KEPT
+        .drop("_rn")
+    )
+    out = folded.unionByName(suf).withColumn("_bucket", table.bucket_expr())
+    absdir, _rel = table.new_data_dir()
+    (
+        out.repartition(max(1, min(len(affected), 64)), "_bucket")
+        .write.partitionBy("_bucket")
+        .parquet(absdir)
+    )
+    new_files, rows_after = _collect_written_files(absdir, table)
+    written = sorted({f["bucket"] for f in new_files})
+    remaining_dirty = sorted(
+        (table.dirty_buckets() - affected) | set(written)
+    )
+    table.commit_files(
+        new_files,
+        replaced_buckets=sorted(affected),
+        summary={
+            "op": "compact_partial",
+            "watermark_us": watermark_us,
+            "rows_written": rows_after,
+        },
+        extra={
+            "needs_read_compaction": bool(remaining_dirty),
+            "dirty_buckets": remaining_dirty,
+        },
+    )
+    return {
+        "buckets": len(affected),
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }
 
 
 def read_state_since(
@@ -518,6 +627,7 @@ def purge_tombstones(table: LakeTable, older_than) -> dict:
     DISCOVERY scan additionally file-skips on manifest ts bounds (only files
     that can hold rows with warc_ts < cutoff are opened — sound here because
     the discovery predicate is exactly that time window)."""
+    _refuse_partial(table, "purge_tombstones")
     cutoff_us = ts_micros(older_than)
     hi = cutoff_us - 1 if cutoff_us is not None else None
     scan = table.read(ts_between=(None, hi))
@@ -620,6 +730,7 @@ def compact_table(
     after a 1-bucket epoch rewrites 1 bucket, never the table (round-2
     verdict task 5); at 10^10 rows the previous full-table rewrite was a
     periodic scale wall."""
+    _refuse_partial(table, "compact_table")
     dirty = sorted(table.dirty_buckets())
     if not dirty:
         table.commit_summary_only({"op": "compact", "buckets": 0})
@@ -703,6 +814,7 @@ def cluster_buckets(
     sort, and the partitionBy writer keeps the (bucket, warc_ts) task order
     because the sort prefix satisfies its required ordering — the
     maxRecordsPerFile rollover is what yields time-disjoint chunks."""
+    _refuse_partial(table, "cluster_buckets")
     present = sorted({f["bucket"] for f in table.snap["files"]})
     if not present:
         return {"files": 0, "rows": 0, "buckets_rewritten": 0}
@@ -769,6 +881,7 @@ def rebucket(
     full-table rewrite, O(table) once — schedule like any other maintenance
     (the reference's analogous full pass is the schema re-snapshot on
     dictionary rebuild, Metadata.cpp writeCheckpoint(switch))."""
+    _refuse_partial(table, "rebucket")
     if new_n_buckets < 1:
         raise ValueError("new_n_buckets must be >= 1")
     old_buckets = sorted({f["bucket"] for f in table.snap["files"]})
@@ -964,6 +1077,7 @@ def zorder_buckets(
     rewrite itself is the same one-shuffle shape as cluster_buckets.
     Dirty buckets are LWW-folded in the same pass, marks cleared,
     tombstones preserved — a maintenance commit, user state untouched."""
+    _refuse_partial(table, "zorder_buckets")
     present = sorted({f["bucket"] for f in table.snap["files"]})
     if not present:
         return {"files": 0, "rows": 0, "buckets_rewritten": 0}

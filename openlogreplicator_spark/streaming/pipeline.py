@@ -173,6 +173,7 @@ class CdcPipeline:
             n_buckets=self.n_buckets,
             schema_ver=1,
             reserved_cols=["warc_ts", "_seq", "_op"],
+            flags={"partial_images": True} if self.partial_updates else None,
         )
         if self.branch is not None:
             self._table = self._table.create_branch(self.branch)

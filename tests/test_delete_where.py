@@ -204,3 +204,75 @@ def test_partial_updates_streaming_resume(spark, tmp_path, events_dir):
     a = sorted(map(tuple, ps.target_state().select(*cols).collect()))
     b = sorted(map(tuple, pb.target_state().select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_compact_partial_bounds_history(spark, tmp_path):
+    """compact_partial: pre-watermark history collapses into one full row
+    per key (tombstone winners kept), user state is identical before and
+    after, physical rows shrink, and a LATER partial update still carries
+    forward from the folded row. Whole-row maintenance refuses partial
+    tables; compact_partial refuses normal ones."""
+    import datetime as dt
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import (
+        compact_partial,
+        compact_table,
+        purge_tombstones,
+        read_state_partial,
+    )
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    def ev(seq, op, url, text, lang):
+        return (seq, dt.datetime(2020, 1, 1, 0, 0, seq), op, url,
+                None, text, lang, None, None, 1, False,
+                None, None, None, None)
+
+    early = [
+        ev(0, "c", "u1", "t0", "en"),
+        ev(1, "u", "u1", None, "de"),     # carries t0
+        ev(2, "c", "u2", "x0", "fr"),
+        ev(3, "d", "u2", None, None),     # u2 dead at watermark
+        ev(4, "c", "u3", "z0", "es"),
+    ]
+    late = [ev(10, "u", "u1", None, "pl"),   # post-watermark partial
+            ev(11, "c", "u2", None, "it")]   # re-create after folded tombstone
+    p = CdcPipeline(
+        spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    p.apply_epoch(spark.createDataFrame(early, EVENTS_DDL), epoch_id=0)
+    p.apply_epoch(spark.createDataFrame(late, EVENTS_DDL), epoch_id=1)
+
+    t = LakeTable.load(spark, p.table_path)
+    before = sorted(map(tuple, read_state_partial(t)
+                        .select("url", "text", "lang", "_seq").collect()))
+    w_us = 5_000_000 + 1_577_836_800_000_000  # 2020-01-01 00:00:05 UTC
+    stats = compact_partial(t, w_us)
+    assert stats["rows_after"] < stats["rows_before"], stats
+
+    t2 = LakeTable.load(spark, p.table_path)
+    after = sorted(map(tuple, read_state_partial(t2)
+                       .select("url", "text", "lang", "_seq").collect()))
+    assert after == before
+    # u1: folded full row (t0, de) + late partial -> (t0, pl);
+    # u2: re-create after tombstone inherits nothing -> (None, it)
+    assert ("u1", "t0", "pl", 10) in after
+    assert ("u2", None, "it", 11) in after
+    # idempotent: a second pass with the same watermark changes nothing
+    compact_partial(t2, w_us)
+    t3 = LakeTable.load(spark, p.table_path)
+    again = sorted(map(tuple, read_state_partial(t3)
+                       .select("url", "text", "lang", "_seq").collect()))
+    assert again == before
+
+    with pytest.raises(ValueError, match="unsound on a partial-image"):
+        compact_table(t3)
+    with pytest.raises(ValueError, match="unsound on a partial-image"):
+        purge_tombstones(t3, dt.datetime(2100, 1, 1))
+
+    # normal table refuses compact_partial
+    pn = CdcPipeline(spark, "unused", str(tmp_path / "tn"), str(tmp_path / "cn"))
+    pn.apply_epoch(spark.createDataFrame(early, EVENTS_DDL), epoch_id=0)
+    with pytest.raises(ValueError, match="requires a partial-image table"):
+        compact_partial(LakeTable.load(spark, pn.table_path), w_us)
