@@ -1720,6 +1720,64 @@ def engine_partial_update_state(spark, sf_dir):
     )
 
 
+@register("engine_partial_compact_state", _PARTIAL_SQL)
+def engine_partial_compact_state(spark, sf_dir):
+    """Watermark-bounded compaction of a partial-image table through the
+    value gate: replay the masked log (engine_partial_update_state's
+    scenario), then compact_partial at a mid-log watermark — every key's
+    pre-watermark history collapses into one full row (manifest-ts bucket
+    discovery, tombstone winners kept), newer versions stay raw — and the
+    fold-served state must STILL value-hash against the DuckDB replay of
+    the full un-compacted fold. Physical row shrinkage is asserted
+    in-flight; the oracle proves the shrinkage changed nothing. This is
+    the read-cost bound for partial tables at 10^10 events: history is
+    bounded by watermark lag, not stream length."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import compact_partial
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_pcompact_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    is_u = F.col("op") == "u"
+    hi_ts = None
+    for i, f in enumerate(files):
+        batch = (
+            spark.read.schema(EVENTS_DDL).parquet(f)
+            .withColumn(
+                "text",
+                F.when(is_u & (F.col("seq") % 3 == 1), F.lit(None))
+                .otherwise(F.col("text")),
+            )
+            .withColumn(
+                "lang",
+                F.when(is_u & (F.col("seq") % 3 == 2), F.lit(None))
+                .otherwise(F.col("lang")),
+            )
+        )
+        p.apply_epoch(batch, epoch_id=i)
+        if i == 1:  # watermark = end of epoch 1 (T4: nothing older arrives)
+            hi_ts = (
+                spark.read.schema(EVENTS_DDL).parquet(f)
+                .agg(F.max(F.unix_micros(F.col("warc_ts").cast("timestamp"))))
+                .first()[0]
+            )
+    stats = compact_partial(LakeTable.load(spark, p.table_path), hi_ts)
+    if not stats["rows_after"] < stats["rows_before"]:
+        raise AssertionError(f"compaction did not shrink history: {stats}")
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 @register("engine_purge_replay", _REPLAY_SQL)
 def engine_purge_replay(spark, sf_dir):
     """Tombstone physical erasure (GDPR retention clock) through the value
