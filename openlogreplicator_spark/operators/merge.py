@@ -683,7 +683,7 @@ def purge_tombstones(table: LakeTable, older_than) -> dict:
 def merge_append(
     table: LakeTable,
     batch: DataFrame,
-    epoch_id: int = 0,
+    epoch_id: int | None = 0,
     final: bool = True,
     extra_summary: dict | None = None,
 ) -> dict:
@@ -705,12 +705,15 @@ def merge_append(
     new_files, rows = _collect_written_files(absdir, table)
     summary = {
         "op": "merge_append",
-        "epoch_id": int(epoch_id),
-        "final": bool(final),
         "merge_secs": round(time.time() - t0, 3),
         "rows_written": rows,
         **(extra_summary or {}),
     }
+    if epoch_id is not None:
+        # engine-originated appends (epoch_id=None, e.g. a partial-table
+        # delete_where) must NOT advance the exactly-once watermark
+        summary["epoch_id"] = int(epoch_id)
+        summary["final"] = bool(final)
     touched = {f["bucket"] for f in new_files}
     dirty = sorted(table.dirty_buckets() | touched)
     table.commit_files(
@@ -1031,7 +1034,16 @@ def delete_where(
     rewrites only the buckets holding victims.
     """
     key = table.key_col
-    state = read_state(table, broadcast_budget_keys)
+    # partial-image tables: victims resolve by the column fold, tombstones
+    # APPEND (the whole-row CoW reconcile is refused there). A later
+    # strictly-newer source event still resurrects the key, but starts a
+    # fresh life — it inherits nothing through the tombstone, the same
+    # rule as a re-create after a source delete.
+    partial = table.partial_images
+    state = (
+        read_state_partial(table) if partial
+        else read_state(table, broadcast_budget_keys)
+    )
     cond = F.expr(predicate) if isinstance(predicate, str) else predicate
     victims = state.filter(cond)
     types = dict(state.dtypes)
@@ -1046,6 +1058,11 @@ def delete_where(
         F.lit("d").alias("_op"),
         *[F.lit(None).cast(types[c]).alias(c) for c in payload],
     )
+    if partial:
+        return merge_append(
+            table, batch, epoch_id=None,
+            extra_summary={"op": "delete_where"},
+        )
     return merge_into(
         table, batch, epoch_id=None,
         extra_summary={"op": "delete_where"},

@@ -276,3 +276,50 @@ def test_compact_partial_bounds_history(spark, tmp_path):
     pn.apply_epoch(spark.createDataFrame(early, EVENTS_DDL), epoch_id=0)
     with pytest.raises(ValueError, match="requires a partial-image table"):
         compact_partial(LakeTable.load(spark, pn.table_path), w_us)
+
+
+def test_delete_where_on_partial_table(spark, tmp_path):
+    """Fold-aware predicate delete: victims resolve against the FOLDED
+    state (a key whose lang arrived in an earlier partial image still
+    matches), tombstones APPEND (no CoW), the watermark stays put, and a
+    strictly newer source event resurrects with a fresh life."""
+    import datetime as dt
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import delete_where
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    def ev(seq, op, url, text, lang):
+        return (seq, dt.datetime(2020, 1, 1, 0, 0, seq), op, url,
+                None, text, lang, None, None, 1, False,
+                None, None, None, None)
+
+    rows = [
+        ev(0, "c", "u1", "t0", "de"),
+        ev(1, "u", "u1", "t1", None),   # lang=de only via carry-forward
+        ev(2, "c", "u2", "x0", "en"),
+    ]
+    p = CdcPipeline(
+        spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    p.apply_epoch(spark.createDataFrame(rows, EVENTS_DDL), epoch_id=0)
+
+    t = LakeTable.load(spark, p.table_path)
+    wm = t.last_epoch()
+    stats = delete_where(t, "lang = 'de'")
+    assert stats["rows"] > 0
+    t = LakeTable.load(spark, p.table_path)
+    assert t.last_epoch() == wm  # watermark untouched
+    live = {r.url for r in p.target_state().select("url").collect()}
+    assert live == {"u2"}
+
+    # strictly newer source event resurrects u1 with a FRESH life: the
+    # pre-delete text must NOT carry through the tombstone
+    p.apply_epoch(
+        spark.createDataFrame([ev(9, "u", "u1", None, "fr")], EVENTS_DDL),
+        epoch_id=1,
+    )
+    got = {r.url: (r.text, r.lang)
+           for r in p.target_state().select("url", "text", "lang").collect()}
+    assert got["u1"] == (None, "fr")
