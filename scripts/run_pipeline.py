@@ -53,6 +53,10 @@ def main() -> None:
                     default="auto",
                     help="'auto' falls back semijoin->salted above the "
                          "broadcast budget (the 10^10-key path)")
+    ap.add_argument("--partial-updates", action="store_true",
+                    help="change events carry only changed columns (NULL = "
+                         "unchanged); forces merge-on-read appends and the "
+                         "read-time column fold")
     ap.add_argument("--suppress-stale", action="store_true",
                     help="stateful per-key high-watermark pre-filter")
     ap.add_argument("--branch",
@@ -85,10 +89,11 @@ def main() -> None:
         n_buckets=args.n_buckets,
         filter_config_path=args.filters,
         merge_mode=args.merge_mode,
-        compact_every=args.compact_every,
+        compact_every=0 if args.partial_updates else args.compact_every,
         lww_strategy=args.lww_strategy,
         branch=args.branch,
         source_format=args.format,
+        partial_updates=args.partial_updates,
     )
     if args.streaming:
         p.run_available_now(
