@@ -134,6 +134,34 @@ def cdc_lww_latest_semijoin(spark, sf_dir):
 
 
 @register(
+    "cdc_lww_latest_salted",
+    """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def cdc_lww_latest_salted(spark, sf_dir):
+    """Same LWW snapshot via the SALTED two-phase strategy — the north
+    rule's literal form ('salted repartition + window-over-(key, ts)
+    last-writer-wins') and the 10^9-key fallback lww_compact_auto engages
+    above the broadcast budget. Phase 1 collapses each (key, salt) group
+    map-side (hot keys split across salts), phase 2 folds the ≤ n_salts
+    survivors per key; shares cdc_lww_latest's oracle, proving the skew
+    path is value-identical to the max_by and semijoin twins."""
+    from .operators.lww import lww_compact_salted
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return lww_compact_salted(
+        ev, key="user_id", order=("ts", "event_id"), salt_source="event_id"
+    )
+
+
+@register(
     "cdc_op_counts",
     """
     SELECT event_type, count(*) AS n_events, min(ts) AS first_ts,
