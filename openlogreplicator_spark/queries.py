@@ -1748,6 +1748,94 @@ def engine_partial_update_state(spark, sf_dir):
     )
 
 
+def _follow_chain_sql() -> str:
+    """Per-epoch CDF oracle: winners after files 0..k diffed against
+    winners after files 0..k-1, for k = 0..3 (k=0 diffs against the empty
+    created table — inserts only). Same diff spelling as
+    _SNAPSHOT_DIFF_SQL, code-generated per epoch pair."""
+    ctes = []
+    for k in range(4):
+        flist = ", ".join(
+            f"'{_REPLAY_EVENTS}/events-{i:05d}.parquet'" for i in range(k + 1)
+        )
+        ctes.append(f"""
+    s{k} AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM read_parquet([{flist}])
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    st{k} AS (SELECT url, warc_ts, _seq FROM s{k}
+              WHERE rn = 1 AND _op <> 'd')""")
+    diffs = ["SELECT 0 AS epoch, 'insert' AS _change, url, _seq FROM st0"]
+    for k in range(1, 4):
+        diffs.append(f"""
+    SELECT {k} AS epoch,
+           CASE WHEN o.url IS NULL THEN 'insert'
+                WHEN n.url IS NULL THEN 'delete'
+                ELSE 'update' END AS _change,
+           COALESCE(n.url, o.url) AS url,
+           CASE WHEN n.url IS NULL THEN o._seq ELSE n._seq END AS _seq
+    FROM st{k - 1} o FULL OUTER JOIN st{k} n ON o.url = n.url
+    WHERE o.url IS NULL OR n.url IS NULL
+       OR o.warc_ts <> n.warc_ts OR o._seq <> n._seq""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        ["", diffs[0]] + [f"UNION ALL {d}" for d in diffs[1:]]
+    )
+
+
+@register("engine_follow_changes", _follow_chain_sql())
+def engine_follow_changes(spark, sf_dir):
+    """The PULL changelog consumer end-to-end (operators/merge.
+    follow_changes — the polling twin of the network sink's push confirm
+    protocol; reference analogue: a WriterStream client resuming from its
+    own confirmed checkpoint, Writer.cpp:346-422): a live follower tails
+    the snapshot chain WHILE the pipeline commits four epochs, receiving
+    one CDF batch per commit; resume-position continuity (each batch's
+    from_version == previous batch's to_version) is asserted in-flight,
+    and the concatenated per-epoch changelogs must value-hash against a
+    DuckDB recompute of every consecutive state diff — a single missed,
+    duplicated, or misclassified change anywhere in the chain fails.
+    Shape at 100 TB: each poll costs one snapshot_diff (quiet buckets
+    pruned driver-side), never a rescan of history."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import follow_changes
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_follow_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(files[0]), epoch_id=0)
+    base = min(LakeTable.load(spark, p.table_path).versions())
+    gen = follow_changes(
+        spark, p.table_path, from_version=base, poll_secs=0.05, max_polls=3
+    )
+    batches = [next(gen)]
+    for i, f in enumerate(files[1:], start=1):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+        batches.append(next(gen))
+    out = None
+    prev_to = base
+    for i, (frm, to, df) in enumerate(batches):
+        if frm != prev_to:
+            raise AssertionError(f"resume gap: batch {i} from {frm} != {prev_to}")
+        prev_to = to
+        part = df.select(
+            F.lit(i).alias("epoch"), "_change", "url", "_seq"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 @register("engine_partial_compact_state", _PARTIAL_SQL)
 def engine_partial_compact_state(spark, sf_dir):
     """Watermark-bounded compaction of a partial-image table through the
