@@ -2366,6 +2366,67 @@ def engine_rebucket_replay(spark, sf_dir):
     )
 
 
+# Multi-table routing twin: the full replay, with each winner's route name
+# recomputed from the SAME md5-bucket rule the router evaluates (first 8 md5
+# hex chars as an unsigned 32-bit int, mod n). Disjointness/completeness are
+# implicit in the value gate: a row routed to both shards (or neither) makes
+# the union's row count diverge from the single-table replay.
+_ROUTED_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status,
+           CASE CAST('0x' || substring(md5(url), 1, 8) AS BIGINT) % 2
+                WHEN 0 THEN 'shard0' WHEN 1 THEN 'shard1' END AS route
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_multi_table_state", _ROUTED_SQL)
+def engine_multi_table_state(spark, sf_dir):
+    """Multi-table demultiplexing through the value gate (the reference
+    replicates MANY tables from one redo stream — per-table schema.table
+    filters, Schema.cpp per-table dictionaries; streaming/router.TableRouter
+    is the Spark shape: decode + LWW ONCE, then a map-side predicate per
+    target feeds that table's own exactly-once merge). Two targets split by
+    an md5-bucket route over the immutable key; DDL replays into every
+    target's dictionary. The union of both tables' live states, each row
+    tagged with its route, must equal the single-table replay with the
+    route recomputed — proving every winner landed in exactly one target
+    and the dictionary evolved everywhere. Shape at 100 TB: the data-sized
+    work (scan, decode, LWW) is shared; N routes add N disjoint-subset
+    merges, not N scans."""
+    from .streaming.router import TableRouter
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_routed_")
+    bucket = "CAST(conv(substring(md5(url), 1, 8), 16, 10) AS BIGINT) % 2"
+    r = TableRouter(
+        spark, ev, os.path.join(d, "tables"), os.path.join(d, "ckpt"),
+        routes={"shard0": f"{bucket} = 0", "shard1": f"{bucket} = 1"},
+    )
+    r.run_batch_replay()
+    parts = [
+        r.target_state(name)
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+        .withColumn("route", F.lit(name))
+        for name in ("shard0", "shard1")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 _INC_INVIDX_SQL = f"""
     WITH ev AS (
       SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
@@ -7020,6 +7081,98 @@ def events_cms_heavy_hitters(spark, sf_dir):
         "key", "exact_n", "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+# the DuckDB twin is GENERATED from the same (column, b) spec the Spark
+# impl uses, so changing the register count changes both engines together
+from .functions.sketches import hll_sql as _hll_sql  # noqa: E402
+
+
+@register("events_hll_distinct", _hll_sql("events", "event_id", b=6))
+def events_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (functions/sketches.py) vs the
+    exact countDistinct — built from scratch on md5 so BOTH engines compute
+    identical registers and an identical estimate, putting an approximate
+    algorithm under the full value gate (earlier rounds documented
+    engine-native sketches as un-oracle-able; this closes that gap for the
+    cardinality family, like events_cms_heavy_hitters did for counts).
+    rho uses the integer bit-smear trick, never floating log2; the register
+    sum is IEEE-exact, so no rounding dial is load-bearing. Shape at
+    100 TB: one m=64-bucket partial agg — the sketch replaces the exact
+    distinct's full shuffle; the exact column rides along only to price the
+    error (~1.04/sqrt(m) expected)."""
+    from .functions.sketches import hll_distinct
+
+    return hll_distinct(T(spark, sf_dir, "events"), "event_id", b=6)
+
+
+# DuckDB twin of build_json_messages: the SAME reference message layout
+# (BuilderJson.cpp {scn,tm,seq,payload:[{op,schema,rid,after,before}]})
+# assembled by explicit string concatenation — field order is the struct
+# order, null fields drop (ignoreNullFields), scalar strings escape through
+# each engine's JSON writer (to_json on both; yyjson and Jackson agree on
+# RFC 8259 escaping incl. raw UTF-8 pass-through). Byte-identical messages
+# or the value hash fails.
+_JSON_MSG_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IN ('c', 'u', 'd') AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    parts AS (
+      SELECT seq, url, op,
+        epoch_us(warc_ts) AS scn,
+        strftime(warc_ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS tm,
+        CASE WHEN op <> 'd' THEN
+          '{{' || array_to_string(list_filter([
+             CASE WHEN url IS NOT NULL THEN '"url":' || to_json(url) END,
+             CASE WHEN text IS NOT NULL THEN '"text":' || to_json(text) END,
+             CASE WHEN lang IS NOT NULL THEN '"lang":' || to_json(lang) END,
+             CASE WHEN extras['http_status'][1] IS NOT NULL
+               THEN '"http_status":' || to_json(extras['http_status'][1]) END,
+             CASE WHEN extras['fetch_status'][1] IS NOT NULL
+               THEN '"fetch_status":' || to_json(extras['fetch_status'][1]) END
+           ], x -> x IS NOT NULL), ',') || '}}'
+        END AS after_json,
+        CASE WHEN op IN ('u', 'd') AND before IS NOT NULL THEN
+          '{{' || array_to_string(list_transform(map_entries(before),
+                 e -> to_json(e.key) || ':' || to_json(decode(e.value))), ',')
+              || '}}'
+        END AS before_json
+      FROM ev)
+    SELECT seq, url,
+      '{{"scn":' || scn || ',"tm":"' || tm || '","seq":' || seq ||
+      ',"payload":[{{"op":"' || op ||
+      '","schema":{{"owner":"CC","table":"PAGES"}},"rid":' || to_json(url) ||
+      COALESCE(',"after":' || after_json, '') ||
+      COALESCE(',"before":' || before_json, '') || '}}]}}' AS message
+    FROM parts
+    """
+
+
+@register("cdc_json_messages", _JSON_MSG_SQL)
+def cdc_json_messages(spark, sf_dir):
+    """F12 JSON message build under the full value gate: every committed DML
+    event of the fixed log rendered to the reference's change-message JSON
+    (sinks/builders.build_json_messages — BuilderJson.cpp layout) must be
+    BYTE-identical to a DuckDB twin that assembles the same document by
+    explicit concatenation. This upgrades the builder's golden-bytes pytest
+    to a differential gate over the whole fixture: timestamp rendering
+    (micros + ISO-6-digit), null-field dropping, before-image binary→UTF-8
+    decode, and string escaping all have to line up across engines. Shape
+    at 100 TB: to_json is JVM-side whole-stage-codegen (the reference's own
+    finding — its JSON builder beats protobuf ~2.5×)."""
+    from .operators.decode import EVENTS_DDL
+    from .sinks.builders import build_json_messages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    committed = ev.filter(
+        F.col("op").isin("c", "u", "d")
+        & (~F.col("rolled_back"))
+        & F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+    )
+    return build_json_messages(committed)
 
 
 # delete_where gate: one batch replay of the fixed log, then an ENGINE
