@@ -6887,126 +6887,6 @@ def docs_quality_classifier(spark, sf_dir):
     )
 
 
-# DSIR hashed-feature space: unigrams + bigrams hashed into a FIXED bucket
-# count — the dimension is corpus-independent, which is the method's whole
-# scale story (the llr relation of docs_quality_classifier grows with the
-# vocabulary; this one is always _DSIR_B rows).
-_DSIR_B = 256
-
-_DSIR_SQL = f"""
-    WITH base AS (
-      SELECT doc_id, source, source IN ({_NBQ_IN}) AS curated,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-      FROM documents WHERE length(trim(text)) > 0),
-    feats AS (
-      SELECT doc_id, curated, feat FROM (
-        SELECT doc_id, curated, unnest(toks) AS feat FROM base)
-      WHERE length(feat) > 0
-      UNION ALL
-      SELECT doc_id, curated,
-             unnest(list_transform(range(1, len(toks)),
-                    i -> toks[i] || ' ' || toks[i+1])) AS feat
-      FROM base WHERE len(toks) >= 2),
-    hashed AS (
-      SELECT doc_id, curated,
-             CAST('0x' || substring(md5(feat), 1, 8) AS BIGINT) % {_DSIR_B}
-               AS b
-      FROM feats),
-    db AS (SELECT doc_id, b, count(*) AS c FROM hashed GROUP BY doc_id, b),
-    raw AS (SELECT b, count(*) AS r FROM hashed GROUP BY b),
-    tgt AS (SELECT b, count(*) AS t FROM hashed WHERE curated GROUP BY b),
-    tots AS (
-      SELECT (SELECT sum(r) FROM raw) AS rt,
-             (SELECT COALESCE(sum(t), 0) FROM tgt) AS tt),
-    lr AS (
-      SELECT raw.b,
-             ln((COALESCE(tgt.t, 0) + 0.5) / (tots.tt + {0.5 * _DSIR_B}))
-               - ln((raw.r + 0.5) / (tots.rt + {0.5 * _DSIR_B})) AS lr
-      FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tots),
-    scored AS (
-      SELECT db.doc_id, CAST(sum(db.c) AS BIGINT) AS n_feats,
-             round(sum(db.c * lr.lr), 4) AS log_weight
-      FROM db JOIN lr USING (b) GROUP BY db.doc_id)
-    SELECT s.doc_id, b.source, b.curated, s.n_feats, s.log_weight
-    FROM scored s JOIN base b USING (doc_id)
-    """
-
-
-@register("docs_dsir_weights", _DSIR_SQL)
-def docs_dsir_weights(spark, sf_dir):
-    """DSIR importance-resampling weights (Xie et al. 2023, public method):
-    per-document log importance weight log p_target/p_raw under bag-of-
-    hashed-ngrams (unigrams + bigrams → md5 % 256 buckets), target = the
-    curated-source proxy, raw = the whole crawl. Documents are then sampled
-    proportional to exp(log_weight) — the data-mixture selection step
-    between hard quality filtering (docs_quality_classifier thresholds) and
-    uniform sampling. Shape at 100 TB: the feature space is FIXED at 256
-    buckets regardless of corpus size — both distributions are one
-    bucket-keyed partial agg, the log-ratio relation broadcasts anywhere,
-    and per-doc scoring is a map-side-combinable sum. Reference analogue:
-    none — training-data pipeline extension."""
-    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    base = d.select(
-        "doc_id", "source",
-        F.col("source").isin(*_NBQ_CURATED).alias("curated"),
-        F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
-    )
-    uni = (
-        base.select("doc_id", "curated", F.explode("toks").alias("feat"))
-        .filter(F.length("feat") > 0)
-    )
-    bi = base.filter(F.size("toks") >= 2).select(
-        "doc_id", "curated",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.concat(
-                    F.element_at(F.col("toks"), i), F.lit(" "),
-                    F.element_at(F.col("toks"), i + 1),
-                ),
-            )
-        ).alias("feat"),
-    )
-    hashed = uni.unionByName(bi).select(
-        "doc_id", "curated",
-        (
-            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
-            % _DSIR_B
-        ).alias("b"),
-    )
-    db = hashed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
-    raw = hashed.groupBy("b").agg(F.count("*").alias("r"))
-    tgt = hashed.filter("curated").groupBy("b").agg(F.count("*").alias("t"))
-    tots = raw.agg(F.sum("r").alias("rt")).crossJoin(
-        tgt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
-    )
-    lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce("t", F.lit(0)) + 0.5)
-                    / (F.col("tt") + 0.5 * _DSIR_B)
-                )
-                - F.log((F.col("r") + 0.5) / (F.col("rt") + 0.5 * _DSIR_B))
-            ).alias("lr"),
-        )
-    )
-    scored = (
-        db.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_feats"),
-            F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_weight"),
-        )
-    )
-    return scored.join(
-        base.select("doc_id", "source", "curated"), "doc_id"
-    ).select("doc_id", "source", "curated", "n_feats", "log_weight")
-
-
 _BPE_FERT_FINAL = r""",
     tokocc AS (
       SELECT source, token FROM (
