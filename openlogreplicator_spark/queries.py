@@ -74,6 +74,11 @@ def _lsh_tables_sql(source_sql: str) -> str:
 
 def register(name: str, sql: str | None = None):
     def deco(fn):
+        # a re-used slug silently SHADOWS the earlier entry in these dicts —
+        # it has happened twice (docs_decontamination round 3; a second
+        # docs_dsir_weights this round), so fail loudly at import time
+        if name in QUERIES:
+            raise ValueError(f"duplicate catalog entry: {name}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
