@@ -1908,6 +1908,158 @@ def engine_follow_changes(spark, sf_dir):
     return out
 
 
+def _scd2_chain_sql() -> str:
+    """SCD2 oracle over the consecutive-state-diff chain (the
+    _follow_chain_sql recompute carrying payload columns): per url the
+    chronological CDF rows ARE the version chain — an update's timestamp
+    closes the previous version, a delete closes it with no successor, and
+    LWW/out-of-order semantics come for free because a state diff only
+    exists when the applied winner actually moved."""
+    ctes = []
+    for k in range(4):
+        flist = ", ".join(
+            f"'{_REPLAY_EVENTS}/events-{i:05d}.parquet'" for i in range(k + 1)
+        )
+        ctes.append(f"""
+    s{k} AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM read_parquet([{flist}])
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    st{k} AS (SELECT url, warc_ts, _seq, text, lang FROM s{k}
+              WHERE rn = 1 AND _op <> 'd')""")
+    diffs = [
+        "SELECT 0 AS epoch, 'insert' AS _change, url, warc_ts, _seq, "
+        "text, lang FROM st0"
+    ]
+    for k in range(1, 4):
+        diffs.append(f"""
+    SELECT {k} AS epoch,
+           CASE WHEN o.url IS NULL THEN 'insert'
+                WHEN n.url IS NULL THEN 'delete'
+                ELSE 'update' END AS _change,
+           COALESCE(n.url, o.url) AS url,
+           COALESCE(n.warc_ts, o.warc_ts) AS warc_ts,
+           CASE WHEN n.url IS NULL THEN o._seq ELSE n._seq END AS _seq,
+           COALESCE(n.text, o.text) AS text,
+           COALESCE(n.lang, o.lang) AS lang
+    FROM st{k - 1} o FULL OUTER JOIN st{k} n ON o.url = n.url
+    WHERE o.url IS NULL OR n.url IS NULL
+       OR o.warc_ts <> n.warc_ts OR o._seq <> n._seq""")
+    chain = " UNION ALL ".join(diffs)
+    return (
+        "WITH " + ",".join(ctes) + f""",
+    chain AS ({chain}),
+    fold AS (
+      SELECT url, epoch, _change, warc_ts, _seq, text, lang,
+             lead(_change) OVER w AS nxt_change,
+             lead(warc_ts) OVER w AS nxt_ts
+      FROM chain
+      WINDOW w AS (PARTITION BY url ORDER BY epoch))
+    SELECT url,
+           CAST(row_number() OVER (PARTITION BY url ORDER BY epoch)
+                AS BIGINT) AS ver_no,
+           warc_ts AS valid_from,
+           CASE WHEN nxt_change = 'update' THEN nxt_ts END AS valid_to,
+           nxt_change IS NULL AS is_current,
+           _seq, text, lang
+    FROM fold WHERE _change <> 'delete'
+    """
+    )
+
+
+@register("engine_scd2_from_cdf", _scd2_chain_sql())
+def engine_scd2_from_cdf(spark, sf_dir):
+    """SCD Type-2 dimension maintained INCREMENTALLY from CDF batches — the
+    classic warehouse consumer of a CDC stream (Debezium → slowly-changing
+    dimension): per epoch, snapshot_diff's changelog closes the touched
+    keys' current rows (update closes at the new version's timestamp,
+    delete closes with no successor) and opens one new version per
+    insert/update; version numbers continue across re-creates. The
+    maintained table — built ONLY from O(changed keys) per-epoch batches,
+    never a rescan — must equal a from-scratch SCD2 computed by DuckDB over
+    the consecutive-state-diff chain (the engine_incremental_agg invariant
+    applied to validity intervals; cdc_scd2_history is the from-raw-log
+    twin). Shape at 100 TB: each epoch costs one snapshot_diff (quiet
+    buckets pruned) + equi-joins keyed on the batch's keys; the window-free
+    maintenance never sorts history."""
+    from .operators.merge import snapshot_diff
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path, marks, _ = _shared_mor_replay(spark)
+    from .lake.table import LakeTable
+
+    base = min(LakeTable.load(spark, path).versions())
+    d = tempfile.mkdtemp(prefix="olr_scd2_")
+    cols = ["url", "ver_no", "valid_from", "valid_to", "is_current",
+            "_seq", "text", "lang"]
+    scd_path = None
+    for k, (frm, to) in enumerate(zip([base] + marks[:-1], marks)):
+        cdf = snapshot_diff(spark, path, frm, to).select(
+            "_change", "url", "warc_ts", "_seq", "text", "lang"
+        )
+        opens = cdf.filter(F.col("_change") != "delete")
+        if scd_path is None:
+            nxt = opens.select(
+                "url",
+                F.lit(1).cast("long").alias("ver_no"),
+                F.col("warc_ts").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+                "_seq", "text", "lang",
+            )
+        else:
+            scd = spark.read.parquet(scd_path)
+            chg = cdf.select(
+                "url", F.col("_change").alias("_chg"),
+                F.col("warc_ts").alias("_chg_ts"),
+            )
+            # close the changed keys' current rows: an update's new version
+            # timestamp bounds the old validity; a delete leaves no bound
+            closed = (
+                scd.filter("is_current")
+                .join(F.broadcast(chg), "url")
+                .select(
+                    "url", "ver_no", "valid_from",
+                    F.when(F.col("_chg") == "update", F.col("_chg_ts"))
+                    .alias("valid_to"),
+                    F.lit(False).alias("is_current"),
+                    "_seq", "text", "lang",
+                )
+            )
+            untouched = scd.join(F.broadcast(chg), "url", "left_anti")
+            history = scd.filter(~F.col("is_current")).join(
+                F.broadcast(chg), "url", "left_semi"
+            )
+            prior = scd.groupBy("url").agg(F.max("ver_no").alias("_prev"))
+            new_rows = (
+                opens.join(F.broadcast(prior), "url", "left")
+                .select(
+                    "url",
+                    (F.coalesce("_prev", F.lit(0)) + 1).cast("long")
+                    .alias("ver_no"),
+                    F.col("warc_ts").alias("valid_from"),
+                    F.lit(None).cast("timestamp").alias("valid_to"),
+                    F.lit(True).alias("is_current"),
+                    "_seq", "text", "lang",
+                )
+            )
+            nxt = (
+                untouched.select(cols)
+                .unionByName(history.select(cols))
+                .unionByName(closed.select(cols))
+                .unionByName(new_rows.select(cols))
+            )
+        # the maintained dimension is STORED between epochs (it is a real
+        # table a consumer reads); re-reading also cuts the per-epoch
+        # join lineage
+        scd_path = os.path.join(d, f"scd_{k}")
+        nxt.write.mode("overwrite").parquet(scd_path)
+    return spark.read.parquet(scd_path).select(cols)
+
+
 @register("engine_partial_compact_state", _PARTIAL_SQL)
 def engine_partial_compact_state(spark, sf_dir):
     """Watermark-bounded compaction of a partial-image table through the
