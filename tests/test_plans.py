@@ -397,3 +397,31 @@ def test_partial_update_state_single_exchange(spark):
     plan = plan_of(read_state_partial(LakeTable.load(spark, p.table_path)))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_hll_is_fixed_keyspace_aggs(spark):
+    """events_hll_distinct: no Window and no global Sort — the sketch is a
+    64-bucket partial agg (register max), a register fold, and the exact
+    countDistinct riding alongside; rho is integer bit math, so nothing in
+    the plan leaves whole-stage codegen for Python."""
+    p = plan_of(QUERIES["events_hll_distinct"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "Sort " not in p or "TakeOrdered" in p, p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p, p
+
+
+def test_sampled_quantiles_topk_is_distributed(spark):
+    """events_sampled_quantiles: the md5 sample is TakeOrderedAndProject
+    (distributed top-k), never a global Sort of the table."""
+    p = plan_of(QUERIES["events_sampled_quantiles"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+
+
+def test_json_messages_is_pure_map(spark):
+    """cdc_json_messages: message build is filter + to_json projection over
+    the scan — zero exchanges, no join, no window, no Python."""
+    p = plan_of(QUERIES["cdc_json_messages"](spark, SF_DIR))
+    assert p.count("Exchange") == 0, p
+    assert "Join" not in p and "Window" not in p, p
+    assert "pythonUDF" not in p and "BatchEvalPython" not in p, p
