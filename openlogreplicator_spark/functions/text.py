@@ -454,3 +454,35 @@ def gopher_rules(
         **checks,
         "gopher_pass": gopher_pass,
     }
+
+
+def nfc_normalize_udf():
+    """Unicode NFC normalization kernel — the one Arrow-batched member of
+    this module (Spark has no normalization builtin through 4.x; the JVM's
+    java.text.Normalizer is not exposed as a SQL function). Batched
+    ``unicodedata.normalize("NFC", ...)`` over Arrow string arrays; Python's
+    normalizer and DuckDB's utf8proc-backed ``nfc_normalize`` implement the
+    same Unicode 15 canonical composition, verified equal on singletons
+    (U+212B), canonical reordering, and compatibility forms (which both
+    leave alone — NFC, not NFKC). Used by the ``docs_unicode_normalize``
+    gate; at 100 TB this is a map-side pass, embarrassingly parallel.
+    Reference analogue: none — charset DECODE is decoders.py's job
+    (CharacterSet*, src/locales/); normalization is a training-data
+    pipeline extension."""
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    def _batch(s: pd.Series) -> pd.Series:  # noqa: F821 — hints resolved here
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    # `from __future__ import annotations` stringifies the hints above, and
+    # pyspark 4 resolves them against the function's globals — give it real
+    # objects instead of relying on module-level names.
+    _batch.__annotations__ = {"s": pd.Series, "return": pd.Series}
+
+    return pandas_udf(_batch, StringType())

@@ -8469,3 +8469,54 @@ def engine_rollback_replay(spark, sf_dir):
     return p.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+_UNICODE_SPEC = dict(seed=13, n_docs=300)
+_UNICODE_DOCS = fixture_path(_REPLAY_BASE, "unicode_docs", _UNICODE_SPEC)
+
+
+def _ensure_unicode_docs() -> str:
+    from .datagen import write_unicode_docs
+
+    return ensure_fixture(
+        _UNICODE_DOCS, lambda d: write_unicode_docs(d, **{
+            "n_docs": _UNICODE_SPEC["n_docs"], "seed": _UNICODE_SPEC["seed"],
+        })
+    )
+
+
+_UNICODE_SQL = f"""
+    SELECT doc_id,
+           nfc_normalize(text) <> text AS nfc_changed,
+           CAST(length(text) AS INT) AS n_chars_raw,
+           CAST(length(nfc_normalize(text)) AS INT) AS n_chars_nfc,
+           md5(nfc_normalize(text)) AS norm_md5
+    FROM read_parquet('{_UNICODE_DOCS}/*.parquet')
+"""
+
+
+@register("docs_unicode_normalize", _UNICODE_SQL)
+def docs_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization pass — the canonical-equivalence scrub every
+    web-text dedup pipeline needs BEFORE hashing (the same page crawled from
+    two renderers can differ only in composed-vs-decomposed accents, and an
+    exact/MinHash dedup keyed on raw bytes misses the pair). Runs on a
+    deterministic mixed-normalization fixture (the sf* documents are already-
+    NFC salad): combining sequences, a U+212B singleton, and canonical
+    reordering all CHANGE under NFC; NFKC-only compatibility forms (fullwidth,
+    ligature) must NOT change — an over-eager NFKC normalizer hash-fails.
+    The value hash covers md5 of the normalized text, so the exact composed
+    output — not just the changed flag — is cross-checked against DuckDB's
+    utf8proc. Shape at 100 TB: one Arrow-batched map-side kernel
+    (TXT.nfc_normalize_udf), no shuffle. Reference analogue: none — the
+    reference decodes charsets (src/locales/) but never normalizes;
+    training-data pipeline extension."""
+    d = spark.read.parquet(_ensure_unicode_docs())
+    norm = TXT.nfc_normalize_udf()(F.col("text"))
+    return d.select(
+        "doc_id",
+        (norm != F.col("text")).alias("nfc_changed"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_nfc"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )
