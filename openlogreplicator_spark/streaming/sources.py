@@ -125,12 +125,31 @@ def jsonl_events(
     return _project_jsonl(reader.json(path))
 
 
-def write_events_jsonl(events_df: DataFrame, out_dir: str) -> None:
+def write_events_jsonl(
+    events_df: DataFrame, out_dir: str, n_files: int | None = None
+) -> None:
     """Export an events-schema DataFrame as the JSON-lines interchange
     layout ``jsonl_events`` reads (base64 binaries, epoch-micro times) —
-    the round-trip tool for moving a change log between engines."""
+    the round-trip tool for moving a change log between engines.
+
+    The output honors the ORDERED-ARCHIVE contract (S3) the streaming
+    reader depends on, in both dimensions FileStreamSource can order by:
+
+    * content: ``repartitionByRange(seq)`` + in-partition sort, so
+      part-file NAME order is archive (seq) order — a plain distributed
+      write packs input splits largest-first, which lands the earliest
+      events in the LAST part file and delivers DDLs out of order once a
+      maxFilesPerTrigger stream splits the files across epochs;
+    * mtime: part files are touched driver-side to strictly increasing
+      timestamps in name order — parallel write tasks otherwise race the
+      modification times FileStreamSource sorts on (the same property the
+      parquet fixture gets for free from datagen's sequential writer).
+    """
+    n = n_files or max(events_df.rdd.getNumPartitions(), 1)
     (
-        events_df.select(
+        events_df.repartitionByRange(n, "seq")
+        .sortWithinPartitions("seq")
+        .select(
             "seq",
             F.unix_micros(F.col("warc_ts")).alias("warc_ts_us"),
             "op", "url",
@@ -145,6 +164,14 @@ def write_events_jsonl(events_df: DataFrame, out_dir: str) -> None:
         .write.mode("overwrite")
         .json(out_dir)
     )
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    parts = sorted(_glob.glob(_os.path.join(out_dir, "part-*")))
+    base = _time.time() - len(parts)
+    for i, p in enumerate(parts):
+        _os.utime(p, (base + i, base + i))
 
 
 def kafka_events(kafka_df: DataFrame) -> DataFrame:
