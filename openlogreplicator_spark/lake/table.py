@@ -52,6 +52,8 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .bloom import bloom_might_contain
+
 
 class CommitConflict(RuntimeError):
     """Another writer advanced this ref since the handle's snapshot was
@@ -419,6 +421,17 @@ class LakeTable:
         operators.merge.read_state_partial / compact_partial only."""
         return bool(self.snap.get("partial_images"))
 
+    @property
+    def bloom_cols(self) -> tuple[str, ...]:
+        """String columns with a per-file Bloom membership index in the
+        manifests (flag ``{"bloom_cols": [...]}`` at create; lake/bloom.py).
+        Names are resolved against the CURRENT schema at each commit's build
+        pass — index a reserved/stable column (renaming one stops indexing
+        NEW files; already-indexed files keep pruning via field-id matching,
+        same as col_bounds). Build cost is one column-pruned read of each
+        newly committed file, the standard write-time secondary-index cost."""
+        return tuple(self.snap.get("bloom_cols") or ())
+
     def last_epoch(self) -> tuple[int, bool]:
         """(last confirmed epoch_id, whether it was finalized); (-1, True) if none.
 
@@ -566,7 +579,7 @@ class LakeTable:
             stats.update(
                 files_total=len(self.snap["files"]),
                 skipped_bucket=0, skipped_ts=0, skipped_eq=0,
-                files_selected=0, rows_selected=0,
+                skipped_bloom=0, files_selected=0, rows_selected=0,
             )
         out: list[dict] = []
         for fe in self.snap["files"]:
@@ -584,20 +597,41 @@ class LakeTable:
                 continue
             if eq_ids and fe["bucket"] not in eq_dirty:
                 cb = fe.get("col_bounds") or {}
+                blooms = fe.get("bloom") or {}
                 ver = fe["schema_ver"]
                 if ver not in ver_names:
                     ver_names[ver] = {
                         f["id"]: f["name"] for f in self.schema_at(ver)
                     }
-                skip = False
+                skip = None  # which prune fired: "eq" bounds | "bloom"
                 for fid, val in eq_ids.items():
-                    b = cb.get(ver_names[ver].get(fid, ""))
-                    if b is not None and (val < b[0] or val > b[1]):
-                        skip = True
+                    # member-of generalization: a list/tuple/set of candidate
+                    # values skips the file only when EVERY candidate is
+                    # excluded (sound: keep the file if any might be present)
+                    vals = (
+                        tuple(val)
+                        if isinstance(val, (list, tuple, set, frozenset))
+                        else (val,)
+                    )
+                    phys = ver_names[ver].get(fid, "")
+                    b = cb.get(phys)
+                    if b is not None and all(
+                        v < b[0] or v > b[1] for v in vals
+                    ):
+                        skip = "eq"
+                        break
+                    # bloom probe (manifest bitmap, lake/bloom.py): same
+                    # dirty-bucket gate and field-id matching as the bounds;
+                    # absent/malformed bitmaps never prune
+                    bl = blooms.get(phys)
+                    if bl is not None and not any(
+                        bloom_might_contain(bl, v) for v in vals
+                    ):
+                        skip = "bloom"
                         break
                 if skip:
                     if stats is not None:
-                        stats["skipped_eq"] += 1
+                        stats["skipped_" + skip] += 1
                     continue
             if stats is not None:
                 stats["files_selected"] += 1

@@ -34,6 +34,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..lake.bloom import bloom_build
 from ..lake.table import LakeTable
 from .lww import lww_compact_auto
 
@@ -139,16 +140,35 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
             if fn.endswith(".parquet"):
                 paths.append(os.path.join(root, fn))
 
+    bloom_cols = [
+        f["name"]
+        for f in table.current_schema()
+        if f["name"] in table.bloom_cols and f["type"] == "string"
+    ]
+
     def meta(ap: str):
-        md = pq.ParquetFile(ap).metadata
+        pf = pq.ParquetFile(ap)
+        md = pf.metadata
         lo, hi = _file_ts_bounds(md, STATS_COL)
-        return ap, md.num_rows, lo, hi, _file_col_bounds(md)
+        blooms: dict[str, dict] = {}
+        if bloom_cols:
+            # write-time Bloom index build (lake/bloom.py): one
+            # column-pruned read of just the indexed columns — O(indexed
+            # bytes) per commit, amortized by the same thread pool
+            present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+            if present:
+                cols = pf.read(columns=present)
+                for c in present:
+                    blooms[c] = bloom_build(
+                        (v.as_py() for v in cols.column(c)), md.num_rows
+                    )
+        return ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms
 
     entries, rows = [], 0
     if not paths:
         return entries, rows
     with concurrent.futures.ThreadPoolExecutor(min(16, len(paths))) as ex:
-        for ap, n, lo, hi, cb in ex.map(meta, paths):
+        for ap, n, lo, hi, cb, blooms in ex.map(meta, paths):
             rows += n
             e = {
                 "path": os.path.relpath(ap, table.path),
@@ -160,6 +180,8 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
                 e["ts_min_us"], e["ts_max_us"] = lo, hi
             if cb:
                 e["col_bounds"] = cb
+            if blooms:
+                e["bloom"] = blooms
             entries.append(e)
     return entries, rows
 
@@ -227,7 +249,10 @@ def read_state(
     df = df.filter(F.col("_op") != "d")
     if eq:
         for col, val in eq.items():
-            df = df.filter(F.col(col) == F.lit(val))
+            if isinstance(val, (list, tuple, set, frozenset)):
+                df = df.filter(F.col(col).isin(list(val)))
+            else:
+                df = df.filter(F.col(col) == F.lit(val))
     return df
 
 
@@ -443,6 +468,14 @@ def lookup_keys(
         .distinct()
         .collect()  # acceptable: ≤ |keys| ints from a literal-only job
     }
+    if key_t == "string":
+        # member-of eq: within the selected buckets, manifest col_bounds and
+        # Bloom bitmaps (lake/bloom.py) additionally skip every file that
+        # definitely holds none of the keys — the point-lookup index path
+        return read_state(
+            table, broadcast_budget_keys, buckets=bs,
+            eq={table.key_col: key_list},
+        )
     return read_state(table, broadcast_budget_keys, buckets=bs).filter(
         F.col(table.key_col).isin(key_list)
     )

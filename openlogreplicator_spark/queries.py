@@ -8520,3 +8520,61 @@ def docs_unicode_normalize(spark, sf_dir):
         F.length(norm).alias("n_chars_nfc"),
         F.md5(norm.cast("binary")).alias("norm_md5"),
     )
+
+
+_BLOOM_LOOKUP_SQL = f"""
+    WITH winners AS ({_REPLAY_SQL}),
+    keys AS (SELECT url FROM winners ORDER BY md5(url), url LIMIT 5)
+    SELECT w.url, w.warc_ts, w._seq, w.text, w.lang, w.http_status
+    FROM winners w JOIN keys USING (url)
+"""
+
+
+@register("engine_bloom_lookup", _BLOOM_LOOKUP_SQL)
+def engine_bloom_lookup(spark, sf_dir):
+    """Point lookup served through the per-file Bloom index (lake/bloom.py):
+    replay the fixture into a bloom_cols=("url",) table, time-cluster it so
+    every bucket holds SEVERAL files whose url values span the whole key
+    range (col_bounds provably cannot prune a url lookup on this layout —
+    that is the case the bloom exists for), then serve 5 deterministic keys
+    (md5-smallest winner urls, the ANN-style fixed evaluation set) via
+    lookup_keys. In-flight assert: the manifest bloom actually skipped files
+    (skipped_bloom > 0). The oracle recomputes those keys' winners from the
+    raw log, so a bloom FALSE NEGATIVE (a wrongly skipped file) would drop a
+    row and hash-fail — the no-false-negative property is value-gated, not
+    just unit-tested. Shape at 100 TB: bitmap build is one column-pruned
+    read per committed file (write-time index cost); the probe is
+    driver-side metadata, O(files × keys), no data I/O. Iceberg/Delta
+    file-level bloom-filter parity; reference analogue: checkpoint headers
+    carry scn ranges only (Metadata.cpp) — the ts-bounds prune — so this
+    extends that idea to hash membership."""
+    from .lake.table import LakeTable
+    from .operators.merge import cluster_buckets, lookup_keys
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_bloom_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        bloom_cols=("url",),
+    )
+    p.run_batch_replay()
+    t = LakeTable.load(spark, p.table_path)
+    cluster_buckets(t, target_rows_per_file=4)
+    t = LakeTable.load(spark, p.table_path)
+
+    keys = [
+        r["url"]
+        for r in p.target_state()
+        .orderBy(F.md5(F.col("url").cast("binary")), F.col("url"))
+        .select("url")
+        .limit(5)
+        .collect()  # acceptable: the fixed 5-key evaluation set
+    ]
+    stats = t.plan_scan(eq={"url": keys})
+    if stats["skipped_bloom"] <= 0:
+        raise AssertionError(f"bloom index did not prune: {stats}")
+    return lookup_keys(t, keys).select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )

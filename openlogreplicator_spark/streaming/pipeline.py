@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -85,6 +86,7 @@ class CdcPipeline:
         branch: str | None = None,
         source_format: str = "parquet",
         partial_updates: bool = False,
+        bloom_cols: Iterable[str] = (),
     ):
         self.spark = spark
         self.events_path = events_path
@@ -131,6 +133,9 @@ class CdcPipeline:
         # write-audit-publish: when set, every epoch commits to this branch
         # ref; main (`_current`) is untouched until LakeTable.publish_branch
         self.branch = branch
+        # per-file Bloom point-lookup index on these string columns
+        # (lake/bloom.py); build cost is one column-pruned read per new file
+        self.bloom_cols = tuple(bloom_cols)
 
     def _load_filter_config(self) -> dict:
         """T8 online config reload (reference watches the config file mtime
@@ -173,7 +178,11 @@ class CdcPipeline:
             n_buckets=self.n_buckets,
             schema_ver=1,
             reserved_cols=["warc_ts", "_seq", "_op"],
-            flags={"partial_images": True} if self.partial_updates else None,
+            flags={
+                **({"partial_images": True} if self.partial_updates else {}),
+                **({"bloom_cols": list(self.bloom_cols)} if self.bloom_cols else {}),
+            }
+            or None,
         )
         if self.branch is not None:
             self._table = self._table.create_branch(self.branch)
