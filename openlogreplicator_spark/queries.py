@@ -8578,3 +8578,75 @@ def engine_bloom_lookup(spark, sf_dir):
     return lookup_keys(t, keys).select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+_C4_SPEC = dict(seed=11, n_docs=350)
+_C4_DOCS = fixture_path(_REPLAY_BASE, "c4_docs", _C4_SPEC)
+
+
+def _ensure_c4_docs() -> str:
+    from .datagen import write_c4_docs
+
+    return ensure_fixture(
+        _C4_DOCS, lambda d: write_c4_docs(d, **{
+            "n_docs": _C4_SPEC["n_docs"], "seed": _C4_SPEC["seed"],
+        })
+    )
+
+
+_C4_SQL = f"""
+    WITH d AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls
+      FROM read_parquet('{_C4_DOCS}/*.parquet')),
+    f AS (
+      SELECT doc_id,
+             CAST(len(ls) AS INT) AS n_lines,
+             list_filter(ls, l ->
+               regexp_matches(l, '[.!?"]$')
+               AND len(string_split_regex(trim(l), '\\s+')) >= 5
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             (contains(lower(text), 'lorem ipsum') OR contains(text, '{{'))
+               AS page_poisoned
+      FROM d)
+    SELECT doc_id, n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           (NOT page_poisoned AND len(kept) >= 3) AS keep_doc,
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_md5
+    FROM f
+"""
+# dialect gotcha: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+
+
+@register("docs_c4_clean", _C4_SQL)
+def docs_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) — the third member
+    of the filter family next to the Gopher rule filter (doc-level stats)
+    and the CCNet perplexity buckets (model-based): keep a line only if it
+    ends in terminal punctuation, has >= 5 words, and doesn't mention
+    javascript; drop the whole page on 'lorem ipsum' / '{' poisons or < 3
+    surviving lines. Runs on a deterministic multi-line fixture with
+    planted 4-word/5-word boundary lines, so the >=5 rule is value-checked
+    at its edge; cleaned_md5 hashes the REBUILT document (exact surviving
+    spans, not just counts) against DuckDB's list_filter twin. Shape at
+    100 TB: pure JVM expression chain (split -> filter lambda ->
+    array_join), one map-side pass, no shuffle, no Python. Reference
+    analogue: none — training-data pipeline extension."""
+    d = spark.read.parquet(_ensure_c4_docs())
+    ls = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        ls,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= 5)
+        & ~F.lower(l).contains("javascript"),
+    )
+    page_poisoned = (
+        F.lower(F.col("text")).contains("lorem ipsum")
+        | F.col("text").contains("{")
+    )
+    return d.select(
+        "doc_id",
+        F.size(ls).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        (~page_poisoned & (F.size(kept) >= 3)).alias("keep_doc"),
+        F.md5(F.array_join(kept, "\n").cast("binary")).alias("cleaned_md5"),
+    )
