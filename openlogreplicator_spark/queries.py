@@ -8650,3 +8650,92 @@ def docs_c4_clean(spark, sf_dir):
         (~page_poisoned & (F.size(kept) >= 3)).alias("keep_doc"),
         F.md5(F.array_join(kept, "\n").cast("binary")).alias("cleaned_md5"),
     )
+
+
+_DSIR_SAMPLE_SQL = """
+    WITH base AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    bg AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM base WHERE len(toks) >= 2),
+    hashed AS (
+      SELECT doc_id, is_target,
+             CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM bg),
+    bstat AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS r,
+             CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS t
+      FROM hashed GROUP BY bucket),
+    tot AS (SELECT CAST(sum(r) AS BIGINT) AS rn, CAST(sum(t) AS BIGINT) AS tn
+            FROM bstat),
+    lr AS (
+      SELECT bucket,
+             CAST(round((ln((t + 0.5) / (tn + 512.0))
+                         - ln((r + 0.5) / (rn + 512.0))) * 1e6) AS BIGINT)
+               AS lr_micros
+      FROM bstat CROSS JOIN tot),
+    weights AS (
+      SELECT h.doc_id, CAST(sum(lr_micros) AS BIGINT) AS logw_micro_nats
+      FROM hashed h JOIN lr USING (bucket)
+      GROUP BY h.doc_id),
+    keyed AS (
+      SELECT doc_id, logw_micro_nats,
+             CAST(round((logw_micro_nats / 1e6
+                    - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                      || ':gumbel'), 1, 8)
+                               AS BIGINT) + 1) / 4294967297.0))) * 1e6)
+                  AS BIGINT) AS key_micro
+      FROM weights)
+    SELECT doc_id, logw_micro_nats, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 100
+    """
+
+
+@register("docs_dsir_sample", _DSIR_SAMPLE_SQL)
+def docs_dsir_sample(spark, sf_dir):
+    """DSIR importance RESAMPLING realized — Gumbel-top-k weighted sampling
+    without replacement (Xie et al. 2023 resample step; Vieira 2014 /
+    Kool et al. 2019 Gumbel-top-k): adding an independent Gumbel to each
+    doc's log-weight and taking the k largest draws a sample ∝ exp(logw)
+    WITHOUT replacement, entirely in log space (never exp(logw), which
+    over/underflows for real importance weights). The Gumbel is
+    deterministic — −ln(−ln u) with u from an md5 of the doc id — so both
+    engines draw the SAME sample; the rank key rides as exact integer
+    micro-units with a doc_id tiebreak so an FP ulp can never flip the
+    top-k threshold. Shape at 100 TB: the weight pipeline is
+    docs_dsir_weights' (1024-bucket fixed feature space, broadcast
+    log-ratio table); the selection is one TakeOrderedAndProject — no
+    global sort, no shuffle beyond the weight agg. Reference analogue:
+    none — training-data pipeline extension."""
+    weights = docs_dsir_weights(spark, sf_dir).select(
+        "doc_id", "logw_micro_nats"
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":gumbel"))
+                    .cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / 4294967297.0
+    key_micro = (
+        F.round(
+            (F.col("logw_micro_nats") / 1e6 - F.log(-F.log(u))) * 1e6
+        ).cast("long")
+    )
+    return (
+        weights.withColumn("key_micro", key_micro)
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(100)
+    )

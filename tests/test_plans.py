@@ -425,3 +425,18 @@ def test_json_messages_is_pure_map(spark):
     assert p.count("Exchange") == 0, p
     assert "Join" not in p and "Window" not in p, p
     assert "pythonUDF" not in p and "BatchEvalPython" not in p, p
+
+
+def test_dsir_sample_is_take_ordered(spark):
+    """Gumbel-top-k selection must be a TakeOrderedAndProject over the
+    weight aggregate — never a global sort of all keyed docs."""
+    p = plan_of(QUERIES["docs_dsir_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_c4_clean_is_single_pass(spark):
+    """C4 line cleaning is a pure map-side expression chain: no exchange,
+    no aggregate, no Python eval in the plan."""
+    p = plan_of(QUERIES["docs_c4_clean"](spark, SF_DIR))
+    assert "Exchange" not in p and "Aggregate" not in p, p
+    assert "Python" not in p, p
