@@ -827,6 +827,58 @@ def rewrite_buckets(table: LakeTable, buckets: Iterable[int]) -> dict:
     return {"files": len(new_files), "rows": rows, "buckets_rewritten": len(req)}
 
 
+def maintain(
+    table: LakeTable,
+    max_files_per_bucket: int = 4,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    tombstone_older_than=None,
+    keep_last_snapshots: int = 5,
+    partial_watermark_us: int | None = None,
+    broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
+) -> dict:
+    """One-call auto-maintenance — the pass a production scheduler runs on a
+    cadence next to the ingest pipeline (the reference's analogue is the
+    checkpoint GC thread that runs beside the parser, Metadata.cpp): consult
+    ``plan_compaction`` (snapshot metadata only, no data I/O) and execute
+    exactly the passes the table needs, in hazard-safe order:
+
+    1. ``compact_table`` when dirty merge-on-read buckets exist (LWW fold,
+       only those buckets);
+    2. ``rewrite_buckets`` bin-pack of clean-but-fragmented buckets (too
+       many files, or mostly-small files);
+    3. ``purge_tombstones`` when ``tombstone_older_than`` is given — the
+       caller asserts the event-time watermark has passed it (T4);
+    4. ``expire_snapshots`` GC.
+
+    PARTIAL-IMAGE tables route to ``compact_partial`` instead (whole-row
+    LWW passes are refused by the flag's soundness gate); it only runs when
+    ``partial_watermark_us`` is given, because folding history needs the
+    caller's late-arrival bound. Each pass commits through the same handle,
+    so the report reflects one consistent maintenance session; every value
+    in the returned dict is the underlying pass's own report."""
+    report: dict = {}
+    if table.partial_images:
+        if partial_watermark_us is not None:
+            report["compact_partial"] = compact_partial(
+                table, partial_watermark_us
+            )
+    else:
+        plan = table.plan_compaction(max_files_per_bucket, small_file_bytes)
+        if plan["compact"]:
+            report["compact"] = compact_table(table, broadcast_budget_keys)
+            # a fresh post-compact plan: compaction leaves one file per
+            # bucket, but the CLEAN queue was computed pre-compact and other
+            # writers may have landed since this handle loaded
+            plan = table.plan_compaction(max_files_per_bucket, small_file_bytes)
+        todo = [b for b in plan["rewrite"] if b not in table.dirty_buckets()]
+        if todo:
+            report["rewrite"] = rewrite_buckets(table, todo)
+        if tombstone_older_than is not None:
+            report["purge"] = purge_tombstones(table, tombstone_older_than)
+    report["expire"] = table.expire_snapshots(keep_last=keep_last_snapshots)
+    return report
+
+
 def cluster_buckets(
     table: LakeTable,
     target_rows_per_file: int = 4_000_000,

@@ -488,3 +488,74 @@ def test_branch_crash_orphan_is_harmless_and_gcd(spark, replayed):
     LakeTable.load(spark, t.path).expire_snapshots(keep_last=1)
     assert orphan_v not in LakeTable.load(spark, t.path).versions()
     assert LakeTable.branch_version(t.path, "crashy") is not None
+
+
+def test_maintain_runs_needed_passes_and_preserves_state(
+    spark, events_dir, tmp_path
+):
+    """maintain() = plan_compaction-driven orchestration: on a fresh MoR
+    replay it compacts the dirty buckets, bin-packs whatever stays
+    fragmented, GCs snapshots — and user-visible state is bit-identical."""
+    import datetime as dt
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import maintain, read_state
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor", compact_every=0)
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    assert t.dirty_buckets()  # MoR appends left work for maintenance
+    cols = ["url", "warc_ts", "_seq", "text", "lang"]
+    before = sorted(map(tuple, read_state(t).select(*cols).collect()))
+
+    rep = maintain(
+        t,
+        max_files_per_bucket=1,
+        tombstone_older_than=dt.datetime(1990, 1, 1),  # watermark: purge none
+        keep_last_snapshots=2,
+    )
+    assert rep["compact"]["buckets_rewritten"] > 0
+    assert "expire" in rep
+    assert not t.dirty_buckets()
+    t2 = LakeTable.load(spark, p.table_path)
+    after = sorted(map(tuple, read_state(t2).select(*cols).collect()))
+    assert after == before
+    # second run on a healthy table: nothing to compact or rewrite
+    rep2 = maintain(t2, max_files_per_bucket=4)
+    assert "compact" not in rep2 and "rewrite" not in rep2
+
+
+def test_maintain_partial_table_routes_to_fold_compaction(spark, tmp_path):
+    """On a partial-image table maintain() must never run whole-row LWW
+    passes; it folds bounded history only when given the watermark."""
+    from openlogreplicator_spark.operators.merge import maintain, merge_append
+
+    import datetime as dt
+
+    fields = [("url", "string"), ("warc_ts", "timestamp"), ("_seq", "long"),
+              ("_op", "string"), ("text", "string"), ("lang", "string")]
+    t = LakeTable.create(
+        spark, str(tmp_path / "pt"), fields, key_col="url", n_buckets=2,
+        flags={"partial_images": True},
+    )
+    ddl = ("url string, warc_ts timestamp, _seq long, _op string, "
+           "text string, lang string")
+    ts0, ts1 = dt.datetime(2020, 1, 1), dt.datetime(2020, 6, 1)
+    merge_append(
+        t, spark.createDataFrame(
+            [("k", ts0, 1, "c", "full", "en"),
+             ("k", ts0, 2, "u", "patch", None)], ddl), epoch_id=0)
+    merge_append(
+        t, spark.createDataFrame([("k", ts1, 3, "u", None, "de")], ddl),
+        epoch_id=1)
+    # without a watermark: no fold may run (and no whole-row pass ever)
+    rep = maintain(t)
+    assert "compact" not in rep and "compact_partial" not in rep
+    import time
+
+    wm = int(dt.datetime(2020, 3, 1).timestamp() * 1_000_000)
+    rep2 = maintain(t, partial_watermark_us=wm)
+    assert "compact_partial" in rep2
