@@ -8739,3 +8739,59 @@ def docs_dsir_sample(spark, sf_dir):
         .orderBy(F.desc("key_micro"), "doc_id")
         .limit(100)
     )
+
+
+@register("engine_maintain_replay", _REPLAY_SQL)
+def engine_maintain_replay(spark, sf_dir):
+    """The one-call maintenance orchestrator through the value gate: replay
+    the fixture as merge-on-read (every epoch appends deltas; no inline
+    compaction), then run `operators.merge.maintain` — plan_compaction
+    splits the dirty/fragmented queues from snapshot metadata alone, the
+    dirty buckets LWW-fold, clean fragmented ones bin-pack, tombstones
+    older than the (pre-data) watermark purge (none here — the tombstones
+    must survive to keep late resurrects dead), snapshots GC. In-flight
+    asserts: maintenance actually compacted (dirty set emptied) and the
+    file count SHRANK; the oracle then proves user-visible state is
+    bit-identical to the plain replay — maintenance is never a semantics
+    change. Shape at 100 TB: every pass is bucket-pruned and
+    metadata-planned; this is the cadence job a scheduler runs beside the
+    ingest pipeline (reference analogue: the checkpoint GC thread,
+    Metadata.cpp checkpoint retention)."""
+    import datetime as _dt
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import maintain
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_maint_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    t = LakeTable.load(spark, p.table_path)
+    if not t.dirty_buckets():
+        raise AssertionError("MoR replay left no dirty buckets to maintain")
+    n_files_before = len(t.snap["files"])
+    rep = maintain(
+        t,
+        max_files_per_bucket=1,
+        tombstone_older_than=_dt.datetime(1990, 1, 1),
+        keep_last_snapshots=2,
+    )
+    if "compact" not in rep or t.dirty_buckets():
+        raise AssertionError(f"maintain did not compact: {rep}")
+    if len(t.snap["files"]) >= n_files_before:
+        raise AssertionError(
+            f"maintenance did not shrink files: {n_files_before} -> "
+            f"{len(t.snap['files'])}"
+        )
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
