@@ -960,6 +960,68 @@ class LakeTable:
                 os.rmdir(root)
         return {"snapshots_removed": removed_snaps, "data_files_removed": removed_files}
 
+    def clone_to(self, dst_path: str) -> "LakeTable":
+        """Metadata-only SHALLOW CLONE (Delta ``SHALLOW CLONE`` / Iceberg
+        snapshot-export analogue): a new independent table whose base
+        manifest references this table's CURRENT data files by ABSOLUTE
+        path — zero data copied, O(files) metadata, so a 100 TB table
+        clones in milliseconds for experimentation / CI sandboxing / a WAP
+        audit environment with its own ref history.
+
+        The clone is fully independent from its first commit: new writes
+        land under the clone's own ``data/`` root, and any bucket rewrite
+        (merge, compaction, maintain) migrates that bucket copy-on-write
+        off the source files. Schema history, key/bucket config, flags
+        (partial_images, bloom_cols), per-bucket dirty marks, and the
+        confirmed-epoch watermark all carry over; tags/branches do NOT (a
+        clone starts its own ref history).
+
+        GC safety holds by construction on the CLONE side:
+        ``expire_snapshots`` only deletes parquet under its own data root
+        (matched by relative path), so clone GC can never touch source
+        data. CAVEAT, same as Delta's: the SOURCE does not know about
+        clones — a source-side expire that removes files a clone still
+        references breaks the clone. Clone from a TAGGED snapshot (tags
+        are retention pins) when the source is under active maintenance."""
+        if LakeTable.exists(dst_path):
+            raise ValueError(f"clone target already exists: {dst_path}")
+        os.makedirs(os.path.join(dst_path, "_snapshots", "manifests"),
+                    exist_ok=True)
+        os.makedirs(os.path.join(dst_path, "data"), exist_ok=True)
+        src_root = os.path.abspath(self.path)
+        files = []
+        for fe in self.snap["files"]:
+            e = json.loads(json.dumps(fe))
+            if not os.path.isabs(e["path"]):
+                e["path"] = os.path.join(src_root, e["path"])
+            files.append(e)
+        drop = {"version", "parent", "manifests", "files", "summary"}
+        snap = {
+            k: json.loads(json.dumps(v))
+            for k, v in self.snap.items()
+            if k not in drop
+        }
+        snap.update(
+            version=1,
+            parent=None,
+            manifests=[],
+            files=[],
+            summary={
+                "op": "clone",
+                "src": src_root,
+                "src_version": self.snap["version"],
+            },
+        )
+        t = LakeTable(self.spark, dst_path, snap)
+        if files:
+            base = t._write_manifest(files, 1, "clone")
+            snap["manifests"] = [
+                {"path": base, "replaced_buckets": [], "n_files": len(files)}
+            ]
+            snap["files"] = files
+        t._write_snapshot(snap)
+        return t
+
     # ------------------------------------------------------------- internal
     def _next_snap(self, summary: dict[str, Any]) -> dict:
         snap = json.loads(json.dumps(self.snap))  # deep copy

@@ -8795,3 +8795,56 @@ def engine_maintain_replay(spark, sf_dir):
     return p.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+@register("engine_clone_continue", _REPLAY_SQL)
+def engine_clone_continue(spark, sf_dir):
+    """Zero-copy fork-and-continue through the value gate: replay epochs
+    0-1 into a source table, SHALLOW-CLONE it (LakeTable.clone_to — O(files)
+    metadata, the clone's base manifest references the source parquet by
+    absolute path, nothing copied), then deliver epochs 2-3 to the CLONE
+    only. The clone must equal the full four-file replay (the oracle);
+    in-flight asserts pin that the clone copied zero data files at fork
+    time and that the SOURCE still holds exactly the epoch-1 state — full
+    divergence isolation. This is the Delta SHALLOW CLONE / dev-sandbox
+    shape: fork a 100 TB target in milliseconds, test a pipeline change
+    against it, throw it away; clone-side GC can only delete under the
+    clone's own data root. Exactly-once also transfers: the clone inherits
+    the confirmed-epoch watermark, so re-delivering epoch 1 to it would be
+    suppressed while epochs 2-3 apply."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_clone_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "src"), os.path.join(d, "c1"))
+    for i, f in enumerate(files[:2]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    src = LakeTable.load(spark, p.table_path)
+    src_rows = p.target_state().count()
+
+    clone_path = os.path.join(d, "clone")
+    src.clone_to(clone_path)
+    copied = [
+        os.path.join(r, fn)
+        for r, _dd, fs in os.walk(os.path.join(clone_path, "data"))
+        for fn in fs
+        if fn.endswith(".parquet")
+    ]
+    if copied:
+        raise AssertionError(f"clone copied data files: {copied[:3]}")
+
+    p2 = CdcPipeline(spark, ev, clone_path, os.path.join(d, "c2"))
+    for i, f in enumerate(files[2:], start=2):
+        p2.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+
+    if p.target_state().count() != src_rows:
+        raise AssertionError("source state changed under the clone's writes")
+    return p2.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
