@@ -8848,3 +8848,77 @@ def engine_clone_continue(spark, sf_dir):
     return p2.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+_FIRST_SEEN_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq, text, filename
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    w AS (
+      SELECT url, warc_ts, seq AS _seq, text,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY filename, warc_ts, seq) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, md5(coalesce(text, '')) AS text_md5
+    FROM w WHERE rn = 1
+"""
+
+
+@register("engine_stream_first_seen", _FIRST_SEEN_SQL)
+def engine_stream_first_seen(spark, sf_dir):
+    """The custom STATEFUL streaming operator through the value gate:
+    applyInPandasWithState first-seen ingest dedup (streaming/dedup.py)
+    over the replay log streamed one archive file per micro-batch — each
+    url admits exactly its FIRST arrival (arrival order across epochs,
+    min (warc_ts, seq) within one; first-writer-wins, the dual of LWW)
+    and every later version is suppressed by the one-boolean-per-key
+    state store. ~10 versions per url in the fixture, so cross-epoch
+    suppression does real work. The oracle reproduces arrival order from
+    the archive filenames (lexicographic = delivery order, the S3
+    ordered-archive contract), so a state-store miss — a key admitted
+    twice, or the wrong in-batch winner — breaks the value hash. Shape at
+    100 TB: state is one boolean per distinct key (switch the provider to
+    RocksDB past memory), shuffle key is the dedup key itself. Reference
+    analogue: idempotent confirm/re-delivery suppression keyed by scn
+    (WriterStream confirm protocol), re-keyed by content/entity."""
+    from .operators.decode import EVENTS_DDL
+    from .streaming.dedup import first_seen_only
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_fseen_")
+    out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev)
+    )
+    dml = stream.filter(
+        F.col("op").isNotNull()
+        & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+    ).select("url", "warc_ts", "seq", "text")
+    admitted = first_seen_only(dml, "url", ["warc_ts", "seq"])
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.schema(
+        "url string, warc_ts timestamp, seq long, text string"
+    ).parquet(out)
+    return res.select(
+        "url",
+        "warc_ts",
+        F.col("seq").alias("_seq"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_md5"
+        ),
+    )
