@@ -8922,3 +8922,92 @@ def engine_stream_first_seen(spark, sf_dir):
             "text_md5"
         ),
     )
+
+
+_NGRAM_NOVELTY_SQL = """
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                 1, 8) AS BIGINT) % 10 = 0 AS is_batch
+      FROM documents WHERE length(trim(text)) > 0),
+    grams AS (
+      SELECT doc_id, is_batch,
+             unnest(list_transform(range(1, len(toks) - 3),
+                    i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])))
+               AS gram
+      FROM base WHERE len(toks) >= 5),
+    corpus_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE NOT is_batch),
+    scored AS (
+      SELECT g.doc_id, count(*) AS n_grams,
+             count(*) FILTER (WHERE c.gram IS NULL) AS n_novel
+      FROM grams g LEFT JOIN corpus_grams c USING (gram)
+      WHERE g.is_batch GROUP BY g.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(round(n_novel * 1e6 / n_grams) AS BIGINT) AS novelty_ppm
+    FROM scored
+    """
+
+
+@register("docs_ngram_novelty", _NGRAM_NOVELTY_SQL)
+def docs_ngram_novelty(spark, sf_dir):
+    """Batch-vs-corpus 5-gram novelty — the memorization / freshness monitor
+    (the complement of docs_decontaminate's overlap direction): a held-out
+    md5-keyed 10% batch scores, per doc, the share of its 5-grams absent
+    from the other 90%'s distinct gram set. Low novelty = the 'new' data is
+    already in the corpus (re-crawl, mirror, near-dup leakage into a fresh
+    dump); the FineWeb-style per-dump freshness check. Shape at 100 TB:
+    grams ride as md5 HASHES (fixed width, never the raw 5-token strings),
+    the corpus side is a distinct partial-agg, the probe is one equi
+    LEFT ANTI-shaped join on the hash — batch-sized output, and the
+    novelty share rides as exact integer ppm so FP division can't flip the
+    hash. Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    is_batch = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 10 == 0
+    )
+    base = d.select(
+        "doc_id", is_batch.alias("is_batch"), toks.alias("toks")
+    ).filter(F.size("toks") >= 5)
+    grams = base.select(
+        "doc_id",
+        "is_batch",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 4),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[F.element_at(F.col("toks"), i + k) for k in range(5)],
+                    ).cast("binary")
+                ),
+            )
+        ).alias("gram"),
+    )
+    corpus = grams.filter(~F.col("is_batch")).select("gram").distinct()
+    probe = grams.filter(F.col("is_batch")).join(
+        corpus.withColumn("_hit", F.lit(1)), "gram", "left"
+    )
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0)).alias("n_novel"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") * 1e6 / F.col("n_grams"))
+        .cast("long")
+        .alias("novelty_ppm"),
+    )
