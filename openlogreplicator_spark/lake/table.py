@@ -821,6 +821,16 @@ class LakeTable:
         absd = os.path.join(self.path, rel)
         return absd, rel
 
+    # summary ops whose concurrent commit an epoch writer may safely rebase
+    # over: content-preserving maintenance only. An epoch/merge/evolve from
+    # another writer means TWO ingest writers on one table — never rebase
+    # over that (the one-query-owns-the-sink contract would be violated and
+    # a rebase could double-apply an epoch).
+    _REBASEABLE_OPS = frozenset(
+        {"compact", "rewrite", "cluster", "zorder", "purge_tombstones",
+         "compact_partial"}
+    )
+
     def commit_files(
         self,
         new_files: list[dict],
@@ -828,6 +838,8 @@ class LakeTable:
         summary: dict[str, Any],
         schema_ver: int | None = None,
         extra: dict[str, Any] | None = None,
+        rebase_on_conflict: bool = True,
+        _attempts: int = 5,
     ) -> None:
         """Commit: carry over untouched buckets' files, swap in new ones
         (empty ``replaced_buckets`` = pure append, the merge-on-read path).
@@ -840,7 +852,18 @@ class LakeTable:
         written; the snapshot records only its ref + replaced buckets. The
         full file list lives in memory (resolved on load), never on the
         per-commit write path.
-        """
+
+        ``rebase_on_conflict``: when a CONCURRENT MAINTENANCE commit moves
+        the ref mid-epoch (compact/rewrite/cluster/zorder/purge — a
+        scheduler running ``maintain()`` beside the ingest pipeline), the
+        loser reloads the new head and re-applies the SAME files +
+        replaced buckets (Iceberg's CommitFailedException retry). Sound
+        because maintenance is content-preserving: this commit's output
+        already folds everything the maintenance pass folded for the
+        buckets it replaces, and appends are position-independent. The
+        rebase is REFUSED (conflict re-raised) when the winner evolved the
+        schema, changed the bucket count, or was itself an ingest commit —
+        those invalidate the data files already written."""
         replaced = sorted(set(replaced_buckets))
         snap = self._next_snap(summary=summary)
         if "manifests" not in snap:
@@ -873,8 +896,41 @@ class LakeTable:
             assert str(schema_ver) in snap["schemas"]
         for k, v in (extra or {}).items():
             snap[k] = v
-        self._write_snapshot(snap)
+        try:
+            self._write_snapshot(snap)
+        except CommitConflict:
+            if not rebase_on_conflict or _attempts <= 1:
+                raise
+            self._rebase_for_retry()
+            # re-apply the SAME physical outcome on the new head; each
+            # level re-checks the new winner, bounded by _attempts
+            return self.commit_files(
+                new_files, replaced_buckets, summary,
+                schema_ver=schema_ver, extra=extra,
+                rebase_on_conflict=rebase_on_conflict,
+                _attempts=_attempts - 1,
+            )
         self.snap = snap
+
+    def _rebase_for_retry(self) -> None:
+        """Reload the ref head after a CommitConflict and verify the winner
+        was a content-preserving maintenance commit at the same schema and
+        bucket layout — the only case where re-applying already-written
+        data files is sound (see commit_files docstring). Re-raises the
+        conflict otherwise."""
+        head = LakeTable.load(self.spark, self.path, branch=self.branch)
+        win_op = str((head.snap.get("summary") or {}).get("op"))
+        if (
+            win_op not in self._REBASEABLE_OPS
+            or head.current_schema_ver != self.current_schema_ver
+            or head.snap.get("n_buckets") != self.snap.get("n_buckets")
+        ):
+            raise CommitConflict(
+                f"ref moved by non-rebaseable commit (op={win_op!r}, "
+                f"schema v{head.current_schema_ver}, "
+                f"{head.snap.get('n_buckets')} buckets) — reload and re-apply"
+            )
+        self.snap = head.snap
 
     def _write_manifest(self, files: list[dict], version: int, kind: str) -> str:
         mdir = os.path.join(self.path, "_snapshots", "manifests")

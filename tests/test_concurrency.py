@@ -224,3 +224,77 @@ def test_threaded_commit_hammer_loses_nothing(spark, table):
             walked += 1
         v = chain[v]
     assert walked == n_threads * per_thread
+
+
+def test_epoch_commit_rebases_over_concurrent_maintenance(
+    spark, events_dir, tmp_path
+):
+    """The scheduler-races-the-pipeline case: maintenance (compact) moves
+    main between an epoch's table load and its commit. The epoch commit
+    must REBASE (re-apply the same files on the new head) instead of
+    killing the stream — and state must equal a serial replay."""
+    from openlogreplicator_spark.operators.merge import (
+        compact_table,
+        merge_append,
+    )
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor", compact_every=0)
+    for i, f in enumerate(files[:3]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+
+    # two handles: the "pipeline's" (stale after maintenance) and the
+    # "scheduler's", which compacts first
+    stale = LakeTable.load(spark, p.table_path)
+    compact_table(LakeTable.load(spark, p.table_path))
+    assert LakeTable.current_version(p.table_path) > stale.snap["version"]
+
+    batch = spark.read.schema(EVENTS_DDL).parquet(files[3])
+    from openlogreplicator_spark.operators.decode import (
+        dml_events,
+        project_dml,
+    )
+
+    dml = project_dml(dml_events(batch), stale)
+    merge_append(stale, dml, epoch_id=3)  # must rebase, not raise
+
+    # serial replay of the SAME four epochs for comparison
+    p2 = CdcPipeline(spark, events_dir, str(tmp_path / "t2"),
+                     str(tmp_path / "c2"), merge_mode="mor", compact_every=0)
+    for i, f in enumerate(files[:4]):
+        p2.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    cols = ["url", "warc_ts", "_seq", "text", "lang"]
+    got = sorted(map(tuple, read_state(
+        LakeTable.load(spark, p.table_path)).select(*cols).collect()))
+    want = sorted(map(tuple, p2.target_state().select(*cols).collect()))
+    assert got == want
+    # the rebased epoch advanced the exactly-once watermark
+    assert LakeTable.load(spark, p.table_path).last_epoch() == (3, True)
+
+
+def test_epoch_commit_refuses_rebase_over_ingest_or_evolve(
+    spark, events_dir, tmp_path
+):
+    """Rebase is maintenance-only: a concurrent EVOLVE (schema moved under
+    the epoch's already-written files) must still raise CommitConflict."""
+    from openlogreplicator_spark.operators.decode import (
+        dml_events,
+        project_dml,
+    )
+    from openlogreplicator_spark.operators.merge import merge_append
+
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor", compact_every=0)
+    for i, f in enumerate(files[:3]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+
+    stale = LakeTable.load(spark, p.table_path)
+    LakeTable.load(spark, p.table_path).evolve(
+        "add_column", "race_col", new_type="string"
+    )
+    batch = spark.read.schema(EVENTS_DDL).parquet(files[3])
+    dml = project_dml(dml_events(batch), stale)
+    with pytest.raises(CommitConflict, match="non-rebaseable"):
+        merge_append(stale, dml, epoch_id=3)
