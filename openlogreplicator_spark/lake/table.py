@@ -951,7 +951,9 @@ class LakeTable:
         self.snap = snap
 
     # ----------------------------------------------------------- maintenance
-    def expire_snapshots(self, keep_last: int = 5) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 5, orphan_grace_secs: float = 600.0
+    ) -> dict:
         """GC old snapshots + data files referenced by no retained snapshot.
 
         Mirrors the reference's checkpoint GC: keep the last N checkpoint
@@ -964,7 +966,32 @@ class LakeTable:
         chain back to the fork point: publish_branch needs the parent chain
         to prove fast-forwardability, and audit windows are short so the
         chain is bounded.
-        """
+
+        CONCURRENT-WRITER SAFETY (found by the ingest-vs-maintenance soak
+        test): a file can be unreferenced for two very different reasons —
+        it is DEAD (only expired snapshots referenced it), or it is BEING
+        BORN (an in-flight commit wrote it and will reference it a moment
+        from now; data files, manifests, and *.tmp all publish BEFORE the
+        snapshot that references them). Provably-dead files (referenced by
+        a snapshot expired in THIS pass and by no retained one) delete
+        immediately; everything else unreferenced — crash debris, torn
+        writes — deletes only when its mtime is older than
+        ``orphan_grace_secs`` (Iceberg's remove_orphan_files
+        older-than contract; no in-flight commit spans the grace). Spark's
+        ``_temporary`` staging trees are never touched at any age: a live
+        write job owns them. Pass ``orphan_grace_secs=0`` for the
+        single-writer crash-cleanup shape where everything unreferenced is
+        known debris."""
+        import time as _time
+
+        now = _time.time()
+
+        def _aged(p: str) -> bool:
+            try:
+                return now - os.path.getmtime(p) >= orphan_grace_secs
+            except OSError:
+                return False  # vanished under us: another GC / a publisher
+
         vers = self.versions()
         keep = (
             set(vers[-keep_last:])
@@ -975,45 +1002,81 @@ class LakeTable:
             keep.update(self._chain_versions(br["version"], br["fork"]))
         retained_paths: set[str] = set()
         retained_manifests: set[str] = set()
+        dead_paths: set[str] = set()
+        dead_manifests: set[str] = set()
         sdir = os.path.join(self.path, "_snapshots")
         removed_snaps, removed_files = 0, 0
         for v in vers:
-            if v in keep:
+            try:
                 with open(os.path.join(sdir, f"v{v:08d}.json")) as f:
                     s = json.load(f)
-                if "manifests" in s:
-                    retained_manifests.update(m["path"] for m in s["manifests"])
-                    files = self._resolve_files(self.path, s["manifests"])
-                else:
-                    files = s["files"]
+            except FileNotFoundError:
+                continue  # concurrent GC
+            if "manifests" in s:
+                mrefs = {m["path"] for m in s["manifests"]}
+                files = self._resolve_files(self.path, s["manifests"])
+            else:
+                mrefs = set()
+                files = s["files"]
+            if v in keep:
+                retained_manifests.update(mrefs)
                 retained_paths.update(e["path"] for e in files)
+            else:
+                dead_manifests.update(mrefs)
+                dead_paths.update(e["path"] for e in files)
         for v in vers:
             if v not in keep:
-                os.remove(os.path.join(sdir, f"v{v:08d}.json"))
-                removed_snaps += 1
+                try:
+                    os.remove(os.path.join(sdir, f"v{v:08d}.json"))
+                    removed_snaps += 1
+                except FileNotFoundError:
+                    pass
         # *.tmp anywhere under _snapshots: every writer here (manifest,
         # snapshot JSON, _current pointer) publishes via tmp + os.replace; a
-        # crash inside that window leaves an orphan nothing references
+        # crash inside that window leaves an orphan nothing references. A
+        # YOUNG .tmp may be a publisher mid-swap — grace applies.
         for root, _dirs, fns in os.walk(sdir):
             for fn in fns:
-                if fn.endswith(".tmp"):
-                    os.remove(os.path.join(root, fn))
+                if fn.endswith(".tmp") and _aged(os.path.join(root, fn)):
+                    try:
+                        os.remove(os.path.join(root, fn))
+                    except FileNotFoundError:
+                        pass
         mdir = os.path.join(sdir, "manifests")
         if os.path.isdir(mdir):
             for fn in os.listdir(mdir):
                 rel = os.path.join("_snapshots", "manifests", fn)
-                if fn.endswith(".json") and rel not in retained_manifests:
-                    os.remove(os.path.join(mdir, fn))
+                if not fn.endswith(".json") or rel in retained_manifests:
+                    continue
+                ap = os.path.join(mdir, fn)
+                if rel in dead_manifests or _aged(ap):
+                    try:
+                        os.remove(ap)
+                    except FileNotFoundError:
+                        pass
         data_root = os.path.join(self.path, "data")
         for root, _dirs, files in os.walk(data_root):
+            if "_temporary" in root.split(os.sep):
+                continue  # a live Spark write job owns its staging tree
             for fn in files:
-                rel = os.path.relpath(os.path.join(root, fn), self.path)
-                if fn.endswith(".parquet") and rel not in retained_paths:
-                    os.remove(os.path.join(root, fn))
-                    removed_files += 1
+                ap = os.path.join(root, fn)
+                rel = os.path.relpath(ap, self.path)
+                if not fn.endswith(".parquet") or rel in retained_paths:
+                    continue
+                if rel in dead_paths or _aged(ap):
+                    try:
+                        os.remove(ap)
+                        removed_files += 1
+                    except FileNotFoundError:
+                        pass
         for root, dirs, files in os.walk(data_root, topdown=False):
-            if root != data_root and not dirs and not files:
-                os.rmdir(root)
+            if "_temporary" in root.split(os.sep):
+                continue
+            if root != data_root and not dirs and not files and _aged(root):
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass  # a writer re-populated or removed it concurrently
         return {"snapshots_removed": removed_snaps, "data_files_removed": removed_files}
 
     def clone_to(self, dst_path: str) -> "LakeTable":

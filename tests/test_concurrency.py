@@ -298,3 +298,59 @@ def test_epoch_commit_refuses_rebase_over_ingest_or_evolve(
     dml = project_dml(dml_events(batch), stale)
     with pytest.raises(CommitConflict, match="non-rebaseable"):
         merge_append(stale, dml, epoch_id=3)
+
+
+def test_streaming_ingest_with_concurrent_maintenance_soak(
+    spark, events_dir, events_pdf, tmp_path
+):
+    """Property, not a staged race: a maintenance loop (the scheduler)
+    hammers compact/GC while the streaming pipeline replays every epoch.
+    Whoever loses a commit race follows their contract — epochs REBASE over
+    maintenance, maintenance gets CommitConflict and reloads — and the
+    final state must be golden under whatever interleaving this run
+    produced."""
+    import time
+
+    from openlogreplicator_spark.lake.table import CommitConflict
+    from openlogreplicator_spark.operators.merge import compact_table
+
+    p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
+                    merge_mode="mor", compact_every=0)
+    stop = threading.Event()
+    outcomes = {"ok": 0, "conflict": 0, "err": []}
+
+    def scheduler():
+        while not stop.is_set():
+            try:
+                if LakeTable.exists(p.table_path):
+                    t = LakeTable.load(spark, p.table_path)
+                    compact_table(t)
+                    t.expire_snapshots(keep_last=3)
+                    outcomes["ok"] += 1
+            except CommitConflict:
+                outcomes["conflict"] += 1  # lost to an epoch: reload+retry
+            except Exception as ex:  # noqa: BLE001 — surface in the assert
+                outcomes["err"].append(repr(ex))
+                return
+            time.sleep(0.2)
+
+    th = threading.Thread(target=scheduler, daemon=True)
+    th.start()
+    try:
+        p.run_available_now(max_files_per_trigger=1)
+    finally:
+        stop.set()
+        th.join(timeout=30)
+    assert not outcomes["err"], outcomes["err"]
+    assert outcomes["ok"] > 0  # the scheduler really ran against the table
+
+    golden = replay(events_pdf)
+    got = (
+        p.target_state().toPandas()
+        .sort_values("url", kind="stable").reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(golden["url"])
+    assert list(got["text"]) == list(golden["text"])
+    assert got["http_status"].astype("Int64").equals(
+        golden["http_status"].astype("Int64")
+    )

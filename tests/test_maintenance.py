@@ -221,7 +221,7 @@ def test_orphans_from_crashed_commit_are_invisible_and_gcable(
     assert t2.snap["version"] == version  # suppressed, no new commit
     assert p.target_state().count() == state_rows
 
-    stats = t2.expire_snapshots(keep_last=100)  # GC by reachability only
+    stats = t2.expire_snapshots(keep_last=100, orphan_grace_secs=0)  # known debris
     assert stats["data_files_removed"] >= len(orphans)
     assert not any(os.path.exists(f) for f in orphans)
     assert p.target_state().count() == state_rows
@@ -240,7 +240,7 @@ def test_expire_snapshots_gcs_orphan_tmp_manifests(spark, replayed):
     for orphan in orphans:
         with open(orphan, "w") as f:
             f.write("{}")
-    t.expire_snapshots(keep_last=2)
+    t.expire_snapshots(keep_last=2, orphan_grace_secs=0)
     for orphan in orphans:
         assert not os.path.exists(orphan), orphan
 
