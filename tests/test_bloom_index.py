@@ -153,3 +153,30 @@ def test_tables_without_flag_record_no_blooms(spark, tmp_path):
     assert all("bloom" not in fe for fe in t.snap["files"])
     # absent bloom = never prune; lookups still correct
     assert t.plan_scan(eq={"url": "zzz"})["skipped_bloom"] == 0
+
+
+def test_bloom_survives_column_rename_via_field_id(spark, tmp_path):
+    """Files written BEFORE a rename carry blooms under the old physical
+    name; the probe matches by FIELD ID, so eq lookups under the NEW name
+    still prune them (same rule as col_bounds)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t4"), FIELDS, key_col="url", n_buckets=1,
+        flags={"bloom_cols": ["lang"]},
+    )
+    ddl = ("url string, warc_ts timestamp, _seq long, _op string, "
+           "text string, lang string")
+    merge_append(
+        t, spark.createDataFrame(
+            [(f"k{i}", TS, i, "c", "x", "en" if i % 2 else "de")
+             for i in range(40)], ddl), epoch_id=0)
+    t = LakeTable.load(spark, t.path)
+    cluster_buckets(t, target_rows_per_file=10)  # several clean files
+    t = LakeTable.load(spark, t.path)
+    assert all("bloom" in fe for fe in t.snap["files"])
+
+    t.evolve("rename_column", "lang", new_name="language")
+    t = LakeTable.load(spark, t.path)
+    stats = t.plan_scan(eq={"language": "zz"})  # value present in no file
+    assert stats["skipped_bloom"] + stats["skipped_eq"] == stats["files_total"]
+    got = read_state(t, eq={"language": "en"}).count()
+    assert got == 20  # field-id matching never loses rows under the rename
