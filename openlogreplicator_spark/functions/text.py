@@ -232,6 +232,102 @@ def paragraph_dedup(
     )
 
 
+def exact_substr_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """ExactSubstr dedup with span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every ``k``-token window
+    that occurs more than once in the corpus — across documents OR repeated
+    inside one — survives only at its globally FIRST occurrence in
+    (doc_id, pos) order; every token covered by a non-first duplicate window
+    is removed, and each document is rebuilt from its surviving tokens.
+    The set-level near-dup family (MinHash/SimHash) drops whole documents;
+    docs_shared_span_dups DETECTS shared spans per pair; this op performs
+    the paper's actual corpus REWRITE. Per doc: token counts, removed
+    fraction, md5 of the rebuilt text (the value-hashable stand-in for
+    shipping the cleaned corpus). All matching is over lowercased
+    whitespace tokens (the shared_span convention).
+
+    Scale shape — linear in corpus tokens, never pairwise: windows are a
+    zero-shuffle expression chain keyed by xxhash64 over the k tokens (an
+    8-byte shuffle key; the gram VALUE never reaches the output, so only
+    hash equality matters — a 64-bit collision would flip the value hash
+    and fail the oracle gate); first-occurrence is ONE partial-aggregated
+    groupBy on the gram hash (min over a (doc, pos) struct, map-side
+    combine shrinks the shuffle to distinct grams — hot boilerplate grams
+    are exactly the skew AQE agg-splitting handles, and unlike the pair
+    joins no DF cap is needed because each occurrence is classified once,
+    never joined to its peers); coverage explodes O(k) positions per
+    duplicate window only; the rebuild is a left-anti equi-join plus one
+    per-doc groupBy. Reference analogue: none; training-data extension."""
+    toks = tokens_array(F.lower(F.col(text_col)))
+    base = (
+        docs.select(F.col(id_col), toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= 1)
+    )
+    gram_of = lambda i: F.xxhash64(
+        *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+    )
+    grams = (
+        base.filter(F.col("n") >= k)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(F.sequence(F.lit(1), F.col("n") - (k - 1)), gram_of)
+            ).alias("p0", "gram"),
+        )
+        .select(F.col(id_col), (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    first = grams.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first")
+    )
+    dup = grams.join(first, "gram").filter(
+        ~(F.struct(F.col(id_col), F.col("pos")) == F.col("_first"))
+    )
+    covered = dup.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"),
+    ).distinct()
+    toksx = base.select(
+        F.col(id_col), F.posexplode("toks").alias("i0", "tok")
+    ).select(F.col(id_col), (F.col("i0") + 1).alias("tpos"), "tok")
+    kept = toksx.join(covered, [id_col, "tpos"], "left_anti")
+    reb = kept.groupBy(id_col).agg(
+        F.count("*").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("clean_md5"),
+    )
+    return (
+        base.select(F.col(id_col), F.col("n").cast("long").alias("n_tokens"))
+        .join(reb, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias(
+                "kept_tokens"
+            ),
+            F.round(
+                F.lit(1.0)
+                - F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                4,
+            ).alias("removed_frac"),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

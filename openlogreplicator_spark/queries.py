@@ -4660,6 +4660,71 @@ def docs_shared_span_dups(spark, sf_dir):
     )
 
 
+# ExactSubstr REMOVAL twin: the DuckDB side replays the identical
+# first-occurrence rule over raw string grams (the Spark side keys on
+# xxhash64 — see the helper's collision caveat), covers pos..pos+k-1 of
+# every non-first window, anti-joins tokens against the coverage set, and
+# rebuilds each doc with an ORDER BY string_agg. Parallel unnests in one
+# SELECT zip positionally in DuckDB (the tok CTE relies on it).
+_EXACT_SUBSTR_K = 10
+_EXACT_SUBSTR_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM base),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, n - {_EXACT_SUBSTR_K - 1})) AS pos,
+             unnest(list_transform(
+               generate_series(1, n - {_EXACT_SUBSTR_K - 1}),
+               i -> array_to_string(toks[i:i + {_EXACT_SUBSTR_K - 1}], ' ')))
+               AS gram
+      FROM sized WHERE n >= {_EXACT_SUBSTR_K}),
+    flagged AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram
+                                ORDER BY doc_id, pos) AS rn
+      FROM g),
+    cov AS (
+      SELECT DISTINCT doc_id,
+             unnest(generate_series(pos, pos + {_EXACT_SUBSTR_K - 1})) AS tpos
+      FROM flagged WHERE rn > 1),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, n)) AS tpos
+      FROM sized),
+    kept AS (
+      SELECT t.doc_id, t.tok, t.tpos
+      FROM tok t LEFT JOIN cov c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.doc_id IS NULL),
+    reb AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+             string_agg(tok, ' ' ORDER BY tpos) AS clean
+      FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_tokens,
+           coalesce(r.kept_tokens, 0) AS kept_tokens,
+           round(1.0 - coalesce(r.kept_tokens, 0) / s.n, 4) AS removed_frac,
+           md5(coalesce(r.clean, '')) AS clean_md5
+    FROM sized s LEFT JOIN reb r USING (doc_id)
+    """
+
+
+@register("docs_exact_substr_removal", _EXACT_SUBSTR_SQL)
+def docs_exact_substr_removal(spark, sf_dir):
+    """ExactSubstr dedup with span REMOVAL and document reconstruction (Lee
+    et al. 2022): any 10-token window occurring more than once in the corpus
+    survives only at its globally first (doc_id, pos) occurrence; covered
+    tokens of every other occurrence are cut and each document is rebuilt
+    from the survivors — the paper's actual corpus rewrite, completing the
+    span family (docs_shared_span_dups detects, this removes). clean_md5
+    value-hashes the rebuilt text. Shape at scale: see
+    functions/text.exact_substr_removal — linear in corpus tokens, one
+    gram-hash groupBy + anti-join, never pairwise."""
+    d = T(spark, sf_dir, "documents")
+    return TXT.exact_substr_removal(d, "doc_id", "text", k=_EXACT_SUBSTR_K)
+
+
 _MINHASH_CALIB_SQL = f"""
     WITH {_MINHASH_CAND_TMPL.format(id_cap=1000)},
     sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
@@ -7449,6 +7514,82 @@ def engine_delete_where(spark, sf_dir):
     return read_state(t).select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+# CHECK-constraint gate: one replay with `lang <> 'ja'` enforced on c/u
+# events. The oracle excludes violating DML BEFORE the LWW window — a key
+# whose newest version violates must fall back to its newest CONFORMING
+# version (or disappear, or keep a delete tombstone): filtering after the
+# window would be the wrong semantics and hash-fails. Built once per process.
+_CONSTRAINT_REPLAY: dict[str, tuple[str, str]] = {}
+
+_CONSTRAINT_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL
+        AND NOT coalesce(op IN ('c', 'u') AND NOT (lang <> 'ja'), FALSE)),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_constraint_replay", _CONSTRAINT_SQL)
+def engine_constraint_replay(spark, sf_dir):
+    """CHECK-constraint enforcement through the full value gate (the
+    Delta/Iceberg table-constraint analogue; reference analogue: the
+    reference's malformed-vector bounds checks THROW — Parser.cpp/
+    RedoLogRecord.h — where a lake engine quarantines): a replay with
+    `lang <> 'ja'` enforced on c/u events must equal a DuckDB replay that
+    drops violating DML before the LWW window, so keys fall back to their
+    newest conforming version. In-flight asserts: every quarantined row is
+    tagged `constraint:lang_allowed`, none leaked into the target, and the
+    dead-letter rows + surviving events partition the committed log."""
+    from .lake.table import LakeTable
+    from .operators.merge import read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    hit = _CONSTRAINT_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit[0]):
+        d = tempfile.mkdtemp(prefix="olr_constraint_")
+        dead = os.path.join(d, "dead")
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+            dead_letter_path=dead,
+            constraints={"lang_allowed": "lang <> 'ja'"},
+        )
+        p.run_batch_replay()
+        dl = spark.read.parquet(dead)
+        n_dead = dl.count()
+        assert n_dead > 0
+        assert dl.filter(
+            F.col("_dl_reason") != "constraint:lang_allowed"
+        ).count() == 0
+        n_ja = (
+            spark.read.parquet(ev)
+            .filter(F.col("op").isin("c", "u") & (F.col("lang") == "ja"))
+            .count()
+        )
+        assert n_dead == n_ja
+        _CONSTRAINT_REPLAY[ev] = (p.table_path, dead)
+        hit = _CONSTRAINT_REPLAY[ev]
+    t = LakeTable.load(spark, hit[0])
+    state = read_state(t).select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+    return state
 
 
 def _pca_comp_sql(c: int, cov: str) -> str:

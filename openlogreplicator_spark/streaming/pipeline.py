@@ -83,6 +83,7 @@ class CdcPipeline:
         filter_config_path: str | None = None,
         max_html_bytes: int | None = None,
         dead_letter_path: str | None = None,
+        constraints: dict[str, str] | None = None,
         branch: str | None = None,
         source_format: str = "parquet",
         partial_updates: bool = False,
@@ -110,6 +111,14 @@ class CdcPipeline:
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
         self.dead_letter_path = dead_letter_path
+        # CHECK constraints (the Delta/Iceberg table-constraint analogue):
+        # name -> SQL boolean predicate over the decoded event columns,
+        # enforced on DML payload rows (c/u — deletes carry no payload, DDL
+        # rows are dictionary traffic). SQL-standard CHECK semantics: a row
+        # violates only when the predicate IS FALSE (NULL passes). Violations
+        # dead-letter with reason "constraint:<name>" and are excluded from
+        # the merge, so LWW falls back to the key's newest CONFORMING version.
+        self.constraints = dict(constraints or {})
         # change-log layout: "parquet" (default) or "jsonl" (the JSON-lines
         # interchange from streaming/sources.py) — batch, streaming, and the
         # epoch re-read path all dispatch on it
@@ -231,19 +240,54 @@ class CdcPipeline:
         # route both to a dead-letter table so nothing is silently lost.
         # eqNullSafe: a NULL op must count as "not ddl" (three-valued logic
         # would otherwise drop the row without dead-lettering it).
-        bad = (~F.col("op").eqNullSafe("ddl")) & (
-            F.col("url").isNull() | F.col("warc_ts").isNull() | F.col("op").isNull()
-        )
-        if self.max_html_bytes is not None:
-            bad = bad | F.coalesce(
-                F.length(F.col("html")) > self.max_html_bytes, F.lit(False)
+        checks: list[tuple] = [
+            (
+                (~F.col("op").eqNullSafe("ddl"))
+                & (
+                    F.col("url").isNull()
+                    | F.col("warc_ts").isNull()
+                    | F.col("op").isNull()
+                ),
+                "malformed",
             )
+        ]
+        if self.max_html_bytes is not None:
+            checks.append(
+                (
+                    F.coalesce(
+                        F.length(F.col("html")) > self.max_html_bytes, F.lit(False)
+                    ),
+                    "oversized",
+                )
+            )
+        # CHECK constraints (see __init__): violation iff the predicate IS
+        # FALSE on a c/u row. coalesce guards the op IS NULL case (already
+        # caught as malformed) so `bad` can never be three-valued NULL —
+        # filter(~NULL) would silently drop the row without dead-lettering.
+        for cname, pred in self.constraints.items():
+            checks.append(
+                (
+                    F.coalesce(
+                        F.col("op").isin("c", "u")
+                        & F.expr(pred).eqNullSafe(F.lit(False)),
+                        F.lit(False),
+                    ),
+                    f"constraint:{cname}",
+                )
+            )
+        bad = checks[0][0]
+        for cond, _ in checks[1:]:
+            bad = bad | cond
         if self.dead_letter_path:
             # per-epoch overwrite (epoch_id carried by the partition dir):
             # checkpoint replay of an epoch rewrites the same directory, so
             # side output stays idempotent alongside the snapshot gate.
+            # first matching reason wins (malformed > oversized > constraints
+            # in declaration order).
+            reason = F.coalesce(*[F.when(c, F.lit(r)) for c, r in checks])
             (
                 batch_df.filter(bad)
+                .withColumn("_dl_reason", reason)
                 .write.mode("overwrite")
                 .parquet(os.path.join(self.dead_letter_path, f"epoch_id={int(epoch_id)}"))
             )

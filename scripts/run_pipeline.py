@@ -59,6 +59,14 @@ def main() -> None:
                          "read-time column fold")
     ap.add_argument("--suppress-stale", action="store_true",
                     help="stateful per-key high-watermark pre-filter")
+    ap.add_argument("--dead-letter",
+                    help="side table for malformed/oversized/constraint-"
+                         "violating events (parquet dir)")
+    ap.add_argument("--constraint", action="append", default=[],
+                    metavar="NAME=SQL",
+                    help="CHECK constraint on c/u events (repeatable): rows "
+                         "where the SQL predicate IS FALSE are dead-lettered "
+                         "and excluded from the merge")
     ap.add_argument("--branch",
                     help="stage commits on this branch ref (write-audit-"
                          "publish); main is untouched until --publish")
@@ -80,12 +88,21 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 
+    constraints = {}
+    for spec in args.constraint:
+        name, sep, pred = spec.partition("=")
+        if not sep or not name or not pred:
+            ap.error(f"--constraint must be NAME=SQL, got {spec!r}")
+        constraints[name] = pred
+
     p = CdcPipeline(
         spark,
         args.events,
         args.table,
         args.checkpoint,
         metrics_path=args.metrics,
+        dead_letter_path=args.dead_letter,
+        constraints=constraints,
         n_buckets=args.n_buckets,
         filter_config_path=args.filters,
         merge_mode=args.merge_mode,

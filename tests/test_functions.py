@@ -358,6 +358,39 @@ def test_dup_cluster_survivors_string_ids(spark):
     assert out[0]["n_members"] == 3
 
 
+def test_exact_substr_removal_semantics(spark):
+    """ExactSubstr span removal (Lee et al. 2022): a k-token window occurring
+    more than once — across docs or repeated within one — survives only at
+    its globally first (doc_id, pos) occurrence; covered tokens of every
+    other occurrence are cut and the doc is rebuilt from the survivors."""
+    docs = spark.createDataFrame(
+        [
+            (0, "x1 x2 x3 y1"),        # owns gram (x1 x2 x3)
+            (1, "x1 x2 x3 z1"),        # cross-doc dup -> only z1 survives
+            (2, "w1 w2 w3 w1 w2 w3"),  # self-repeat -> second run cut
+            (3, "aa bb"),              # shorter than k: no windows, kept
+            (4, "x1 x2 x3"),           # exactly one dup window -> emptied
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TXT.exact_substr_removal(docs, "doc_id", "text", k=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert (out[0]["n_tokens"], out[0]["kept_tokens"]) == (4, 4)
+    assert out[0]["clean_md5"] == md5("x1 x2 x3 y1")
+    assert (out[1]["n_tokens"], out[1]["kept_tokens"]) == (4, 1)
+    assert out[1]["clean_md5"] == md5("z1")
+    assert (out[2]["n_tokens"], out[2]["kept_tokens"]) == (6, 3)
+    assert out[2]["clean_md5"] == md5("w1 w2 w3")
+    assert float(out[2]["removed_frac"]) == 0.5
+    assert (out[3]["n_tokens"], out[3]["kept_tokens"]) == (2, 2)
+    assert out[3]["clean_md5"] == md5("aa bb")
+    assert (out[4]["n_tokens"], out[4]["kept_tokens"]) == (3, 0)
+    assert out[4]["clean_md5"] == md5("")
+
+
 def test_paragraph_dedup_first_occurrence_and_rebuild(spark):
     """CCNet paragraph dedup: a segment survives only at its globally first
     (doc_id, pos) occurrence — across docs AND within one doc — and each doc

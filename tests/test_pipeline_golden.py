@@ -96,6 +96,39 @@ def test_resume_from_checkpoint_is_bit_exact(spark, events_dir, events_pdf,
     _assert_matches_golden(_spark_state(p2), _golden(events_pdf))
 
 
+def test_streaming_resume_across_rebucket(spark, events_dir, events_pdf,
+                                          pipe_dirs, tmp_path):
+    """Offline maintenance between streaming runs: the stream stops, the
+    table's bucket count evolves 16 → 13 (rebucket maintenance), and the
+    SAME checkpoint resumes over the evolved layout — the pipeline's cached
+    table handle must pick up the new bucket function (the `_current`
+    version check), remaining epochs land in the 13-bucket layout, and the
+    final state stays golden. Batch-mode rebucket-then-merge is covered in
+    test_incremental; this pins the checkpoint/offset-log interaction."""
+    from openlogreplicator_spark.operators.merge import rebucket
+
+    staged = str(tmp_path / "staged_events")
+    os.makedirs(staged)
+    files = sorted(glob.glob(os.path.join(events_dir, "*.parquet")))
+    for f in files[:3]:
+        shutil.copy(f, staged)
+    p = CdcPipeline(spark, staged, pipe_dirs["table"], pipe_dirs["ckpt"])
+    p.run_available_now(max_files_per_trigger=1)
+    t = LakeTable.load(spark, pipe_dirs["table"])
+    mid_epoch = t.last_epoch()[0]
+    rebucket(t, 13)
+
+    for f in files[3:]:
+        shutil.copy(f, staged)
+    p2 = CdcPipeline(spark, staged, pipe_dirs["table"], pipe_dirs["ckpt"])
+    p2.run_available_now(max_files_per_trigger=1)
+    t2 = LakeTable.load(spark, pipe_dirs["table"])
+    assert t2.last_epoch()[0] > mid_epoch  # resumed, not restarted
+    assert t2.n_buckets == 13
+    assert {fe["bucket"] for fe in t2.snap["files"]} <= set(range(13))
+    _assert_matches_golden(_spark_state(p2), _golden(events_pdf))
+
+
 def test_redelivered_epoch_is_suppressed(spark, events_dir, events_pdf, pipe_dirs):
     """T2 exactly-once: re-applying an already-confirmed epoch is a no-op
     (reference isNewData gate, Metadata.cpp:592-603)."""

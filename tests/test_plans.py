@@ -204,6 +204,15 @@ def test_shared_span_never_all_pairs(spark):
     assert "Window" in p, p
 
 
+def test_exact_substr_removal_never_pairwise(spark):
+    """docs_exact_substr_removal: occurrence classification is a gram-hash
+    aggregate + equi-joins — never a pair join (no cartesian, no window, no
+    global sort; the rebuild orders inside the aggregate)."""
+    p = plan_of(QUERIES["docs_exact_substr_removal"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" not in p, p
+
+
 def test_minhash_calibration_joins_are_equi(spark):
     """docs_minhash_est_vs_exact: estimate + exact passes touch candidate
     pairs via equi-joins only — no cartesian anywhere in the plan."""

@@ -163,6 +163,46 @@ def test_malformed_events_routed_to_dead_letter(spark, tmp_path):
     assert dead.count() == 2
 
 
+def test_check_constraint_dead_letters_and_falls_back(spark, tmp_path):
+    """CHECK constraints: a c/u row whose predicate IS FALSE is quarantined
+    with reason constraint:<name> and excluded from the merge — LWW falls
+    back to the key's newest CONFORMING version; a NULL predicate result
+    passes (SQL-standard CHECK); deletes and DDL rows are exempt."""
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL as DDL
+
+    rows = [
+        # u1: good v1, violating v2 -> state keeps v1
+        (0, "2020-01-01 00:00:00", "c", "u1", None, "good", "en", None, None,
+         1, False, None, None, None, None),
+        (1, "2020-01-01 00:01:00", "u", "u1", None, "bad", "xx", None, None,
+         1, False, None, None, None, None),
+        # u2: only version violates -> key absent entirely
+        (2, "2020-01-01 00:02:00", "c", "u2", None, "bad", "xx", None, None,
+         1, False, None, None, None, None),
+        # u3: NULL lang -> predicate NULL -> passes (SQL CHECK semantics)
+        (3, "2020-01-01 00:03:00", "c", "u3", None, "nulllang", None, None,
+         None, 1, False, None, None, None, None),
+        # u4: created ok then deleted — the delete is exempt and applies
+        (4, "2020-01-01 00:04:00", "c", "u4", None, "t", "en", None, None,
+         1, False, None, None, None, None),
+        (5, "2020-01-01 00:05:00", "d", "u4", None, None, "xx", None, None,
+         1, False, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, DDL.replace("warc_ts timestamp", "warc_ts string")
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    p = CdcPipeline(spark, "unused", str(tmp_path / "t"), str(tmp_path / "c"),
+                    dead_letter_path=str(tmp_path / "dead"),
+                    constraints={"lang_ok": "lang <> 'xx'"})
+    p.apply_epoch(df, 0)
+    state = {r["url"]: r["text"] for r in p.target_state().collect()}
+    assert state == {"u1": "good", "u3": "nulllang"}
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    assert dead.count() == 2
+    assert {r["_dl_reason"] for r in dead.collect()} == {"constraint:lang_ok"}
+    assert {r["url"] for r in dead.collect()} == {"u1", "u2"}
+
+
 def test_max_bytes_per_trigger(spark, events_dir, tmp_path):
     p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"))
     p.run_available_now(max_bytes_per_trigger=str(1024 * 1024))
