@@ -1468,3 +1468,23 @@ def bloom_incremental_dedup(
         corpus_fp, "_fp", "left_anti"
     )
     return definitely_new.unionByName(confirmed_new).drop("_fp", "_might")
+
+
+def jl_sign_matrix(k: int, dim: int) -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss ±1 projection matrix (Achlioptas
+    2003 database-friendly form: entries ±1, projection scaled by 1/sqrt(k)).
+    Signs come from md5 of the (row, col) coordinate — the same
+    spec-generates-both-sides recipe as hyperplane_dim_pairs, so the SQL
+    oracle embeds the very same matrix as a literal. k is the target dim —
+    the memory/recall dial of a projected ANN pipeline."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"jl_{i}_{j}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(k)
+    ]

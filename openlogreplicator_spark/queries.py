@@ -2501,6 +2501,49 @@ def events_ab_lift(spark, sf_dir):
     )
 
 
+@register(
+    "events_ab_srm_check",
+    """
+    WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+    c AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1
+      FROM u GROUP BY event_type)
+    SELECT event_type, n0, n1,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6)
+             AS chi2,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.841 AS srm
+    FROM c
+    """,
+)
+def events_ab_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch check for the A/B split events_ab_lift reads —
+    the guardrail every experimentation platform runs BEFORE trusting a
+    lift: per metric, the chi-square of exposed randomization UNITS
+    (distinct users, never raw events — a chatty user must not tilt the
+    ratio) against the designed 50/50, flagged at the 95% one-dof critical
+    value 3.841. With e = (n0+n1)/2 the two-cell statistic collapses to
+    (n0−n1)²/(n0+n1) — exact BIGINT arithmetic up to one final division,
+    so both engines agree bitwise before the rounding. Shape at 100 TB:
+    two-phase distinct (dropDuplicates partial-aggs map-side) into a
+    types-bounded conditional-count groupBy — never countDistinct, never a
+    self-join. Reference analogue: none; training-data extension."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").dropDuplicates()
+    c = u.groupBy("event_type").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("n0"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("n1"),
+    )
+    d = F.col("n0") - F.col("n1")
+    chi2 = (d * d).cast("double") / (F.col("n0") + F.col("n1"))
+    return c.select(
+        "event_type", "n0", "n1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm"),
+    )
+
+
 # P10 table/regex filter through the value gate: only urls matching the
 # tracked pattern may contribute winners. Filtering the LOG commutes with
 # LWW (winners are per-url), so the oracle filters the event CTE.
@@ -8331,6 +8374,80 @@ def emb_norm_hist(spark, sf_dir):
             F.round(F.min("nrm"), 4).alias("min_norm"),
             F.round(F.max("nrm"), 4).alias("max_norm"),
         )
+    )
+
+
+# Johnson-Lindenstrauss projection audit: the ±1 matrix is generated from
+# one md5 spec (similarity.jl_sign_matrix) and embedded as a literal on BOTH
+# sides; every fold runs in identical index order, so the doubles match
+# bitwise before the 2dp rounding. The DuckDB side spells the 16 dots as
+# generated expressions; the Spark side keeps the expression tree O(1) in k
+# via higher-order functions (the PQ-ADC janino lesson).
+_JL_K = 16
+_JL_R = S.jl_sign_matrix(_JL_K, _EMB_DIM)
+
+
+def _jl_dot_sql(row: list[float]) -> str:
+    lit = "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}), "
+        f"j -> ({lit})[j] * CAST(embedding[j] AS DOUBLE)), (a, b) -> a + b)"
+    )
+
+
+_JL_SQL = f"""
+    WITH proj AS (
+      SELECT label,
+             {", ".join(f"{_jl_dot_sql(r)} AS y{i}" for i, r in enumerate(_JL_R))},
+             list_reduce(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               (a, b) -> a + b) AS nx2
+      FROM embeddings),
+    ratios AS (
+      SELECT label,
+             round(({" + ".join(f"y{i} * y{i}" for i in range(_JL_K))})
+                   / {_JL_K}.0 / nx2, 2) AS ratio
+      FROM proj WHERE nx2 > 0)
+    SELECT label, ratio, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM ratios GROUP BY label, ratio
+    """
+
+
+@register("emb_jl_norm_ratio", _JL_SQL)
+def emb_jl_norm_ratio(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit (Achlioptas ±1 form,
+    scale 1/sqrt(k)): per-label histogram of |proj(x)|²/|x|² at k=16 — the
+    acceptance gate for projecting 64-dim embeddings down before the ANN
+    family (JL says the ratio concentrates near 1; a wide or shifted
+    histogram prices the dim cut, the twin of emb_matryoshka_error for
+    random instead of learned projections). Shape at 100 TB: the matrix is
+    a k×dim literal (no broadcast, no join), projection + norms are pure
+    map-side HOF folds, and the output groupBy is (labels × ratio
+    buckets)-bounded. Reference analogue: none; training-data extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    rows = [F.array(*[F.lit(v) for v in row]) for row in _JL_R]
+    y = F.transform(
+        F.array(*rows),
+        lambda row: F.aggregate(
+            F.zip_with(row, xd, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    ny2 = F.aggregate(
+        F.transform(y, lambda v: v * v), F.lit(0.0), lambda a, b: a + b
+    ) / F.lit(float(_JL_K))
+    nx2 = F.aggregate(
+        F.transform(xd, lambda v: v * v), F.lit(0.0), lambda a, b: a + b
+    )
+    r = emb.select("label", ny2.alias("ny2"), nx2.alias("nx2")).filter(
+        F.col("nx2") > 0
+    )
+    return (
+        r.select("label", F.round(F.col("ny2") / F.col("nx2"), 2).alias("ratio"))
+        .groupBy("label", "ratio")
+        .agg(F.count("*").alias("n_vecs"))
     )
 
 
