@@ -1445,6 +1445,88 @@ def _ensure_replay_events() -> str:
 
 _ensure_replay_events()
 
+# Drop + re-add fixture: the 4 replay files plus a synthesized 5th epoch
+# whose DDLs DROP http_status (schema_ver 5) and re-ADD it under the same
+# NAME (schema_ver 6, fresh field id), followed by a handful of v6 DML rows
+# carrying new http_status extras. Iceberg field-id semantics demand the
+# pre-drop column data can never resurface under the re-added name — only
+# v6 rows may populate it.
+_DROP_READD_SPEC = dict(base=_REPLAY_SPEC, marker="drop_readd_v1")
+_DROP_READD_EVENTS = fixture_path(_REPLAY_BASE, "replay_dropreadd", _DROP_READD_SPEC)
+
+
+def _gen_drop_readd(d: str) -> None:
+    import shutil as _shutil
+    from datetime import datetime, timedelta
+
+    import pyarrow.dataset as _ds
+    import pyarrow.parquet as _pq
+
+    import pyarrow as pa
+
+    from .datagen import EVENTS_SCHEMA
+    from .functions.extract import extract_text
+
+    src = _ensure_replay_events()
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            _shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    head = (
+        _ds.dataset(src, format="parquet")
+        .to_table(columns=["seq", "warc_ts", "url"])
+        .to_pandas()
+    )
+    max_seq = int(head["seq"].max())
+    base_us = int(head["warc_ts"].max().value // 1_000) + 10_000_000
+    urls = sorted(head["url"].dropna().unique())[:9]
+
+    def ts(i: int):
+        return datetime(1970, 1, 1) + timedelta(microseconds=base_us + i * 1_000_000)
+
+    def row(i: int, **kw) -> dict:
+        base = {f.name: None for f in EVENTS_SCHEMA}
+        base.update(seq=max_seq + 1 + i, warc_ts=ts(i), rolled_back=False,
+                    **kw)
+        return base
+
+    def page(tag: str) -> tuple[bytes, str]:
+        html = (
+            f"<html><head><title>readd {tag}</title></head>"
+            f"<body><p>readd payload {tag}</p></body></html>"
+        ).encode()
+        return html, extract_text(html)
+
+    rows = [
+        row(0, op="ddl", schema_ver=5, action="drop_column",
+            col_name="http_status"),
+        row(1, op="ddl", schema_ver=6, action="add_column",
+            col_name="http_status", new_type="bigint"),
+    ]
+    for i, u in enumerate(urls[:8]):
+        html, text = page(str(i))
+        rows.append(
+            row(2 + i, op="u", url=u, html=html, text=text, lang="en",
+                schema_ver=6, extras=[("http_status", str(700 + i))])
+        )
+    rows.append(row(10, op="d", url=urls[8], schema_ver=6))
+    html, text = page("new")
+    rows.append(
+        row(11, op="c", url="https://newpage.example/readd", html=html,
+            text=text, lang="en", schema_ver=6,
+            extras=[("http_status", "999")])
+    )
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=EVENTS_SCHEMA),
+        os.path.join(d, "events-00004.parquet"),
+    )
+
+
+def _ensure_drop_readd_events() -> str:
+    return ensure_fixture(_DROP_READD_EVENTS, _gen_drop_readd)
+
+
+_ensure_drop_readd_events()
+
 # One READ-ONLY per-file-epoch MoR replay of the fixed change log, shared by
 # the metadata-family engine entries (commit log, metrics truthfulness,
 # manifest stats, snapshot diff, incremental agg, as-of time travel): each
@@ -2629,6 +2711,91 @@ def engine_rebucket_replay(spark, sf_dir):
     if (old_n, t2.n_buckets) != (16, 13):
         raise AssertionError(f"rebucket did not evolve: {old_n}->{t2.n_buckets}")
     return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+# Drop + re-add gate: only schema_ver-6 rows may populate the re-added
+# column — every pre-drop http_status/fetch_status value (field id retired
+# at v5) must read NULL, across BOTH code paths that could resurface it
+# (project_dml's per-version extras CASE for log rows, and the field-id
+# read projection for rows already materialized in files under the old id).
+_DROP_READD_REPLAY: dict[str, str] = {}
+
+_DROP_READD_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_DROP_READD_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    projected AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver = 6
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY warc_ts DESC, seq DESC) AS rn
+      FROM ev)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM projected WHERE rn = 1 AND _op <> 'd'
+    """
+
+
+@register("engine_drop_readd_column", _DROP_READD_SQL)
+def engine_drop_readd_column(spark, sf_dir):
+    """DROP COLUMN + re-ADD under the same name through the value gate
+    (Iceberg field-id semantics; reference analogue: the versioned
+    dictionary retires a column's identity on drop, Schema.cpp:727-930):
+    the fixture appends a 5th epoch whose DDLs drop http_status at v5 and
+    re-add it at v6 with a FRESH field id, then writes v6 DML carrying new
+    values. Correctness demands the retired column's data can never
+    resurface under the re-added name — the oracle populates http_status
+    for schema_ver-6 rows only, so a single leaked pre-drop value (from
+    the log-projection CASE or from files materialized under the old
+    field id) hash-fails. In-flight asserts pin the fresh field id and
+    that exactly the v6-touched urls carry a value."""
+    from .lake.table import LakeTable
+    from .streaming.pipeline import CdcPipeline
+
+    import glob as _glob
+
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_drop_readd_events()
+    hit = _DROP_READD_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit):
+        d = tempfile.mkdtemp(prefix="olr_dropreadd_")
+        # per-file MoR epochs, NOT one batch replay: epochs 0-3 must
+        # MATERIALIZE data files under the pre-drop schemas (old field id
+        # bound in parquet) before epoch 4 drops/re-adds — that is the
+        # resurface hazard the read path's field-id projection guards.
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+            merge_mode="mor", compact_every=0,
+        )
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(ev, "*.parquet")))):
+            p.apply_epoch(
+                spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i
+            )
+        t = LakeTable.load(spark, p.table_path)
+        assert t.current_schema_ver == 6
+        old_fid = next(
+            f["id"] for f in t.schema_at(4) if f["name"] == "http_status"
+        )
+        new_fid = next(
+            f["id"] for f in t.current_schema() if f["name"] == "http_status"
+        )
+        assert new_fid != old_fid  # field ids are never reused
+        n_valued = (
+            p.target_state().filter(F.col("http_status").isNotNull()).count()
+        )
+        assert n_valued == 9  # 8 v6 updates + 1 v6 create, nothing else
+        _DROP_READD_REPLAY[ev] = p.table_path
+        hit = p.table_path
+    from .operators.merge import read_state
+
+    t = LakeTable.load(spark, hit)
+    return read_state(t).select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
 
