@@ -5019,6 +5019,114 @@ def docs_minhash_est_vs_exact(spark, sf_dir):
     )
 
 
+# b-bit MinHash (Li & König 2010): store ONE parity bit per hash instead of
+# the full value and estimate J = 2·A − 1 from the bit-agreement rate A.
+# The parity spelling ("last md5 hex digit is odd") is IN-list identical on
+# both engines; estimates are exact multiples of 1/8, so no FP drift.
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
+def _bit_sql(side: str, k: int) -> str:
+    return f"(substr({side}.h{k}, 32, 1) IN {_ODD_HEX})"
+
+
+_MINHASH_BBIT_SQL = f"""
+    WITH {_MINHASH_CAND_TMPL.format(id_cap=1000)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS n_inter
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.a
+      JOIN tok tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b),
+    est AS (
+      SELECT c.a, c.b,
+             ({" + ".join(f"(CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END)" for k in range(8))})
+               / 8.0 AS est_full,
+             ({" + ".join(f"(CASE WHEN {_bit_sql('sa', k)} = {_bit_sql('sb', k)} THEN 1 ELSE 0 END)" for k in range(8))})
+               / 8.0 AS agree1
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a
+      JOIN sig sb ON sb.doc_id = c.b)
+    SELECT e.a, e.b,
+           round(e.est_full, 4) AS est_jaccard,
+           round(2 * e.agree1 - 1, 4) AS est1_jaccard,
+           round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard,
+           round(abs(e.est_full
+                     - i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter)), 4)
+             AS abs_err_full,
+           round(abs((2 * e.agree1 - 1)
+                     - i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter)), 4)
+             AS abs_err_1bit
+    FROM est e
+    JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN sizes sa ON sa.doc_id = e.a
+    JOIN sizes sb ON sb.doc_id = e.b
+    """
+
+
+@register("docs_minhash_bbit_calib", _MINHASH_BBIT_SQL)
+def docs_minhash_bbit_calib(spark, sf_dir):
+    """b-bit MinHash calibration (Li & König 2010, b=1): per candidate pair,
+    the 1-bit-signature Jaccard estimate 2·A−1 (A = parity-bit agreement)
+    next to the full-hash estimate and the exact token-set Jaccard — the
+    evidence for cutting signature memory 64× (1 bit vs 8 hex bytes per
+    hash) at 10^10 documents, where the signature TABLE is the dominant
+    state. The parity bit is the low bit of the last md5 hex digit,
+    spelled as the same IN-list on both engines; both estimators are exact
+    multiples of 1/8 so no FP drift enters before rounding. Shape: reuses
+    the one partial-agg signature and the candidates-only exact kernel —
+    the extra cost over docs_minhash_est_vs_exact is 8 boolean compares
+    per pair."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    sig = S.minhash_signature(tok, "doc_id", n_hashes=8)
+    cand = (
+        S.minhash_bands(sig, "doc_id", n_hashes=8, band_size=4)
+        .alias("l")
+        .join(
+            S.minhash_bands(sig, "doc_id", n_hashes=8, band_size=4).alias("r"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    odd = list("13579bdf")
+    bit = lambda side, k: F.substring(F.col(f"{side}.h{k}"), 32, 1).isin(odd)
+    matches_full = sum(
+        F.when(F.col(f"sa.h{k}") == F.col(f"sb.h{k}"), 1).otherwise(0)
+        for k in range(8)
+    )
+    matches_1bit = sum(
+        F.when(bit("sa", k) == bit("sb", k), 1).otherwise(0) for k in range(8)
+    )
+    est = (
+        cand.join(sig.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select(
+            "a", "b",
+            (matches_full / F.lit(8.0)).alias("est_full"),
+            (matches_1bit / F.lit(8.0)).alias("agree1"),
+        )
+    )
+    exact = S.jaccard_pairs(d, cand, "doc_id", "text").select(
+        "a", "b", F.col("jaccard").alias("exact_j")
+    )
+    est1 = F.lit(2.0) * F.col("agree1") - F.lit(1.0)
+    return est.join(exact, ["a", "b"]).select(
+        "a",
+        "b",
+        F.round("est_full", 4).alias("est_jaccard"),
+        F.round(est1, 4).alias("est1_jaccard"),
+        F.round("exact_j", 4).alias("jaccard"),
+        F.round(F.abs(F.col("est_full") - F.col("exact_j")), 4).alias(
+            "abs_err_full"
+        ),
+        F.round(F.abs(est1 - F.col("exact_j")), 4).alias("abs_err_1bit"),
+    )
+
+
 _SCD2_SQL = f"""
     WITH ev AS (
       SELECT url, warc_ts, seq, op
