@@ -2388,6 +2388,177 @@ def docs_html_markup_stats(spark, sf_dir):
     )
 
 
+# Pure-expression text extraction, mirrored step-for-step on both engines.
+# The regex steps are the frozen kernel's (functions/extract.py) INCLUDING
+# numeric-entity decode: split on '&#', classify each following piece with
+# the kernel's entity regex, and re-emit either chr(codepoint)+rest or the
+# literal '&#'+piece — DuckDB has native chr(); Spark synthesizes it as
+# unhex(codepoint-as-UTF-16BE-hex) |> decode('UTF-16BE') with explicit
+# surrogate-pair arithmetic above the BMP. Named entities are chained in
+# the kernel's order BEFORE the numeric pass (so '&amp;#65;' decodes, like
+# the kernel). Java regex and RE2 share every spelling used here ((?is)
+# flags, lazy .*?, \\b; NO backreferences — script and style are two
+# passes). Length guards (<=14 hex / <=15 decimal digits) keep the parse
+# overflow-free on both engines; the kernel accepts longer zero-padded
+# digit runs, a divergence only a pathological page could show.
+_EXTRACT_ENTITY_CHAIN = (
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&apos;", "'"),
+)
+_ENTITY_RE = "^(x[0-9a-fA-F]+|[0-9]+);"
+
+
+def _num_entities_spark(col):
+    """Kernel-equivalent numeric-entity decode as pure Spark expressions."""
+    def piece(p):
+        m = F.regexp_extract(p, _ENTITY_RE, 1)
+        is_hex = m.startswith("x")
+        guard = F.when(is_hex, F.length(m) <= 15).otherwise(F.length(m) <= 15)
+        cp = (
+            F.when(is_hex, F.conv(F.substring(m, 2, 100), 16, 10))
+            .otherwise(m)
+            .cast("long")
+        )
+        sup = cp - F.lit(65536)
+        hi = F.lit(55296) + F.shiftright(sup, 10)
+        lo = F.lit(56320) + sup.bitwiseAND(F.lit(1023))
+        chr_expr = F.decode(
+            F.unhex(
+                F.when(cp < 65536, F.lpad(F.hex(cp), 4, "0")).otherwise(
+                    F.concat(
+                        F.lpad(F.hex(hi), 4, "0"), F.lpad(F.hex(lo), 4, "0")
+                    )
+                )
+            ),
+            "UTF-16BE",
+        )
+        valid = (cp > 0) & (cp <= 1114111) & ~cp.between(55296, 57343)
+        rest = p.substr(F.length(m) + F.lit(2), F.length(p))
+        literal = F.concat(F.lit("&#"), p)
+        return (
+            F.when(m == "", literal)
+            .when(~guard, literal)
+            .otherwise(
+                F.when(valid, F.concat(chr_expr, rest)).otherwise(literal)
+            )
+        )
+
+    arr = F.split(col, "&#", -1)
+    tail = F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0)))
+    return F.concat(
+        F.element_at(arr, 1), F.array_join(F.transform(tail, piece), "")
+    )
+
+
+def _num_entities_sql(expr: str) -> str:
+    """The identical decode for DuckDB (native chr; same guards/classify)."""
+    m = f"regexp_extract(p, '{_ENTITY_RE}', 1)"
+    cp = (
+        f"CASE WHEN {m} LIKE 'x%' "
+        f"THEN CAST('0x' || substr({m}, 2) AS BIGINT) "
+        f"ELSE CAST({m} AS BIGINT) END"
+    )
+    valid = (
+        f"({cp}) > 0 AND ({cp}) <= 1114111 "
+        f"AND ({cp}) NOT BETWEEN 55296 AND 57343"
+    )
+    piece = f"""CASE
+        WHEN {m} = '' OR length({m}) > 15 THEN '&#' || p
+        WHEN {valid} THEN chr(CAST({cp} AS INTEGER))
+                          || substr(p, length({m}) + 2)
+        ELSE '&#' || p END"""
+    return (
+        f"((string_split({expr}, '&#'))[1] || coalesce(array_to_string("
+        f"list_transform((string_split({expr}, '&#'))[2:], "
+        f"p -> {piece}), ''), ''))"
+    )
+
+
+def _extract_sql() -> str:
+    clean = (
+        "regexp_replace(regexp_replace(regexp_replace(h,"
+        " '(?is)<script\\b.*?</script\\s*>', ' ', 'g'),"
+        " '(?is)<style\\b.*?</style\\s*>', ' ', 'g'),"
+        " '(?s)<[^>]*>', ' ', 'g')"
+    )
+    for ent, ch in _EXTRACT_ENTITY_CHAIN:
+        rep = ch.replace("'", "''")
+        clean = f"replace({clean}, '{ent}', '{rep}')"
+    clean = _num_entities_sql(clean)
+    clean = f"trim(regexp_replace({clean}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH pages AS (
+      SELECT seq, lang, decode(html) AS h, text
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL AND html IS NOT NULL),
+    ex AS (
+      SELECT seq, lang, text, {clean} AS clean,
+             regexp_extract(h, '(?is)<title>(.*?)</title>', 1) AS title
+      FROM pages)
+    SELECT seq, lang, title, md5(clean) AS clean_md5,
+           (clean = text) AS extract_match
+    FROM ex
+    """
+
+
+@register("docs_html_text_extract", _extract_sql())
+def docs_html_text_extract(spark, sf_dir):
+    """Trafilatura-style main-text extraction as PURE JVM expressions —
+    script/style removal, tag strip, named-entity chain, NUMERIC-entity
+    decode (split-on-'&#' + HOF transform; chr() synthesized via
+    unhex→UTF-16BE with surrogate-pair arithmetic), whitespace collapse,
+    <title> pull — value-gated THREE ways at once: the md5 of the
+    expression-extracted text is hash-compared against DuckDB's RE2 twin,
+    and ``extract_match`` compares it per-row against the frozen
+    Arrow-kernel extraction (functions/extract.py) that wrote the log's
+    ``text`` column (all-true pinned in tests/test_extract.py) — one
+    divergent byte anywhere flips the hash. The frozen pandas_udf stays
+    the versioned source of truth (unicode \\s classes and >15-digit
+    zero-padded entities are kernel-only, documented); this is its
+    whole-stage-codegen scale path. Shape at 100 TB: map-side regexp/HOF
+    chain, zero shuffles, embarrassingly parallel. Reference analogue:
+    Builder::parseString's charset decode is the same per-payload pure
+    function (Builder.h:1006-1116)."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pages = (
+        spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+            & F.col("html").isNotNull()
+        )
+        .select(
+            "seq", "lang", F.decode(F.col("html"), "UTF-8").alias("h"),
+            "text",
+        )
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("h"), r"(?is)<script\b.*?</script\s*>", " "
+            ),
+            r"(?is)<style\b.*?</style\s*>", " ",
+        ),
+        r"(?s)<[^>]*>", " ",
+    )
+    for ent, ch in _EXTRACT_ENTITY_CHAIN:
+        clean = F.replace(clean, F.lit(ent), F.lit(ch))
+    clean = _num_entities_spark(clean)
+    clean = F.trim(F.regexp_replace(clean, r"\s+", " "))
+    return pages.select(
+        "seq",
+        "lang",
+        F.regexp_extract(F.col("h"), r"(?is)<title>(.*?)</title>", 1)
+        .alias("title"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+        (clean == F.col("text")).alias("extract_match"),
+    )
+
+
 _PROVENANCE_SQL = f"""
     WITH ev AS (
       SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet', filename=true)

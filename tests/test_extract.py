@@ -32,3 +32,17 @@ def test_pure_and_frozen():
     h = b"<html><body><p>repeat &amp; repeat</p></body></html>"
     assert extract_text(h) == extract_text(h)
     assert EXTRACT_VERSION == 1
+
+
+def test_jvm_expression_extraction_matches_frozen_kernel(spark):
+    """docs_html_text_extract's extract_match column must be ALL TRUE: the
+    pure-JVM regexp chain reproduces the frozen Arrow-kernel extraction
+    byte-for-byte on every html payload in the replay fixture (the oracle
+    hash-compares the md5s engine-to-engine; this pins the third leg —
+    expression == kernel)."""
+    from openlogreplicator_spark.queries import QUERIES
+
+    df = QUERIES["docs_html_text_extract"](spark, "/root/testdata/sf0.001")
+    n_total = df.count()
+    n_match = df.filter("extract_match").count()
+    assert n_total > 0 and n_match == n_total
