@@ -9715,3 +9715,307 @@ def docs_ngram_novelty(spark, sf_dir):
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+_FEATURE_HASH_SQL = """
+    WITH tok AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+            FROM documents)
+      WHERE length(t) > 0),
+    f AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 64 AS bucket,
+             CASE WHEN substr(md5(token), 9, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN -1 ELSE 1 END AS s
+      FROM tok)
+    SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS weight
+    FROM f GROUP BY doc_id, bucket
+    """
+
+
+@register("docs_feature_hashing", _FEATURE_HASH_SQL)
+def docs_feature_hashing(spark, sf_dir):
+    """Hashing-trick bag-of-words featurization (Weinberger et al. 2009 —
+    the fastText / Vowpal-Wabbit input shape): token -> bucket via an
+    unsigned-32-bit md5 prefix mod 64, a second md5 nibble supplies the
+    +/-1 sign that makes the estimator unbiased, per-doc feature weight =
+    signed occurrence sum. The whole featurizer is a fixed-width keyspace:
+    no vocabulary is ever built, broadcast, or shuffled — exactly why the
+    trick scales to 10^10 docs where a vocab join cannot. Shape: ONE
+    groupBy(doc_id, bucket) partial agg straight off the token explode
+    (sum of sign*tf == sum of per-occurrence signs, so no intermediate
+    (doc, token) tf shuffle either). Signs and buckets both derive from
+    the SAME md5 the oracle computes, so a hash-kernel drift between
+    engines fails the value gate. Reference analogue: none — training-data
+    pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    h = F.md5(F.col("token").cast("binary"))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).alias(
+        "bucket"
+    )
+    sign = F.when(
+        F.substring(h, 9, 1).isin("1", "3", "5", "7", "9", "b", "d", "f"), -1
+    ).otherwise(1)
+    return (
+        tok.select("doc_id", bucket, sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").cast("long").alias("weight"))
+    )
+
+
+_SOURCE_QUALITY_PRIOR_SQL = """
+    WITH q AS (
+      SELECT source,
+             (CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN n_punct * 1.0 / greatest(n_tokens, 1) > 0.001
+                      AND n_punct * 1.0 / greatest(n_tokens, 1) < 0.5
+                     THEN 0.5 ELSE 0.0 END) AS quality
+      FROM (
+        SELECT source,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+            AS n_tokens,
+          (length(text) - length(replace(text, '.', '')))
+            + (length(text) - length(replace(text, ',', '')))
+            + (length(text) - length(replace(text, '!', '')))
+            + (length(text) - length(replace(text, '?', ''))) AS n_punct
+        FROM documents)),
+    per AS (
+      SELECT source, count(*) AS n_docs, sum(quality) AS sum_q
+      FROM q GROUP BY source),
+    g AS (SELECT round(avg(quality), 6) AS g FROM q)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(sum_q / n_docs, 6) AS mean_q,
+           round((sum_q + 20 * g) / (n_docs + 20), 6) AS prior_q
+    FROM per CROSS JOIN g
+    """
+
+
+@register("docs_source_quality_prior", _SOURCE_QUALITY_PRIOR_SQL)
+def docs_source_quality_prior(spark, sf_dir):
+    """Per-source empirical-Bayes quality prior — shrink each source's mean
+    quality toward the corpus mean with pseudo-count k=20 (the
+    domain/source reputation signal web curation pipelines feed back into
+    crawl scheduling and source weighting; a 3-doc source can't earn a
+    perfect score). Determinism across engines: quality values are exact
+    binary fractions (multiples of 0.5), so their sums are
+    order-independent; the corpus mean is rounded to 6 dp BEFORE it enters
+    the shrinkage formula, and both outputs round post-agg. Shape at
+    100 TB: one partial agg to sources-sized rows plus a one-row global
+    broadcast via crossJoin (the docs_source_mix_entropy pattern).
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    q = d.select("source", TXT.quality_score(F.col("text")).alias("quality"))
+    per = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("quality").alias("sum_q")
+    )
+    g = q.agg(F.round(F.avg("quality"), 6).alias("g"))
+    return per.crossJoin(g).select(
+        "source",
+        "n_docs",
+        F.round(F.col("sum_q") / F.col("n_docs"), 6).alias("mean_q"),
+        F.round(
+            (F.col("sum_q") + 20 * F.col("g")) / (F.col("n_docs") + 20), 6
+        ).alias("prior_q"),
+    )
+
+
+_BOT_REGULARITY_SQL = """
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+               AS gap_s
+      FROM events),
+    a AS (
+      SELECT user_id, count(*) AS n_gaps,
+             sum(gap_s) AS s1, sum(gap_s * gap_s) AS s2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY user_id),
+    s AS (
+      SELECT user_id, n_gaps,
+             s1 * 1.0 / n_gaps AS mean_raw,
+             sqrt(greatest(
+               (s2 - s1 * (s1 * 1.0 / n_gaps)) / (n_gaps - 1), 0.0)) AS sd
+      FROM a WHERE n_gaps >= 5)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mean_raw, 6) AS mean_gap_s,
+           CASE WHEN mean_raw > 0 THEN round(sd / mean_raw, 6) END AS gap_cv,
+           CASE WHEN mean_raw > 0 THEN sd / mean_raw < 0.3 END AS is_regular
+    FROM s
+    """
+
+
+@register("events_bot_regularity", _BOT_REGULARITY_SQL)
+def events_bot_regularity(spark, sf_dir):
+    """Bot / automation detection by inter-event-time regularity: per user,
+    the coefficient of variation of consecutive-event gaps — humans are
+    bursty (cv >~ 1), schedulers and scrapers are metronomic (cv < 0.3
+    flags `is_regular`). The moments ride as EXACT integer sums (gap
+    seconds via truncating div on integer micros — Spark `div` == DuckDB
+    `//` for non-negative), so mean and variance derive from
+    order-independent BIGINTs and the only FP ops (one multiply chain,
+    sqrt, divide) are spelled identically on both engines;
+    greatest(.., 0) absorbs catastrophic-cancellation negatives when all
+    gaps are equal. Shape at 100 TB: one (user -> ts, event_id) window
+    exchange (shared spelling with cdc_sessions / cdc_recrawl_interval)
+    then a users-sized partial agg. Reference analogue: none —
+    training-data pipeline extension (crawl-quality / traffic triage)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts reads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session =>
+    # identity shift — the recorded dialect gotcha)
+    ts_ltz = F.col("ts").cast("timestamp")
+    gap_us = F.unix_micros(ts_ltz) - F.unix_micros(F.lag(ts_ltz).over(w))
+    gaps = (
+        ev.select("user_id", gap_us.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    a = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_s").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mean_raw = F.col("s1") / F.col("n_gaps")
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s1") * mean_raw) / (F.col("n_gaps") - 1),
+            F.lit(0.0),
+        )
+    )
+    return a.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean_raw, 6).alias("mean_gap_s"),
+        F.when(mean_raw > 0, F.round(sd / mean_raw, 6)).alias("gap_cv"),
+        F.when(mean_raw > 0, (sd / mean_raw) < 0.3).alias("is_regular"),
+    )
+
+
+_SESSION_STATS_SQL = """
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS session_id
+      FROM b)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """
+
+
+@register("events_session_stats", _SESSION_STATS_SQL)
+def events_session_stats(spark, sf_dir):
+    """Per-session metrics (cdc_sessions assigns ids, this one sizes them):
+    gaps-and-islands session ids via a running sum of 30-min break flags,
+    then event count and wall-clock duration per (user, session). The lag
+    and the running sum share ONE window exchange — identical
+    partitioning and ordering, so Catalyst plans a single sort — and
+    duration rides as truncating integer division on integer micros
+    (Spark `div` == DuckDB `//` for non-negative spans). Shape at 100 TB:
+    one (user -> ts, event_id) exchange + a sessions-sized partial agg;
+    never a global sort. Reference analogue: A1 transaction assembly
+    (begin..commit grouping) re-keyed by behavioral idle gap."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+        .cast("int")
+    )
+    s = ev.select(
+        "user_id",
+        "ts",
+        F.sum(F.coalesce(brk, F.lit(0))).over(w).alias("session_id"),
+    )
+    return (
+        s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_mx"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_mn"),
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            F.expr("(_mx - _mn) div 1000000").alias("duration_s"),
+        )
+    )
+
+
+_READABILITY_SQL = """
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_words,
+             len(regexp_extract_all(text, '[.!?]+')) AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      FROM documents)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (n_words * 1.0 / greatest(n_sentences, 1))
+                 - CAST(84.6 AS DOUBLE)
+                   * (n_syllables * 1.0 / greatest(n_words, 1)), 4)
+             AS flesch
+    FROM m
+    """
+
+
+@register("docs_readability", _READABILITY_SQL)
+def docs_readability(spark, sf_dir):
+    """Flesch reading-ease per document with a vowel-group syllable proxy
+    (one [aeiouy]+ run ~ one syllable — the standard cheap estimator) —
+    the readability axis of quality filtering that length/punctuation
+    scores (docs_quality) don't see; curation pipelines band on it to
+    drop word-salad and boilerplate legalese alike. Determinism: counts
+    are exact integers off identical regexes (Java∩RE2 common dialect),
+    the formula's constants are CAST to DOUBLE on the SQL side (bare
+    numeric literals parse as DECIMAL in both dialects — recorded
+    gotcha), the FP expression is spelled in the same order on both
+    engines, and the score rounds to 4 dp. Shape at 100 TB: pure
+    zero-shuffle expression chain over the corpus scan. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    n_words = TXT.token_count(F.col("text"))
+    n_sentences = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))
+    )
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), F.lit(0))
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.cast("long").alias("n_sentences"),
+        n_syllables.cast("long").alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+          * (F.col("n_words") * 1.0 / F.greatest(F.col("n_sentences"), F.lit(1)))
+        - F.lit(84.6)
+          * (F.col("n_syllables") * 1.0 / F.greatest(F.col("n_words"), F.lit(1)))
+    )
+    return m.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    )
