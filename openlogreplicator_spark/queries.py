@@ -10019,3 +10019,312 @@ def docs_readability(spark, sf_dir):
         "doc_id", "n_words", "n_sentences", "n_syllables",
         F.round(flesch, 4).alias("flesch"),
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the pure
+    scan-filter-aggregate shape — every predicate (range on a timestamp,
+    BETWEEN on a double, < on a double) is parquet-pushable, so at 100 TB
+    the job reads only row groups whose column stats intersect the
+    filters and carries two columns past the scan. One partial+final agg,
+    no shuffle wider than a single row. Discount bounds are the same
+    double literals on both engines, so per-row predicate evaluation is
+    bit-identical. Reference analogue: none — relational coverage
+    (SURVEY §2.6) over the driver tables."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): selective dim filter -> broadcast
+    semi-reduction of the fact -> grouped revenue -> global top-k. The
+    BUILDING-segment customer set is small, so it broadcasts and the
+    orders/lineitem scans keep their own pushed date predicates; the
+    top-10 is TakeOrderedAndProject (never a global sort). Revenue is
+    rounded 2 dp BEFORE the rank with l_orderkey as tiebreak so an FP
+    near-tie at the cut cannot order differently per engine. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    c = T(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): a quarter of orders joins the
+    returned lineitems, rolls revenue up to the customer, decorates with
+    the nation dim, top-20. Scale shape: the date window prunes orders at
+    the scan, l_returnflag pushes into the lineitem scan, customer/nation
+    broadcast, and the final cut is TakeOrderedAndProject over the
+    customers-sized aggregate. Revenue rounds 2 dp before the rank
+    (c_custkey tiebreak). Reference analogue: none — relational coverage
+    (SURVEY §2.6)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_TEXTRANK_ITERS, _TEXTRANK_TOPK = 3, 20
+
+
+def _textrank_sql() -> str:
+    """DuckDB twin of docs_textrank_keywords: the PageRank trajectory is
+    REPLAYED as unrolled CTEs (the kmeans/pca recipe applied to a graph
+    centrality), one r{i} relation per iteration, rounded 6 dp exactly
+    where the Spark loop rounds."""
+    occ = " UNION ALL ".join(
+        f"""SELECT t[x] AS a, t[x + {d}] AS b
+            FROM (SELECT t, unnest(generate_series(1, len(t) - {d})) AS x
+                  FROM toks WHERE len(t) > {d})
+            UNION ALL
+            SELECT t[x + {d}] AS a, t[x] AS b
+            FROM (SELECT t, unnest(generate_series(1, len(t) - {d})) AS x
+                  FROM toks WHERE len(t) > {d})"""
+        for d in (1, 2)
+    )
+    iters = []
+    prev = "r0"
+    for i in range(1, _TEXTRANK_ITERS + 1):
+        iters.append(
+            f"""r{i} AS (
+              SELECT g.b AS tok,
+                     round(CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+                           * sum({prev}.r * g.w / g.wtot), 6) AS r
+              FROM g JOIN {prev} ON {prev}.tok = g.a GROUP BY g.b)"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> length(x) > 0) AS t
+      FROM documents),
+    occ AS ({occ}),
+    e AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS w
+          FROM occ WHERE a <> b GROUP BY a, b),
+    wout AS (SELECT a AS src, sum(w) AS wtot FROM e GROUP BY a),
+    g AS (SELECT e.a, e.b, e.w, wout.wtot
+          FROM e JOIN wout ON e.a = wout.src),
+    r0 AS (SELECT src AS tok, CAST(1.0 AS DOUBLE) AS r FROM wout),
+    {",".join(iters)}
+    SELECT tok, r AS score FROM {prev}
+    ORDER BY score DESC, tok LIMIT {_TEXTRANK_TOPK}
+    """
+
+
+@register("docs_textrank_keywords", _textrank_sql())
+def docs_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+    PageRank over the token co-occurrence graph (window ±2, symmetric,
+    self-loops dropped), damping 0.85, 3 iterations, top-20 central
+    tokens. Scale shape: edges are generated MAP-SIDE from the token
+    array (the docs_skipgram_cooc spelling — never tokens⋈tokens on
+    doc_id) and collapse into a vocab²-bounded weighted edge relation;
+    each iteration is one equi-join + partial agg on that relation, so
+    the corpus is scanned once and the iteration cost is independent of
+    corpus size. Determinism: ranks round 6 dp after EVERY iteration on
+    both engines (in-neighbor sum order cannot drift), final cut is
+    TakeOrderedAndProject with the token as tiebreak. The DuckDB twin
+    replays the full trajectory as unrolled CTEs. Reference analogue:
+    none — training-data pipeline extension (keyword/topic signal for
+    curation dashboards)."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr(
+            r"filter(split(lower(trim(text)), '\\s+'), x -> length(x) > 0)"
+        ).alias("t")
+    )
+    parts = []
+    for dist in (1, 2):
+        pairs = toks.filter(F.expr(f"size(t) > {dist}")).select(
+            F.explode(
+                F.expr(
+                    f"transform(slice(t, 1, size(t) - {dist}),"
+                    f" (x, i) -> struct(x AS a, t[i + {dist}] AS b))"
+                )
+            ).alias("p")
+        )
+        parts.append(pairs.select("p.a", "p.b"))
+        parts.append(
+            pairs.select(
+                F.col("p.b").alias("a"), F.col("p.a").alias("b")
+            )
+        )
+    occ = parts[0]
+    for p in parts[1:]:
+        occ = occ.unionByName(p)
+    e = (
+        occ.filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    wout = e.groupBy("a").agg(F.sum("w").alias("wtot")).withColumnRenamed(
+        "a", "src"
+    )
+    g = e.join(wout, e.a == wout.src).select("a", "b", "w", "wtot")
+    r = wout.select(F.col("src").alias("tok"), F.lit(1.0).alias("r"))
+    for _ in range(_TEXTRANK_ITERS):
+        r = (
+            g.join(r, F.col("a") == F.col("tok"))
+            .groupBy("b")
+            .agg(
+                F.round(
+                    F.lit(0.15)
+                    + F.lit(0.85)
+                    * F.sum(F.col("r") * F.col("w") / F.col("wtot")),
+                    6,
+                ).alias("r_next")
+            )
+            .select(F.col("b").alias("tok"), F.col("r_next").alias("r"))
+        )
+    return (
+        r.select("tok", F.col("r").alias("score"))
+        .orderBy(F.desc("score"), "tok")
+        .limit(_TEXTRANK_TOPK)
+    )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+_COLUMN_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS col,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("docs_column_profile", _COLUMN_PROFILE_SQL)
+def docs_column_profile(spark, sf_dir):
+    """ANALYZE-TABLE-style column profile (null count, exact NDV, min/max
+    rendered as strings) for every documents column — the stats a query
+    planner or data-quality monitor consumes, and the dictionary-health
+    twin of events_props_schema_infer for columns the schema DOES govern.
+    Shape at 100 TB: one aggregate pass per column (a fixed, schema-sized
+    number of jobs — Spark rewrites count(DISTINCT) into a two-phase
+    expand + partial agg, which is the scalable exact-NDV plan; swap in
+    approx_count_distinct when an estimate suffices — no cross-engine
+    oracle exists for the sketch, which is why the gate pins the exact
+    form). min/max aggregate FIRST and cast to string after (casting
+    before would compare "10" < "9" lexically). Reference analogue:
+    dictionary/statistics bootstrap (S5) — the engine knowing its
+    table's shape."""
+    d = T(spark, sf_dir, "documents")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            d.agg(
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c)).cast("string").alias("min_val"),
+                F.max(F.col(c)).cast("string").alias("max_val"),
+            ).select(
+                F.lit(c).alias("col"),
+                "n_nulls",
+                "n_distinct",
+                "min_val",
+                "max_val",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
