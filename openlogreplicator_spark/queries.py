@@ -10328,3 +10328,77 @@ def docs_column_profile(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_STREAM_WINDOW_SQL = f"""
+    WITH ev AS (
+      SELECT warc_ts, op FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE warc_ts IS NOT NULL AND op IS NOT NULL AND op <> 'ddl'),
+    cutoff AS (SELECT max(warc_ts) - INTERVAL 48 HOUR AS wm FROM ev)
+    SELECT date_trunc('hour', warc_ts) AS win_start,
+           date_trunc('hour', warc_ts) + INTERVAL 1 HOUR AS win_end,
+           op,
+           count(*) AS n_events
+    FROM ev CROSS JOIN cutoff
+    WHERE date_trunc('hour', warc_ts) + INTERVAL 1 HOUR <= cutoff.wm
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("engine_stream_windowed_agg", _STREAM_WINDOW_SQL)
+def engine_stream_windowed_agg(spark, sf_dir):
+    """Structured-Streaming tumbling-window aggregation with an event-time
+    watermark (T1/T6) through the VALUE gate — append mode, so the result
+    is exactly the windows the watermark has CLOSED by end-of-stream: the
+    DuckDB twin recomputes the same cutoff analytically (max event time −
+    the 48 h delay; a window appears iff win_end ≤ that watermark). The
+    48 h delay strictly exceeds the fixture's measured max arrival
+    lateness (~35.2 h — the cdc_out_of_order_profile sizing rule applied),
+    so no row is ever dropped as too-late and the emitted set is a pure
+    deterministic function of the data, independent of micro-batch
+    boundaries (1-file triggers make the watermark actually advance
+    across 4 batches). Late-data semantics, not just window arithmetic,
+    are what this gates: an engine that emitted still-open windows, or
+    dropped/duplicated rows at batch seams, hash-fails. Shape at 100 TB:
+    windowed partial agg with watermark-bounded state — state size is
+    (open windows × ops), never the stream. Reference analogue: the
+    restart low-watermark bounding the transaction buffer
+    (user-manual.adoc:148-162)."""
+    ev = _ensure_replay_events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(ev).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev)
+        .filter(
+            F.col("warc_ts").isNotNull()
+            & F.col("op").isNotNull()
+            & (F.col("op") != "ddl")
+        )
+        # event-time columns must be TIMESTAMP, not NTZ; the session is
+        # UTC-pinned so the cast is an identity shift (recorded gotcha) —
+        # the output casts back to NTZ to match the DuckDB twin's dtype
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("warc_ts", "48 hours")
+        .groupBy(F.window("warc_ts", "1 hour").alias("win"), F.col("op"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("win_end"),
+            "op",
+            "n_events",
+        )
+    )
+    name = "stream_windowed_agg_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
