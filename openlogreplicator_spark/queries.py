@@ -10402,3 +10402,139 @@ def engine_stream_windowed_agg(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+_STREAM_IVJOIN_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts, seq, op
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND warc_ts IS NOT NULL),
+    d AS (SELECT url, warc_ts AS d_ts, seq AS d_seq FROM ev WHERE op = 'd'),
+    c AS (SELECT url, warc_ts AS c_ts, seq AS c_seq
+          FROM ev WHERE op IN ('c', 'u'))
+    SELECT d.url, d.d_seq, c.c_seq,
+           (epoch_us(d.d_ts) - epoch_us(c.c_ts)) // 1000000 AS age_s
+    FROM d JOIN c ON d.url = c.url
+      AND c.c_ts <= d.d_ts
+      AND c.c_ts >= d.d_ts - INTERVAL 24 HOUR
+    """
+
+
+@register("engine_stream_interval_join", _STREAM_IVJOIN_SQL)
+def engine_stream_interval_join(spark, sf_dir):
+    """Stream-stream time-INTERVAL join (the remaining Structured
+    Streaming join shape: two live streams, equi-key plus an event-time
+    range) through the value gate: for every delete, the create/update
+    events of the same url in the preceding 24 h — the "what did we just
+    lose" enrichment a CDC consumer runs when tombstones arrive. Both
+    sides are independent file streams over the same archive with 48 h
+    watermarks; an INNER interval join over bounded input is
+    deterministically COMPLETE — a kept-state row is evicted only once
+    the watermark passes its join window (ts + 24 h + 48 h behind max),
+    and the fixture's max arrival lateness (~35.2 h) proves every partner
+    arrives long before its match's state can expire, so the streaming
+    result must equal the batch interval join the DuckDB twin computes —
+    state eviction is a memory bound, never a semantics change. Age rides
+    as truncating integer-micros division. Shape at 100 TB: state is
+    watermark-bounded per side, the join is an equi-shuffle on url with
+    the range as a post-filter. Reference analogue: transaction-buffer
+    pairing of undo⋈redo within a bounded window (J1) re-expressed as a
+    first-class streaming operator."""
+    ev = _ensure_replay_events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(ev).schema
+
+    def side(ops, ts_name, seq_name):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(ev)
+            .filter(
+                F.col("op").isin(*ops)
+                & F.col("warc_ts").isNotNull()
+            )
+            .select(
+                "url",
+                F.col("warc_ts").cast("timestamp").alias(ts_name),
+                F.col("seq").alias(seq_name),
+            )
+            .withWatermark(ts_name, "48 hours")
+        )
+
+    d = side(["d"], "d_ts", "d_seq")
+    c = side(["c", "u"], "c_ts", "c_seq").withColumnRenamed("url", "c_url")
+    joined = d.join(
+        c,
+        (F.col("url") == F.col("c_url"))
+        & (F.col("c_ts") <= F.col("d_ts"))
+        & (F.col("c_ts") >= F.col("d_ts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "url",
+        "d_seq",
+        "c_seq",
+        F.expr("(unix_micros(d_ts) - unix_micros(c_ts)) div 1000000").alias(
+            "age_s"
+        ),
+    )
+    name = "stream_interval_join_gate"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_SCRIPT_CLASSES = (
+    ("n_ascii", r"[\x00-\x7F]"),
+    ("n_latin_ext", r"[\x{0080}-\x{024F}]"),
+    ("n_cjk", r"[\x{4E00}-\x{9FFF}]"),
+    ("n_fullwidth", r"[\x{FF00}-\x{FFEF}]"),
+)
+
+_SCRIPT_PROFILE_SQL = f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+               f" AS {name}"
+               for name, pat in _SCRIPT_CLASSES
+           )},
+           CAST(length(text)
+                - {" - ".join(
+                    f"len(regexp_extract_all(text, '{pat}'))"
+                    for _, pat in _SCRIPT_CLASSES
+                )} AS BIGINT) AS n_other
+    FROM read_parquet('{_UNICODE_DOCS}/*.parquet')
+    """
+
+
+@register("docs_script_profile", _SCRIPT_PROFILE_SQL)
+def docs_script_profile(spark, sf_dir):
+    """Per-document Unicode script/codepoint-class histogram (ASCII,
+    Latin-extended, CJK, full-width forms, other) over the
+    mixed-normalization fixture — the script-mix signal that catches
+    mojibake, charset mis-decodes, and wrong-script contamination BEFORE
+    language-ID runs (lang-id models assume the script matched the
+    language; a UTF-8 page decoded as Latin-1 shifts mass from ASCII to
+    Latin-extended and this profile is where it shows). Counts are exact
+    integers from the SAME codepoint-class regexes on both engines
+    (\\x{{...}} escapes are the Java∩RE2 common spelling; every class is
+    BMP so Spark's UTF-16 length == DuckDB's codepoint length). Shape at
+    100 TB: pure zero-shuffle expression chain over the corpus scan.
+    Reference analogue: charset decode validation (F2) — knowing the
+    bytes decoded into the script they claim."""
+    d = spark.read.parquet(_ensure_unicode_docs())
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    counts = [
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias(name)
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    out = d.select("doc_id", F.length("text").cast("long").alias("n_chars"), *counts)
+    other = F.col("n_chars")
+    for name, _ in _SCRIPT_CLASSES:
+        other = other - F.col(name)
+    return out.withColumn("n_other", other.cast("long"))
