@@ -10538,3 +10538,127 @@ def docs_script_profile(spark, sf_dir):
     for name, _ in _SCRIPT_CLASSES:
         other = other - F.col(name)
     return out.withColumn("n_other", other.cast("long"))
+
+
+_STREAM_SESSION_SQL = f"""
+    WITH ev AS (
+      SELECT url, warc_ts FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl'
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    cutoff AS (SELECT max(warc_ts) - INTERVAL 48 HOUR AS wm FROM ev),
+    b AS (
+      SELECT url, warc_ts,
+             CASE WHEN epoch_us(warc_ts) - epoch_us(lag(warc_ts) OVER (
+                    PARTITION BY url ORDER BY warc_ts)) > CAST(21600000000 AS BIGINT)
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev),
+    s AS (
+      SELECT url, warc_ts,
+             sum(brk) OVER (PARTITION BY url ORDER BY warc_ts) AS sid
+      FROM b),
+    sess AS (
+      SELECT url, min(warc_ts) AS win_start,
+             max(warc_ts) + INTERVAL 6 HOUR AS win_end,
+             count(*) AS n_events
+      FROM s GROUP BY url, sid)
+    SELECT url, win_start, win_end, n_events
+    FROM sess CROSS JOIN cutoff
+    WHERE win_end <= cutoff.wm
+    """
+
+
+@register("engine_stream_session_window", _STREAM_SESSION_SQL)
+def engine_stream_session_window(spark, sf_dir):
+    """Structured-Streaming SESSION windows (T6's second half — dynamic
+    gap-merged windows, not fixed tumbling) through the value gate:
+    bursts of changes to the same url separated by >6 h idle, appended
+    once the 48 h watermark closes them. The DuckDB twin recomputes the
+    SAME result batch-side as gaps-and-islands (lag + running break sum
+    per url; a session's window is [min_ts, max_ts + gap)) and applies
+    the analytic emission cutoff (win_end ≤ max event time − 48 h). The
+    48 h delay exceeds the fixture's max arrival lateness (~35.2 h), so
+    no row can be dropped or mis-merged late — cross-batch session
+    MERGING (a later micro-batch extending an open session) must
+    therefore produce exactly the batch islands, which is the semantics
+    this gates. Shape at 100 TB: session state is per-open-key and
+    watermark-bounded; the merge is Spark's native session_window state
+    operator, never a global sort. Reference analogue: transaction
+    assembly by idle gap (A1) as a first-class streaming window."""
+    ev = _ensure_replay_events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(ev).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev)
+        .filter(
+            F.col("op").isNotNull()
+            & (F.col("op") != "ddl")
+            & F.col("url").isNotNull()
+            & F.col("warc_ts").isNotNull()
+        )
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("warc_ts", "48 hours")
+        .groupBy(
+            F.session_window("warc_ts", "6 hours").alias("win"), F.col("url")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "url",
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("win_end"),
+            "n_events",
+        )
+    )
+    name = "stream_session_window_gate"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_HOURLY_SEASONALITY_SQL = """
+    WITH per AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(n_events) AS total
+      FROM per GROUP BY event_type)
+    SELECT per.event_type, hour_of_day, n_events,
+           round(n_events * 1.0 / tot.total, 6) AS share
+    FROM per JOIN tot ON per.event_type = tot.event_type
+    """
+
+
+@register("events_hourly_seasonality", _HOURLY_SEASONALITY_SQL)
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type (count + share of
+    the type's traffic) — the baseline shape anomaly detection and crawl
+    scheduling normalize against before z-scoring (events_anomaly_zscore
+    flags deviations; this is the expected curve they deviate FROM).
+    Share is one exact-integer division rounded 6 dp; the per-type total
+    rides a second partial agg over the 24×types relation, never a
+    window over the raw stream. extract(hour) on the tz-naive timestamp
+    is identical on both engines under the UTC session pin. Shape at
+    100 TB: one partial agg to types×24 rows, then types-sized arithmetic.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(F.count("*").alias("n_events"))
+    tot = per.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    return per.join(tot, "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+    )
