@@ -10662,3 +10662,151 @@ def events_hourly_seasonality(spark, sf_dir):
         "n_events",
         F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
     )
+
+
+_DEADLETTER_SPEC = dict(base=_REPLAY_SPEC, marker="deadletter_v1")
+_DEADLETTER_EVENTS = fixture_path(
+    _REPLAY_BASE, "replay_deadletter", _DEADLETTER_SPEC
+)
+_DL_MAX_HTML = 2048
+
+
+def _gen_deadletter(d: str) -> None:
+    """The 4 replay files plus a 5th epoch carrying every quarantine class:
+    malformed DML (null url / null warc_ts / null op), oversized html, and
+    healthy rows that must still land — the M6 policy fixture."""
+    import shutil as _shutil
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as _pq
+
+    import pyarrow as pa
+
+    from .datagen import EVENTS_SCHEMA
+    from .functions.extract import extract_text
+
+    src = _ensure_replay_events()
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            _shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    import pyarrow.dataset as _ds
+
+    head = (
+        _ds.dataset(src, format="parquet")
+        .to_table(columns=["seq", "warc_ts"])
+        .to_pandas()
+    )
+    max_seq = int(head["seq"].max())
+    base_us = int(head["warc_ts"].max().value // 1_000) + 10_000_000
+
+    def ts(i: int):
+        return datetime(1970, 1, 1) + timedelta(
+            microseconds=base_us + i * 1_000_000
+        )
+
+    def row(i: int, **kw) -> dict:
+        base = {f.name: None for f in EVENTS_SCHEMA}
+        base.update(seq=max_seq + 1 + i, warc_ts=ts(i), rolled_back=False,
+                    schema_ver=4, **kw)
+        return base
+
+    def page(tag: str, pad: int = 0) -> tuple[bytes, str]:
+        html = (
+            f"<html><head><title>dl {tag}</title></head>"
+            f"<body><p>dl payload {tag}{' x' * pad}</p></body></html>"
+        ).encode()
+        return html, extract_text(html)
+
+    html_ok, text_ok = page("ok")
+    html_big, text_big = page("big", pad=_DL_MAX_HTML)
+    rows = [
+        # malformed: DML with no key
+        row(0, op="u", url=None, html=html_ok, text=text_ok, lang="en"),
+        # malformed: DML with no LSN-equivalent
+        dict(row(1, op="c", url="https://dl.example/null-ts",
+                 html=html_ok, text=text_ok, lang="en"), warc_ts=None),
+        # malformed: no op at all
+        row(2, op=None, url="https://dl.example/null-op",
+            html=html_ok, text=text_ok, lang="en"),
+        # oversized payload (reference drops transaction-max-mb overflows)
+        row(3, op="c", url="https://dl.example/oversized",
+            html=html_big, text=text_big, lang="en"),
+        # healthy rows the quarantine must NOT swallow
+        row(4, op="c", url="https://dl.example/good-1",
+            html=html_ok, text=text_ok, lang="en",
+            extras=[("http_status", "200")]),
+        row(5, op="c", url="https://dl.example/good-2",
+            html=html_ok, text=text_ok, lang="en",
+            extras=[("http_status", "201")]),
+    ]
+    _pq.write_table(
+        pa.Table.from_pylist(rows, schema=EVENTS_SCHEMA),
+        os.path.join(d, "events-00004.parquet"),
+    )
+
+
+def _ensure_deadletter_events() -> str:
+    return ensure_fixture(_DEADLETTER_EVENTS, _gen_deadletter)
+
+
+_ensure_deadletter_events()
+
+_DEADLETTER_SQL = f"""
+    WITH ev AS (
+      SELECT *,
+             CAST(regexp_extract(filename, 'events-(\\d+)\\.parquet', 1)
+                  AS INTEGER) AS epoch_id
+      FROM read_parquet('{_DEADLETTER_EVENTS}/*.parquet', filename=true)),
+    classified AS (
+      SELECT epoch_id, seq, op, url,
+             CASE
+               WHEN NOT coalesce(op = 'ddl', FALSE)
+                    AND (url IS NULL OR warc_ts IS NULL OR op IS NULL)
+                 THEN 'malformed'
+               WHEN coalesce(octet_length(html) > {_DL_MAX_HTML}, FALSE)
+                 THEN 'oversized'
+             END AS _dl_reason
+      FROM ev)
+    SELECT epoch_id, seq, op, url, _dl_reason
+    FROM classified WHERE _dl_reason IS NOT NULL
+    """
+
+
+@register("engine_dead_letter_quarantine", _DEADLETTER_SQL)
+def engine_dead_letter_quarantine(spark, sf_dir):
+    """The M6 malformed/oversized quarantine path through the VALUE gate:
+    replay a fixture whose 5th epoch carries one row of every poison
+    class (DML with null url, null warc_ts, null op; an html payload
+    over the size cap) alongside healthy rows, with the dead-letter side
+    table enabled — the returned quarantine table (epoch, seq, op, url,
+    _dl_reason) must match a DuckDB recompute of the exact classification
+    predicate, INCLUDING the three-valued-logic guards (a NULL op row
+    must be dead-lettered as malformed, never silently dropped by a
+    filter over NULL — the round-1 null-op lesson; the reference throws
+    on malformed vectors and drops oversized transactions,
+    RedoLogRecord.h:121-161, Parser.cpp:683-692, we quarantine both).
+    Reason precedence (malformed > oversized) is part of the gated
+    contract, as is idempotence: the side write is per-epoch
+    overwrite-partitioned, so checkpoint re-delivery cannot duplicate
+    quarantined rows. Shape at 100 TB: the classifier is a pure
+    expression on the ingest scan; the side write shuffles nothing."""
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import glob as _glob
+
+    from .operators.decode import EVENTS_DDL
+
+    ev = _ensure_deadletter_events()
+    d = tempfile.mkdtemp(prefix="olr_deadletter_")
+    dl = os.path.join(d, "dead_letter")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        max_html_bytes=_DL_MAX_HTML, dead_letter_path=dl,
+    )
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(ev, "*.parquet")))):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    return spark.read.parquet(dl).select(
+        F.col("epoch_id").cast("int").alias("epoch_id"),
+        "seq", "op", "url", "_dl_reason",
+    )
