@@ -449,3 +449,60 @@ def test_c4_clean_is_single_pass(spark):
     p = plan_of(QUERIES["docs_c4_clean"](spark, SF_DIR))
     assert "Exchange" not in p and "Aggregate" not in p, p
     assert "Python" not in p, p
+
+
+def test_tpch_q3_broadcasts_dims_and_takeordered(spark):
+    """tpch_q3: the BUILDING customer set broadcasts (the fact side is
+    never shuffled for the dim), the date predicates reach the scans, and
+    the top-10 is TakeOrderedAndProject — never a global sort."""
+    df = QUERIES["tpch_q3_shipping_priority"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    f = formatted(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in f, f
+
+
+def test_tpch_q6_all_predicates_pushed(spark):
+    """tpch_q6: every predicate is parquet-pushable and the scan reads only
+    the filter+agg columns."""
+    f = formatted(QUERIES["tpch_q6_forecast_revenue"](spark, SF_DIR))
+    scan = f[f.index("Scan parquet"):]
+    pushed = scan[scan.index("PushedFilters:"): scan.index("\n", scan.index("PushedFilters:"))]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    read_schema = scan[scan.index("ReadSchema:"): scan.index("\n", scan.index("ReadSchema:"))]
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema, read_schema
+
+
+def test_textrank_edges_are_map_side(spark):
+    """docs_textrank_keywords: co-occurrence edges come from the token
+    ARRAY map-side (no tokens-join-tokens); joins exist only on the
+    vocab-bounded edge relation, and the head is TakeOrderedAndProject."""
+    df = QUERIES["docs_textrank_keywords"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # every Scan of documents reads ONLY text (the edge build projects early)
+    f = formatted(df)
+    for seg in f.split("Scan parquet")[1:]:
+        if "ReadSchema:" not in seg:
+            continue
+        rs = seg[seg.index("ReadSchema:"): seg.index("\n", seg.index("ReadSchema:"))]
+        assert "doc_id" not in rs, rs
+
+
+def test_feature_hashing_single_shuffle(spark):
+    """docs_feature_hashing: token explode -> ONE partial-agg groupBy on
+    (doc_id, bucket); no join (the whole point of the hashing trick is
+    that no vocabulary relation ever exists)."""
+    p = plan_of(QUERIES["docs_feature_hashing"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+
+def test_session_stats_single_exchange(spark):
+    """events_session_stats: lag + running sum + the session rollup reuse
+    ONE (user_id) hash exchange — Catalyst plans a single shuffle."""
+    p = plan_of(QUERIES["events_session_stats"](spark, SF_DIR))
+    assert p.count("Exchange") == 1, p

@@ -294,3 +294,43 @@ def test_protobuf_known_golden_bytes():
         0x38, 0x01,              # seq = 1
     ])
     assert got == expected, got.hex()
+
+
+def test_dead_letter_fixture_state_and_idempotence(spark, tmp_path):
+    """The replay_deadletter fixture end-to-end: healthy 5th-epoch rows
+    land in the state, every poison row is excluded (quarantined, not
+    applied), and re-delivering the poison epoch leaves the quarantine
+    table unchanged (per-epoch overwrite idempotence)."""
+    import glob
+
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.queries import (
+        _DL_MAX_HTML,
+        _ensure_deadletter_events,
+    )
+
+    ev = _ensure_deadletter_events()
+    files = sorted(glob.glob(os.path.join(ev, "*.parquet")))
+    p = CdcPipeline(
+        spark, ev, str(tmp_path / "t"), str(tmp_path / "c"),
+        max_html_bytes=_DL_MAX_HTML,
+        dead_letter_path=str(tmp_path / "dead"),
+    )
+    for i, f in enumerate(files):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    state = {r["url"] for r in p.target_state().select("url").collect()}
+    assert {"https://dl.example/good-1", "https://dl.example/good-2"} <= state
+    for poison in ("https://dl.example/oversized", "https://dl.example/null-ts",
+                   "https://dl.example/null-op"):
+        assert poison not in state
+    dead = spark.read.parquet(str(tmp_path / "dead"))
+    n_dead = dead.count()
+    assert n_dead == 4, n_dead
+    reasons = {r["_dl_reason"] for r in dead.collect()}
+    assert reasons == {"malformed", "oversized"}
+    # idempotent re-delivery of the poison epoch
+    p.apply_epoch(
+        spark.read.schema(EVENTS_DDL).parquet(files[-1]),
+        epoch_id=len(files) - 1,
+    )
+    assert spark.read.parquet(str(tmp_path / "dead")).count() == n_dead
