@@ -214,8 +214,9 @@ def cdc_hourly_throughput(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  > CAST(1800000000 AS BIGINT)
                   THEN 1 ELSE 0 END AS brk
       FROM events)
     SELECT user_id, CAST(sum(brk) + 1 AS BIGINT) AS n_sessions,
@@ -225,11 +226,15 @@ def cdc_hourly_throughput(spark, sf_dir):
 )
 def cdc_sessions(spark, sf_dir):
     """Gaps-and-islands sessionization (30-min idle gap) — the transaction
-    begin/commit lifecycle analogue (A1) as a window computation."""
+    begin/commit lifecycle analogue (A1) as a window computation. The break
+    predicate compares EXACT integer micros on both engines (Spark
+    unix_timestamp floors whole seconds while DuckDB epoch() is fractional
+    — a gap straddling the boundary by sub-second micros would diverge)."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     brk = (
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
+        (ts_us - F.lag(ts_us).over(w) > 1_800_000_000)
         .cast("int")
     )
     return (
@@ -9903,8 +9908,9 @@ def events_bot_regularity(spark, sf_dir):
 _SESSION_STATS_SQL = """
     WITH b AS (
       SELECT user_id, ts, event_id,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  > CAST(1800000000 AS BIGINT)
                   THEN 1 ELSE 0 END AS brk
       FROM events),
     s AS (
@@ -9933,10 +9939,11 @@ def events_session_stats(spark, sf_dir):
     (begin..commit grouping) re-keyed by behavioral idle gap."""
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    brk = (
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800)
-        .cast("int")
-    )
+    # break predicate in EXACT integer micros on both engines (Spark
+    # unix_timestamp floors to whole seconds, DuckDB epoch() is fractional
+    # — a gap straddling 1800 s by sub-second micros would diverge)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = (ts_us - F.lag(ts_us).over(w) > 1_800_000_000).cast("int")
     s = ev.select(
         "user_id",
         "ts",
@@ -10330,11 +10337,42 @@ def docs_column_profile(spark, sf_dir):
     return out
 
 
+def _replay_stream(spark, files_per_trigger: int = 1) -> DataFrame:
+    """File stream over the replay fixture for the streaming operator gates
+    (schema probed from the parquet — streams need one up front; session
+    UTC-pinned so the NTZ→TIMESTAMP event-time cast at each gate is an
+    identity shift, the recorded gotcha)."""
+    ev = _ensure_replay_events()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(ev).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(ev)
+    )
+
+
+def _run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Append-mode availableNow run into a memory sink; returns the sink
+    table (the final no-data batch has advanced the watermark, so append
+    output is complete)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
 _STREAM_WINDOW_SQL = f"""
     WITH ev AS (
       SELECT warc_ts, op FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
       WHERE warc_ts IS NOT NULL AND op IS NOT NULL AND op <> 'ddl'),
-    cutoff AS (SELECT max(warc_ts) - INTERVAL 48 HOUR AS wm FROM ev)
+    cutoff AS (SELECT date_trunc('milliseconds', max(warc_ts))
+                  - INTERVAL 48 HOUR AS wm FROM ev)
     SELECT date_trunc('hour', warc_ts) AS win_start,
            date_trunc('hour', warc_ts) + INTERVAL 1 HOUR AS win_end,
            op,
@@ -10350,8 +10388,9 @@ def engine_stream_windowed_agg(spark, sf_dir):
     """Structured-Streaming tumbling-window aggregation with an event-time
     watermark (T1/T6) through the VALUE gate — append mode, so the result
     is exactly the windows the watermark has CLOSED by end-of-stream: the
-    DuckDB twin recomputes the same cutoff analytically (max event time −
-    the 48 h delay; a window appears iff win_end ≤ that watermark). The
+    DuckDB twin recomputes the same cutoff analytically (ms-truncated max
+    event time − the 48 h delay — Spark tracks event-time stats in whole
+    milliseconds; a window appears iff win_end ≤ that watermark). The
     48 h delay strictly exceeds the fixture's measured max arrival
     lateness (~35.2 h — the cdc_out_of_order_profile sizing rule applied),
     so no row is ever dropped as too-late and the emitted set is a pure
@@ -10364,21 +10403,16 @@ def engine_stream_windowed_agg(spark, sf_dir):
     (open windows × ops), never the stream. Reference analogue: the
     restart low-watermark bounding the transaction buffer
     (user-manual.adoc:148-162)."""
-    ev = _ensure_replay_events()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(ev).schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(ev)
+        _replay_stream(spark)
         .filter(
             F.col("warc_ts").isNotNull()
             & F.col("op").isNotNull()
             & (F.col("op") != "ddl")
         )
-        # event-time columns must be TIMESTAMP, not NTZ; the session is
-        # UTC-pinned so the cast is an identity shift (recorded gotcha) —
-        # the output casts back to NTZ to match the DuckDB twin's dtype
+        # event-time columns must be TIMESTAMP, not NTZ (identity shift
+        # under the helper's UTC pin); output casts back to NTZ to match
+        # the DuckDB twin's dtype
         .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
     )
     agg = (
@@ -10392,16 +10426,7 @@ def engine_stream_windowed_agg(spark, sf_dir):
             "n_events",
         )
     )
-    name = "stream_windowed_agg_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_memory(agg, "stream_windowed_agg_gate")
 
 
 _STREAM_IVJOIN_SQL = f"""
@@ -10440,15 +10465,9 @@ def engine_stream_interval_join(spark, sf_dir):
     the range as a post-filter. Reference analogue: transaction-buffer
     pairing of undo⋈redo within a bounded window (J1) re-expressed as a
     first-class streaming operator."""
-    ev = _ensure_replay_events()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(ev).schema
-
     def side(ops, ts_name, seq_name):
         return (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 2)
-            .parquet(ev)
+            _replay_stream(spark, files_per_trigger=2)
             .filter(
                 F.col("op").isin(*ops)
                 & F.col("warc_ts").isNotNull()
@@ -10476,16 +10495,7 @@ def engine_stream_interval_join(spark, sf_dir):
             "age_s"
         ),
     )
-    name = "stream_interval_join_gate"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_memory(joined, "stream_interval_join_gate")
 
 
 _SCRIPT_CLASSES = (
@@ -10545,7 +10555,8 @@ _STREAM_SESSION_SQL = f"""
       SELECT url, warc_ts FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
       WHERE op IS NOT NULL AND op <> 'ddl'
         AND url IS NOT NULL AND warc_ts IS NOT NULL),
-    cutoff AS (SELECT max(warc_ts) - INTERVAL 48 HOUR AS wm FROM ev),
+    cutoff AS (SELECT date_trunc('milliseconds', max(warc_ts))
+                  - INTERVAL 48 HOUR AS wm FROM ev),
     b AS (
       SELECT url, warc_ts,
              CASE WHEN epoch_us(warc_ts) - epoch_us(lag(warc_ts) OVER (
@@ -10575,7 +10586,8 @@ def engine_stream_session_window(spark, sf_dir):
     once the 48 h watermark closes them. The DuckDB twin recomputes the
     SAME result batch-side as gaps-and-islands (lag + running break sum
     per url; a session's window is [min_ts, max_ts + gap)) and applies
-    the analytic emission cutoff (win_end ≤ max event time − 48 h). The
+    the analytic emission cutoff (win_end ≤ ms-truncated max event time −
+    48 h — Spark tracks event-time stats in whole milliseconds). The
     48 h delay exceeds the fixture's max arrival lateness (~35.2 h), so
     no row can be dropped or mis-merged late — cross-batch session
     MERGING (a later micro-batch extending an open session) must
@@ -10584,13 +10596,8 @@ def engine_stream_session_window(spark, sf_dir):
     watermark-bounded; the merge is Spark's native session_window state
     operator, never a global sort. Reference analogue: transaction
     assembly by idle gap (A1) as a first-class streaming window."""
-    ev = _ensure_replay_events()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(ev).schema
     stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(ev)
+        _replay_stream(spark)
         .filter(
             F.col("op").isNotNull()
             & (F.col("op") != "ddl")
@@ -10612,16 +10619,7 @@ def engine_stream_session_window(spark, sf_dir):
             "n_events",
         )
     )
-    name = "stream_session_window_gate"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _run_stream_to_memory(agg, "stream_session_window_gate")
 
 
 _HOURLY_SEASONALITY_SQL = """

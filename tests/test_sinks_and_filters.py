@@ -328,8 +328,16 @@ def test_dead_letter_fixture_state_and_idempotence(spark, tmp_path):
     assert n_dead == 4, n_dead
     reasons = {r["_dl_reason"] for r in dead.collect()}
     assert reasons == {"malformed", "oversized"}
-    # idempotent re-delivery of the poison epoch
-    p.apply_epoch(
+    # idempotent re-delivery of the poison epoch: a FRESH pipeline (the
+    # finalized-epoch early return must not swallow the re-run — this is
+    # the checkpoint-replay shape) sharing the dead-letter dir re-executes
+    # the side write; the per-epoch overwrite keeps the count flat
+    p2 = CdcPipeline(
+        spark, ev, str(tmp_path / "t2"), str(tmp_path / "c2"),
+        max_html_bytes=_DL_MAX_HTML,
+        dead_letter_path=str(tmp_path / "dead"),
+    )
+    p2.apply_epoch(
         spark.read.schema(EVENTS_DDL).parquet(files[-1]),
         epoch_id=len(files) - 1,
     )
