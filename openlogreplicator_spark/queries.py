@@ -2403,7 +2403,7 @@ def docs_html_markup_stats(spark, sf_dir):
 # the kernel's order BEFORE the numeric pass (so '&amp;#65;' decodes, like
 # the kernel). Java regex and RE2 share every spelling used here ((?is)
 # flags, lazy .*?, \\b; NO backreferences — script and style are two
-# passes). Length guards (<=14 hex / <=15 decimal digits) keep the parse
+# passes). Length guards (<=15 entity chars on both engines) keep the parse
 # overflow-free on both engines; the kernel accepts longer zero-padded
 # digit runs, a divergence only a pathological page could show.
 _EXTRACT_ENTITY_CHAIN = (
