@@ -10808,3 +10808,448 @@ def engine_dead_letter_quarantine(spark, sf_dir):
         F.col("epoch_id").cast("int").alias("epoch_id"),
         "seq", "op", "url", "_dl_reason",
     )
+
+
+# =========================================================================
+# Host link graph over a deterministic hyperlinked fixture (the replay
+# fixture's html carries no anchors) — the CommonCrawl host-graph family
+# =========================================================================
+
+_LINKED_SPEC = dict(seed=17, n_pages=400, n_hosts=24)
+_LINKED_PAGES = fixture_path(_REPLAY_BASE, "linked_pages", _LINKED_SPEC)
+
+
+def _ensure_linked_pages() -> str:
+    from .datagen import write_linked_pages
+
+    return ensure_fixture(
+        _LINKED_PAGES,
+        lambda d: write_linked_pages(
+            d,
+            n_pages=_LINKED_SPEC["n_pages"],
+            n_hosts=_LINKED_SPEC["n_hosts"],
+            seed=_LINKED_SPEC["seed"],
+        ),
+    )
+
+
+# the oracle SQL reads the fixed path and the driver may run it BEFORE the
+# Spark side — materialize at import like the other path-embedded fixtures
+_ensure_linked_pages()
+
+# href extraction + host edge rollup, shared spelling notes: the anchor
+# regex is Java∩RE2 common dialect (no backreferences, (?i) inline flag);
+# the http(s) filter drops the planted relative / fragment / mailto: /
+# javascript: hrefs; host lowercasing folds the planted uppercase links;
+# the dst<>src predicate drops intra-host self-links AFTER extraction.
+_LINK_GRAPH_SQL = f"""
+    WITH pages AS (
+      SELECT page_id,
+             lower(regexp_extract(url, '^https?://([^/?#]+)', 1)) AS src_host,
+             unnest(regexp_extract_all(html,
+               '(?i)<a\\s[^>]*href="([^"]+)"', 1)) AS href
+      FROM read_parquet('{_LINKED_PAGES}/*.parquet')),
+    edges AS (
+      SELECT src_host,
+             lower(regexp_extract(href, '(?i)^https?://([^/?#]+)', 1))
+               AS dst_host,
+             page_id
+      FROM pages WHERE regexp_matches(href, '(?i)^https?://'))
+    SELECT src_host, dst_host,
+           CAST(count(*) AS BIGINT) AS n_links,
+           CAST(count(DISTINCT page_id) AS BIGINT) AS n_pages
+    FROM edges WHERE dst_host <> src_host
+    GROUP BY src_host, dst_host
+    """
+
+
+def _link_edges(spark) -> DataFrame:
+    """Shared host-edge extraction for the link-graph family (one spelling,
+    both catalog entries move together — the pair-CTE reuse rule)."""
+    d = spark.read.parquet(_ensure_linked_pages())
+    pages = d.select(
+        "page_id",
+        F.lower(F.regexp_extract("url", "^https?://([^/?#]+)", 1)).alias(
+            "src_host"
+        ),
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html,"
+                " '(?i)<a\\\\s[^>]*href=\"([^\"]+)\"', 1)"
+            )
+        ).alias("href"),
+    )
+    return (
+        pages.filter(F.col("href").rlike("(?i)^https?://"))
+        .select(
+            "src_host",
+            F.lower(
+                F.regexp_extract("href", "(?i)^https?://([^/?#]+)", 1)
+            ).alias("dst_host"),
+            "page_id",
+        )
+        .filter(F.col("dst_host") != F.col("src_host"))
+    )
+
+
+@register("docs_link_graph", _LINK_GRAPH_SQL)
+def docs_link_graph(spark, sf_dir):
+    """Host-level web link graph extraction — the CommonCrawl host-graph
+    product: parse every absolute <a href> out of raw html, resolve both
+    endpoints to lowercase hosts, roll up to weighted host→host edges
+    (n_links = anchor count, n_pages = distinct linking pages). The
+    fixture plants relative / fragment-only / mailto: / javascript:
+    hrefs (must be filtered, not crash), uppercase-scheme and
+    uppercase-host absolute links (case folding), and intra-host
+    self-links (dropped by the rollup, not the regex) — the value hash
+    covers the full edge list, so any extraction divergence fails. Shape
+    at 100 TB: pure map-side expression chain (regexp_extract_all +
+    explode) into one hosts²-bounded partial-agg groupBy — never a join;
+    the classic first step of PageRank/centrality over a crawl.
+    Reference analogue: none — training-data pipeline extension."""
+    return _link_edges(spark).groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("page_id").alias("n_pages"),
+    )
+
+
+_HOSTRANK_ITERS = 3
+
+
+def _hostrank_sql() -> str:
+    """DuckDB twin of docs_host_pagerank: the damped, dangling-corrected
+    PageRank trajectory replayed as unrolled CTEs (the textrank recipe on
+    a DIRECTED graph — dangling hosts redistribute their mass uniformly,
+    the wrinkle a symmetric co-occurrence graph never exercises)."""
+    iters = []
+    prev = "r0"
+    for i in range(1, _HOSTRANK_ITERS + 1):
+        iters.append(f"""
+    dang{i} AS (
+      SELECT round(coalesce(sum(r), CAST(0.0 AS DOUBLE)), 9) AS dm
+      FROM {prev} LEFT JOIN wout ON {prev}.host = wout.src
+      WHERE wout.src IS NULL),
+    contrib{i} AS (
+      SELECT g.dst_host AS host, sum({prev}.r * g.w / g.wtot) AS c
+      FROM g JOIN {prev} ON {prev}.host = g.src_host
+      GROUP BY g.dst_host),
+    r{i} AS (
+      SELECT nodes.host,
+             round(CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE)
+                     * (coalesce(contrib{i}.c, CAST(0.0 AS DOUBLE))
+                        + dang{i}.dm / nn.n), 6) AS r
+      FROM nodes
+      LEFT JOIN contrib{i} ON nodes.host = contrib{i}.host
+      CROSS JOIN dang{i} CROSS JOIN nn)""")
+        prev = f"r{i}"
+    return f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    e AS (SELECT src_host, dst_host, CAST(n_links AS DOUBLE) AS w FROM e0),
+    wout AS (SELECT src_host AS src, sum(w) AS wtot FROM e GROUP BY src_host),
+    g AS (SELECT e.src_host, e.dst_host, e.w, wout.wtot
+          FROM e JOIN wout ON e.src_host = wout.src),
+    nodes AS (SELECT src_host AS host FROM e
+              UNION SELECT dst_host FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS r
+           FROM nodes CROSS JOIN nn),
+    {",".join(iters)}
+    SELECT host, r AS rank FROM {prev} ORDER BY rank DESC, host
+    """
+
+
+@register("docs_host_pagerank", _hostrank_sql())
+def docs_host_pagerank(spark, sf_dir):
+    """Host-level PageRank over the extracted link graph — the CommonCrawl
+    host-rank product (damping 0.85, {n} iterations, link-count edge
+    weights). Unlike the symmetric TextRank co-occurrence graph, a real
+    crawl graph is DIRECTED and has dangling hosts (linked-to but never
+    crawled or all-self-links): their mass redistributes uniformly each
+    iteration — a one-row anti-join aggregate crossJoined back, NOT a
+    dense N² correction. Determinism: ranks round 6 dp after every
+    iteration, the dangling scalar 9 dp (the kmeans/textrank replay
+    recipe); the DuckDB twin replays the full trajectory as unrolled
+    CTEs over the SAME edge CTE the docs_link_graph gate pins. Shape at
+    100 TB: the corpus is scanned once into a hosts²-bounded weighted
+    edge relation; each iteration is one equi-join + partial agg on
+    that relation plus two one-row scalars — iteration cost independent
+    of corpus size. Reference analogue: none — training-data pipeline
+    extension (source-authority prior for curation/mixing)."""
+    e = _link_edges(spark).groupBy("src_host", "dst_host").agg(
+        F.count("*").cast("double").alias("w")
+    )
+    wout = e.groupBy("src_host").agg(F.sum("w").alias("wtot")).select(
+        F.col("src_host").alias("src"), "wtot"
+    )
+    g = e.join(wout, e.src_host == wout.src).select(
+        "src_host", "dst_host", "w", "wtot"
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    r = nodes.crossJoin(nn).select(
+        "host", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(_HOSTRANK_ITERS):
+        dang = (
+            r.join(wout, r.host == wout.src, "left_anti")
+            .agg(
+                F.round(
+                    F.coalesce(F.sum("r"), F.lit(0.0)), 9
+                ).alias("dm")
+            )
+        )
+        contrib = (
+            g.join(r, g.src_host == r.host)
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("wtot")).alias("c"))
+        )
+        r = (
+            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
+            .crossJoin(dang)
+            .crossJoin(nn)
+            .select(
+                "host",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    ),
+                    6,
+                ).alias("r"),
+            )
+        )
+    return r.select("host", F.col("r").alias("rank")).orderBy(
+        F.desc("rank"), "host"
+    )
+
+
+docs_host_pagerank.__doc__ = docs_host_pagerank.__doc__.replace(
+    "{n}", str(_HOSTRANK_ITERS)
+)
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the deepest relational shape in
+    the catalog — a six-table join where customer and supplier must share
+    a nation (the join graph has a CYCLE, so join ORDER matters: the
+    c_nationkey = s_nationkey edge is applied with the supplier join,
+    never as a post-filter over a wider product). Scale shape: region →
+    nation prunes to one region's nations, supplier/customer/nation/
+    region all broadcast (dims), the fact pipeline is
+    lineitem⋈orders(date-pruned scan)⋈dims with zero fact-side shuffles
+    until the final nations-sized aggregate. Revenue rounds 2 dp post-agg
+    (n_name tiebreak is total since the group key is unique). Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# theta/KMV sketch spec shared by both engines: k minimum md5 hashes per
+# set; theta_X = kth_min/2^32 when the set holds >= k distinct keys else
+# 1.0 (the sketch IS the set below k). Union/intersection estimates follow
+# the standard theta-sketch rules over the MERGED samples below
+# min(theta_a, theta_b). Every step is integer compare / one final
+# division, so both engines compute identical estimates.
+_THETA_K = 32
+# high-value purchase vs error cohorts: genuinely different user sets with
+# a partial overlap (the driver's 150 users are active in EVERY plain
+# event type, which would degenerate A = B = union and let a wrong
+# intersection rule pass)
+_THETA_A, _THETA_B = "purchase", "error"
+
+
+def _theta_sql() -> str:
+    two32 = float(1 << 32)
+    return f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+        CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+          AS h,
+        user_id
+      FROM events
+      WHERE event_type IN ('{_THETA_A}', '{_THETA_B}') AND value > 95),
+    sk AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM d) WHERE rn <= {_THETA_K}),
+    th AS (
+      SELECT event_type,
+             CASE WHEN count(*) >= {_THETA_K}
+                  THEN CAST(max(h) AS DOUBLE) / {two32}
+                  ELSE CAST(1.0 AS DOUBLE) END AS theta,
+             count(*) AS n_sk
+      FROM sk GROUP BY event_type),
+    tmin AS (
+      SELECT least(min(theta), CAST(1.0 AS DOUBLE)) AS theta
+      FROM (SELECT theta FROM th)),
+    merged AS (
+      SELECT h,
+             max(CASE WHEN event_type = '{_THETA_A}' THEN 1 ELSE 0 END)
+               AS in_a,
+             max(CASE WHEN event_type = '{_THETA_B}' THEN 1 ELSE 0 END)
+               AS in_b
+      FROM sk GROUP BY h),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_union_sample,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_inter_sample
+      FROM merged CROSS JOIN tmin
+      WHERE CAST(h AS DOUBLE) / {two32} < tmin.theta
+         OR tmin.theta = CAST(1.0 AS DOUBLE)),
+    exact AS (
+      SELECT
+        CAST(count(DISTINCT CASE WHEN event_type = '{_THETA_A}'
+                                 THEN user_id END) AS BIGINT) AS exact_a,
+        CAST(count(DISTINCT CASE WHEN event_type = '{_THETA_B}'
+                                 THEN user_id END) AS BIGINT) AS exact_b,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM d)
+    SELECT {_THETA_K} AS k, exact_a, exact_b, exact_union,
+           exact_a + exact_b - exact_union AS exact_inter,
+           round(n_union_sample / tmin.theta, 4) AS est_union,
+           round(n_inter_sample / tmin.theta, 4) AS est_inter
+    FROM counts CROSS JOIN tmin CROSS JOIN exact
+    """
+
+
+@register("events_theta_sketch_setops", _theta_sql())
+def events_theta_sketch_setops(spark, sf_dir):
+    """Theta/KMV sketch SET OPERATIONS (Dasgupta et al. 2016, the public
+    DataSketches theta algebra) — distinct-user union AND intersection
+    estimates between two event cohorts from k-minimum-value samples,
+    next to the exact counts that price the error. HLL
+    (events_hll_distinct) closed the cardinality family but cannot
+    intersect; theta sketches can, and building them on md5 makes both
+    engines compute IDENTICAL samples and estimates, so an approximate
+    set algebra passes the full value gate. Rules: theta_X = k-th
+    smallest hash / 2^32 (or 1.0 when the set is smaller than k — the
+    sketch IS the set), estimates = sample counts below min(theta)
+    divided by min(theta); every step is integer compare with ONE final
+    division, so no rounding dial is load-bearing (4 dp is cosmetic).
+    Shape at 100 TB: the k-min sample is a distributive sketch (merge =
+    k smallest of the union of samples — exactly how the union sample is
+    built here), so sketches build map-side per partition and merge in a
+    k·P-sized reduce; the exact columns ride along only to expose the
+    error. Reference analogue: none — training-data pipeline extension
+    (cohort overlap / audience dedup)."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_THETA_A, _THETA_B) & (F.col("value") > 95)
+    )
+    two32 = float(1 << 32)
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = ev.select("event_type", h.alias("h"), "user_id").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        d.select("event_type", "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _THETA_K)
+        .drop("rn")
+    )
+    th = sk.groupBy("event_type").agg(
+        F.when(F.count("*") >= _THETA_K, F.max("h").cast("double") / two32)
+        .otherwise(F.lit(1.0))
+        .alias("theta")
+    )
+    tmin = th.agg(F.min("theta").alias("theta"))
+    merged = sk.groupBy("h").agg(
+        F.max(
+            F.when(F.col("event_type") == _THETA_A, 1).otherwise(0)
+        ).alias("in_a"),
+        F.max(
+            F.when(F.col("event_type") == _THETA_B, 1).otherwise(0)
+        ).alias("in_b"),
+    )
+    counts = (
+        merged.crossJoin(tmin)
+        .filter(
+            (F.col("h").cast("double") / two32 < F.col("theta"))
+            | (F.col("theta") == 1.0)
+        )
+        .agg(
+            F.count("*").alias("n_union_sample"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).alias("n_inter_sample"),
+        )
+    )
+    exact = d.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == _THETA_A, F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == _THETA_B, F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    return (
+        counts.crossJoin(tmin)
+        .crossJoin(exact)
+        .select(
+            F.lit(_THETA_K).alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_union"))
+            .alias("exact_inter"),
+            F.round(F.col("n_union_sample") / F.col("theta"), 4)
+            .alias("est_union"),
+            F.round(F.col("n_inter_sample") / F.col("theta"), 4)
+            .alias("est_inter"),
+        )
+    )

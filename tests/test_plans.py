@@ -506,3 +506,26 @@ def test_session_stats_single_exchange(spark):
     ONE (user_id) hash exchange — Catalyst plans a single shuffle."""
     p = plan_of(QUERIES["events_session_stats"](spark, SF_DIR))
     assert p.count("Exchange") == 1, p
+
+
+def test_link_graph_no_join(spark):
+    """docs_link_graph: href explode + host rollup is a pure expression
+    chain into partial aggs — never a join; the linking-page distinct is
+    the only extra exchange."""
+    p = plan_of(QUERIES["docs_link_graph"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_tpch_q5_dims_broadcast_cycle_in_join(spark):
+    """tpch_q5: all four dims broadcast (the fact is shuffled only for
+    lineitem⋈orders), the date window reaches the orders scan, and the
+    cyclic c_nationkey = s_nationkey edge rides the supplier JOIN —
+    never a post-join filter over a wider product (no nested-loop/
+    cartesian anywhere)."""
+    df = QUERIES["tpch_q5_local_supplier_volume"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 4, p
+    f = formatted(df)
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in f, f
