@@ -10815,7 +10815,7 @@ def engine_dead_letter_quarantine(spark, sf_dir):
 # fixture's html carries no anchors) — the CommonCrawl host-graph family
 # =========================================================================
 
-_LINKED_SPEC = dict(seed=17, n_pages=400, n_hosts=24)
+_LINKED_SPEC = dict(seed=17, n_pages=400, n_hosts=24, n_peripheral=6)
 _LINKED_PAGES = fixture_path(_REPLAY_BASE, "linked_pages", _LINKED_SPEC)
 
 
@@ -10828,6 +10828,7 @@ def _ensure_linked_pages() -> str:
             d,
             n_pages=_LINKED_SPEC["n_pages"],
             n_hosts=_LINKED_SPEC["n_hosts"],
+            n_peripheral=_LINKED_SPEC["n_peripheral"],
             seed=_LINKED_SPEC["seed"],
         ),
     )

@@ -61,3 +61,49 @@ def test_replayer_semantics(events_pdf: pd.DataFrame):
     assert not (set(final["url"]) & deleted)
     # rollback respected: a rolled-back winner must NOT define final state
     assert len(final) == len(winners) - len(deleted)
+
+
+def test_linked_pages_plants_all_hazards(tmp_path):
+    """write_linked_pages: deterministic bytes + every extraction hazard
+    the link-graph gate depends on is actually present in the corpus
+    (negative hrefs, uppercase absolute links, self-links, dangling
+    hosts — a host that is linked-to but never links out cross-host)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from openlogreplicator_spark.datagen import write_linked_pages
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    write_linked_pages(str(d1), n_pages=400, n_hosts=24, seed=17)
+    write_linked_pages(str(d2), n_pages=400, n_hosts=24, seed=17)
+    b1 = (d1 / "pages-00000.parquet").read_bytes()
+    assert b1 == (d2 / "pages-00000.parquet").read_bytes()
+
+    t = pq.read_table(str(d1)).to_pandas()
+    allhtml = "\n".join(t.html)
+    for marker in (
+        'href="/p/relative"', 'href="#top"', 'href="mailto:',
+        'href="javascript:', 'href="HTTPS://HOST',
+    ):
+        assert marker in allhtml, marker
+
+    href_re = re.compile(r'(?is)<a\s[^>]*href="([^"]+)"')
+    host_re = re.compile(r"(?i)^https?://([^/?#]+)")
+    out_hosts, dst_hosts, self_links = set(), set(), 0
+    for _, row in t.iterrows():
+        src = host_re.match(row.url).group(1).lower()
+        for href in href_re.findall(row.html):
+            m = host_re.match(href)
+            if not m:
+                continue
+            dst = m.group(1).lower()
+            dst_hosts.add(dst)
+            if dst == src:
+                self_links += 1
+            else:
+                out_hosts.add(src)
+    assert self_links > 0
+    # dangling hosts exist: linked-to yet never linking out cross-host
+    assert dst_hosts - out_hosts, (dst_hosts, out_hosts)
