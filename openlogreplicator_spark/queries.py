@@ -11254,3 +11254,95 @@ def events_theta_sketch_setops(spark, sf_dir):
             .alias("est_inter"),
         )
     )
+
+
+# anchor-text extraction: the paired (href, text) shape needs TWO capture
+# groups, and regexp_extract_all returns only one — so both engines extract
+# the FULL anchor tag once and re-extract each part per element (HOF
+# transform / list_transform keep it map-side). [^<]* anchor bodies are the
+# fixture's shape; a real crawl would strip child tags first (the
+# html_text_extract kernel's job).
+_ANCHOR_TAG_RE_SQL = '(?is)(<a\\s[^>]*href="[^"]+"[^>]*>[^<]*</a>)'
+_ANCHOR_TEXT_SQL = f"""
+    WITH tags AS (
+      SELECT unnest(regexp_extract_all(html, '{_ANCHOR_TAG_RE_SQL}', 1))
+               AS tag
+      FROM read_parquet('{_LINKED_PAGES}/*.parquet')),
+    pairs AS (
+      SELECT lower(regexp_extract(regexp_extract(tag,
+               '(?i)href="([^"]+)"', 1), '(?i)^https?://([^/?#]+)', 1))
+               AS dst_host,
+             lower(trim(regexp_extract(tag, '(?is)>([^<]*)</a>', 1)))
+               AS atext
+      FROM tags
+      WHERE regexp_matches(regexp_extract(tag, '(?i)href="([^"]+)"', 1),
+                           '(?i)^https?://')),
+    counted AS (
+      SELECT dst_host, atext, CAST(count(*) AS BIGINT) AS c
+      FROM pairs GROUP BY dst_host, atext),
+    ranked AS (
+      SELECT dst_host, atext, c,
+             row_number() OVER (PARTITION BY dst_host
+                                ORDER BY c DESC, atext) AS rn,
+             CAST(sum(c) OVER (PARTITION BY dst_host) AS BIGINT)
+               AS n_anchors,
+             CAST(count(*) OVER (PARTITION BY dst_host) AS BIGINT)
+               AS n_texts
+      FROM counted)
+    SELECT dst_host, n_anchors, n_texts,
+           atext AS top_text, c AS top_count
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("docs_anchor_text_profile", _ANCHOR_TEXT_SQL)
+def docs_anchor_text_profile(spark, sf_dir):
+    """Anchor-text profile per destination host — the classic off-page
+    quality/relevance signal (what OTHER pages call a host; anchor text
+    feeds search ranking and page-quality classifiers): every absolute
+    <a> tag yields a (dst_host, normalized anchor text) pair, rolled up
+    to per-host totals, distinct-text counts, and the modal anchor text
+    (count-desc, text-asc tiebreak so ties cannot order differently per
+    engine). Extraction spelling: the paired shape re-extracts href and
+    body from the ONE captured full tag — regexp_extract_all returns a
+    single group, so this is the cross-engine way to get two. Shape at
+    100 TB: map-side extraction into a (hosts × texts)-bounded count
+    relation; the rank + totals share ONE dst_host window exchange.
+    Reference analogue: none — training-data pipeline extension."""
+    d = spark.read.parquet(_ensure_linked_pages())
+    tags = d.select(
+        F.explode(
+            F.expr(
+                "regexp_extract_all(html,"
+                " '(?is)(<a\\\\s[^>]*href=\"[^\"]+\"[^>]*>[^<]*</a>)', 1)"
+            )
+        ).alias("tag")
+    )
+    href = F.regexp_extract("tag", '(?i)href="([^"]+)"', 1)
+    pairs = tags.filter(href.rlike("(?i)^https?://")).select(
+        F.lower(
+            F.regexp_extract(href, "(?i)^https?://([^/?#]+)", 1)
+        ).alias("dst_host"),
+        F.lower(
+            F.trim(F.regexp_extract("tag", "(?is)>([^<]*)</a>", 1))
+        ).alias("atext"),
+    )
+    counted = pairs.groupBy("dst_host", "atext").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("dst_host")
+    ranked = counted.select(
+        "dst_host",
+        "atext",
+        "c",
+        F.row_number()
+        .over(w.orderBy(F.desc("c"), "atext"))
+        .alias("rn"),
+        F.sum("c").over(w).alias("n_anchors"),
+        F.count("*").over(w).alias("n_texts"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "dst_host",
+        "n_anchors",
+        "n_texts",
+        F.col("atext").alias("top_text"),
+        F.col("c").alias("top_count"),
+    )
