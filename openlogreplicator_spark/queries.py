@@ -2205,6 +2205,85 @@ def engine_partial_compact_state(spark, sf_dir):
     )
 
 
+_MASKED_REPLAY_SPEC = dict(base=_REPLAY_SPEC, mask="u_seq_mod3_text_lang_v1")
+_MASKED_REPLAY_EVENTS = fixture_path(
+    _REPLAY_BASE, "replay_masked", _MASKED_REPLAY_SPEC
+)
+
+
+def _ensure_masked_replay_events() -> str:
+    """Masked COPY of the replay fixture for the STREAMING partial-image
+    gate: the same deterministic changed-columns-only rule _PARTIAL_SQL
+    applies in SQL (text NULLed on committed 'u' with seq%3=1, lang on
+    seq%3=2), applied file-by-file with pyarrow — a distributed rewrite
+    would scramble the ordered-archive file boundaries (ROUND3 notes:
+    DDL-before-its-base-column hazard) — and mtimes touched strictly
+    ascending in name order so FileStreamSource delivers archive order."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = _ensure_replay_events()
+
+    def _write(d: str) -> None:
+        import numpy as np
+
+        files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        for k, f in enumerate(files):
+            t = pq.read_table(f)
+            is_u = pc.fill_null(
+                pc.equal(t["op"].combine_chunks(), pa.scalar("u")), False
+            )
+            # seq is non-null int64; pyarrow.compute has no modulo kernel
+            rem = pa.array(t["seq"].combine_chunks().to_numpy() % 3)
+            for col, r in (("text", 1), ("lang", 2)):
+                m = pc.and_(is_u, pc.equal(rem, np.int64(r)))
+                idx = t.schema.get_field_index(col)
+                masked = pc.if_else(
+                    m,
+                    pa.nulls(len(t), t.schema.field(col).type),
+                    t[col].combine_chunks(),
+                )
+                t = t.set_column(idx, t.schema.field(col), masked)
+            out = os.path.join(d, os.path.basename(f))
+            pq.write_table(t, out, compression="snappy")
+            os.utime(out, (1_600_000_000 + k, 1_600_000_000 + k))
+
+    return ensure_fixture(_MASKED_REPLAY_EVENTS, _write)
+
+
+@register("engine_partial_stream_state", _PARTIAL_SQL)
+def engine_partial_stream_state(spark, sf_dir):
+    """Partial-image CDC through the STRUCTURED STREAMING path (the batch
+    twin is engine_partial_update_state): the masked changed-columns-only
+    log is tailed as a file stream — checkpointed one-file micro-batches,
+    epoch re-read optimization, raw-version MoR appends — and the
+    fold-served state must value-hash against the DuckDB replay of the
+    identical fold. Micro-batch boundaries are the risk being gated: a
+    column carried across (or dropped at) an epoch boundary by the
+    read-time fold differs from the batch answer and hash-fails. The mask
+    lives IN the fixture here (a source emits partial images; the engine
+    never sees full rows), applied file-by-file so the ordered-archive
+    property survives — the oracle applies the same seq%3 rule in SQL over
+    the unmasked fixture, so fixture masking and SQL masking are also
+    cross-checked against each other."""
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_masked_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_pstream_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0, partial_updates=True,
+    )
+    p.run_available_now(max_files_per_trigger=1)
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 @register("engine_purge_replay", _REPLAY_SQL)
 def engine_purge_replay(spark, sf_dir):
     """Tombstone physical erasure (GDPR retention clock) through the value
@@ -3625,10 +3704,9 @@ def docs_dup_clusters(spark, sf_dir):
     )
 
 
-@register(
-    "docs_dedup_survivors",
-    f"""
-    WITH RECURSIVE {_components_cte()},
+# shared quality-ranked cluster-member CTEs (one spelling — the survivor
+# pick and the contrastive-pair builder must move together)
+_SURVIVOR_RANKED_CTES = """
     q AS (
       SELECT doc_id,
         CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3651,6 +3729,14 @@ def docs_dup_clusters(spark, sf_dir):
                                 ORDER BY quality._q DESC, c.doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY c.component) AS n_members
       FROM comp c JOIN quality USING (doc_id))
+"""
+
+
+@register(
+    "docs_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    {_SURVIVOR_RANKED_CTES}
     SELECT component, CAST(n_members AS BIGINT) AS n_members,
            doc_id AS survivor_doc_id, _q AS survivor_quality
     FROM ranked WHERE rn = 1
@@ -11094,6 +11180,413 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
             F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# =========================================================================
+# Web-graph analytics over the shared link-graph edge CTE: degree profile,
+# degree-ordered triangle enumeration, HITS hubs/authorities — the rest of
+# the CommonCrawl host-graph product family (pagerank is above)
+# =========================================================================
+
+_DEGREE_SQL = f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    e AS (SELECT DISTINCT src_host, dst_host FROM e0),
+    outs AS (SELECT src_host AS host, CAST(count(*) AS BIGINT) AS out_deg
+             FROM e GROUP BY src_host),
+    ins AS (SELECT dst_host AS host, CAST(count(*) AS BIGINT) AS in_deg
+            FROM e GROUP BY dst_host),
+    recip AS (
+      SELECT a.src_host AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+      FROM e a JOIN e b
+        ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+      GROUP BY a.src_host),
+    hosts AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e)
+    SELECT hosts.host,
+           CAST(coalesce(out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(coalesce(in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(coalesce(n_reciprocal, 0) AS BIGINT) AS n_reciprocal
+    FROM hosts LEFT JOIN outs USING (host) LEFT JOIN ins USING (host)
+               LEFT JOIN recip USING (host)
+    """
+
+
+@register("docs_host_degree_profile", _DEGREE_SQL)
+def docs_host_degree_profile(spark, sf_dir):
+    """Per-host degree profile of the crawl link graph: distinct out-degree,
+    in-degree, and reciprocal-edge count (both directions present — the
+    mutual-link signal that separates editorial links from link farms).
+    Shape at 100 TB: the edge list is the hosts²-bounded distinct rollup the
+    link-graph gate pins; degrees are two partial aggs on it, reciprocity is
+    a self-equi-join on the (dst, src) flip — never touches page rows after
+    extraction. Reference analogue: none — training-data extension (the
+    degree columns feed source-quality priors and crawl frontier policy)."""
+    e = _link_edges(spark).select("src_host", "dst_host").distinct()
+    outs = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ins = e.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count("*").alias("in_deg")
+    )
+    rev = e.select(
+        F.col("dst_host").alias("r_src"), F.col("src_host").alias("r_dst")
+    )
+    recip = (
+        e.join(
+            rev,
+            (e.src_host == rev.r_src) & (e.dst_host == rev.r_dst),
+            "left_semi",
+        )
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    hosts = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    return (
+        hosts.join(outs, "host", "left")
+        .join(ins, "host", "left")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("long")
+            .alias("n_reciprocal"),
+        )
+    )
+
+
+_TRIANGLES_SQL = f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    und AS (SELECT DISTINCT least(src_host, dst_host) AS u,
+                   greatest(src_host, dst_host) AS v
+            FROM e0),
+    deg AS (SELECT h AS host, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS h FROM und UNION ALL SELECT v AS h FROM und)
+            GROUP BY h),
+    o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN u ELSE v END AS lo,
+                 CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                      THEN v ELSE u END AS hi
+          FROM und JOIN deg du ON und.u = du.host
+                   JOIN deg dv ON und.v = dv.host),
+    o2 AS (SELECT o.lo, o.hi, deg.d AS dhi
+           FROM o JOIN deg ON o.hi = deg.host),
+    wedge AS (
+      SELECT a.lo AS x,
+             CASE WHEN a.dhi < b.dhi OR (a.dhi = b.dhi AND a.hi < b.hi)
+                  THEN a.hi ELSE b.hi END AS y,
+             CASE WHEN a.dhi < b.dhi OR (a.dhi = b.dhi AND a.hi < b.hi)
+                  THEN b.hi ELSE a.hi END AS z
+      FROM o2 a JOIN o2 b ON a.lo = b.lo AND a.hi < b.hi),
+    tri AS (SELECT x, y, z
+            FROM wedge JOIN o ON wedge.y = o.lo AND wedge.z = o.hi)
+    SELECT list_sort([x, y, z])[1] AS h1,
+           list_sort([x, y, z])[2] AS h2,
+           list_sort([x, y, z])[3] AS h3
+    FROM tri
+    """
+
+
+@register("docs_host_triangles", _TRIANGLES_SQL)
+def docs_host_triangles(spark, sf_dir):
+    """Triangle enumeration on the undirected host graph — the clustering /
+    community-density primitive (triangle-dense neighborhoods = topical
+    hubs; triangle-free high-degree hosts = spam/link-farm signal). The
+    scalable shape is degree-ordered orientation (Cohen / Suri-Vassilvitskii):
+    every undirected edge is oriented from its lower (degree, host) endpoint
+    to the higher, which bounds every node's out-degree by O(√m); wedges are
+    a self-equi-join of oriented edges on the shared low node, and a wedge
+    closes iff its (y, z) arm — ordered by the SAME total order — is itself
+    an oriented edge, so closure is ONE more equi-join, never an all-pairs
+    or OR-join probe. Each triangle is emitted exactly once and the value
+    hash covers the full lexicographically-sorted triple list. Reference
+    analogue: none — training-data extension."""
+    e = _link_edges(spark).select("src_host", "dst_host").distinct()
+    und = e.select(
+        F.least("src_host", "dst_host").alias("u"),
+        F.greatest("src_host", "dst_host").alias("v"),
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("h"))
+        .unionAll(und.select(F.col("v").alias("h")))
+        .groupBy("h")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("h").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("h").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    dh = deg.select(F.col("h").alias("hi"), F.col("d").alias("dhi"))
+    o2 = o.join(dh, "hi").select("lo", "hi", "dhi")
+    a = o2.select(
+        F.col("lo").alias("x"),
+        F.col("hi").alias("a_hi"),
+        F.col("dhi").alias("a_d"),
+    )
+    b = o2.select(
+        F.col("lo").alias("x"),
+        F.col("hi").alias("b_hi"),
+        F.col("dhi").alias("b_d"),
+    )
+    a_first = (F.col("a_d") < F.col("b_d")) | (
+        (F.col("a_d") == F.col("b_d")) & (F.col("a_hi") < F.col("b_hi"))
+    )
+    wedge = (
+        a.join(b, "x")
+        .filter(F.col("a_hi") < F.col("b_hi"))
+        .select(
+            "x",
+            F.when(a_first, F.col("a_hi")).otherwise(F.col("b_hi")).alias("y"),
+            F.when(a_first, F.col("b_hi")).otherwise(F.col("a_hi")).alias("z"),
+        )
+    )
+    tri = wedge.join(
+        o, (wedge.y == o.lo) & (wedge.z == o.hi), "left_semi"
+    )
+    srt = F.array_sort(F.array("x", "y", "z"))
+    return tri.select(
+        srt[0].alias("h1"), srt[1].alias("h2"), srt[2].alias("h3")
+    )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_sql() -> str:
+    """DuckDB twin of docs_host_hits: the L1-normalized HITS trajectory
+    replayed as unrolled CTEs (the pagerank recipe with TWO mutually
+    recursive vectors — auth from hubs over in-edges, hub from fresh auths
+    over out-edges, each normalized to sum 1 and rounded per iteration)."""
+    iters = []
+    prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        iters.append(f"""
+    acontrib{i} AS (
+      SELECT e.dst_host AS host, sum({prev}.hub) AS c
+      FROM e JOIN {prev} ON e.src_host = {prev}.host
+      GROUP BY e.dst_host),
+    araw{i} AS (
+      SELECT nodes.host,
+             round(coalesce(acontrib{i}.c, CAST(0.0 AS DOUBLE)), 9) AS raw
+      FROM nodes LEFT JOIN acontrib{i} ON nodes.host = acontrib{i}.host),
+    asum{i} AS (SELECT round(sum(raw), 9) AS s FROM araw{i}),
+    a{i} AS (SELECT araw{i}.host, round(raw / asum{i}.s, 6) AS auth
+             FROM araw{i} CROSS JOIN asum{i}),
+    hcontrib{i} AS (
+      SELECT e.src_host AS host, sum(a{i}.auth) AS c
+      FROM e JOIN a{i} ON e.dst_host = a{i}.host
+      GROUP BY e.src_host),
+    hraw{i} AS (
+      SELECT nodes.host,
+             round(coalesce(hcontrib{i}.c, CAST(0.0 AS DOUBLE)), 9) AS raw
+      FROM nodes LEFT JOIN hcontrib{i} ON nodes.host = hcontrib{i}.host),
+    hsum{i} AS (SELECT round(sum(raw), 9) AS s FROM hraw{i}),
+    h{i} AS (SELECT hraw{i}.host, round(raw / hsum{i}.s, 6) AS hub
+             FROM hraw{i} CROSS JOIN hsum{i})""")
+        prev = f"h{i}"
+    n = _HITS_ITERS
+    return f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    e AS (SELECT DISTINCT src_host, dst_host FROM e0),
+    nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    h0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS hub
+           FROM nodes CROSS JOIN nn),
+    {",".join(iters)}
+    SELECT host, hub, auth FROM h{n} JOIN a{n} USING (host)
+    """
+
+
+@register("docs_host_hits", _hits_sql())
+def docs_host_hits(spark, sf_dir):
+    """HITS hubs & authorities over the directed host graph — the complement
+    of PageRank for crawl curation: authorities are linked-to reference
+    sites (quality prior), hubs are link-aggregator pages (frontier seeds).
+    {n} iterations, L1 normalization (sum-to-1 — no sqrt, so the rounding
+    contract is exactly the pagerank one: contributions rounded 9 dp per
+    node, the normalizing scalar 9 dp, scores 6 dp per iteration; the
+    DuckDB twin replays the trajectory over the SAME edge CTE). Shape at
+    100 TB: per iteration two equi-join + partial-agg passes on the
+    hosts²-bounded distinct edge relation and two one-row scalars —
+    iteration cost independent of corpus size. Reference analogue: none —
+    training-data pipeline extension."""
+    e = (
+        _link_edges(spark)
+        .select("src_host", "dst_host")
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .union(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    hub = nodes.crossJoin(nn).select(
+        "host", (F.lit(1.0) / F.col("n")).alias("hub")
+    )
+    auth = None
+    for _ in range(_HITS_ITERS):
+        hv = hub.select(F.col("host").alias("_h"), "hub")
+        ac = (
+            e.join(hv, e.src_host == hv._h)
+            .groupBy("dst_host")
+            .agg(F.sum("hub").alias("c"))
+        )
+        araw = nodes.join(ac, nodes.host == ac.dst_host, "left").select(
+            "host",
+            F.round(F.coalesce(F.col("c"), F.lit(0.0)), 9).alias("raw"),
+        )
+        asum = araw.agg(F.round(F.sum("raw"), 9).alias("s"))
+        auth = araw.crossJoin(asum).select(
+            "host", F.round(F.col("raw") / F.col("s"), 6).alias("auth")
+        )
+        av = auth.select(F.col("host").alias("_h"), "auth")
+        hc = (
+            e.join(av, e.dst_host == av._h)
+            .groupBy("src_host")
+            .agg(F.sum("auth").alias("c"))
+        )
+        hraw = nodes.join(hc, nodes.host == hc.src_host, "left").select(
+            "host",
+            F.round(F.coalesce(F.col("c"), F.lit(0.0)), 9).alias("raw"),
+        )
+        hsum = hraw.agg(F.round(F.sum("raw"), 9).alias("s"))
+        hub = hraw.crossJoin(hsum).select(
+            "host", F.round(F.col("raw") / F.col("s"), 6).alias("hub")
+        )
+    return hub.join(auth, "host").select("host", "hub", "auth")
+
+
+docs_host_hits.__doc__ = docs_host_hits.__doc__.replace(
+    "{n}", str(_HITS_ITERS)
+)
+
+
+@register(
+    "emb_knn_graph",
+    f"""
+    WITH b AS ({_lsh_tables_sql("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)")}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r
+        ON l.table_id = r.table_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id),
+    sym AS (SELECT a AS vec_id, b AS neighbor_id FROM cand
+            UNION ALL SELECT b, a FROM cand),
+    scored AS (
+      SELECT s.vec_id, s.neighbor_id,
+             round(CAST(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
+      FROM sym s JOIN embeddings ea ON s.vec_id = ea.vec_id
+                 JOIN embeddings eb ON s.neighbor_id = eb.vec_id),
+    ranked AS (
+      SELECT vec_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS INTEGER) AS rank
+      FROM scored)
+    SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def emb_knn_graph(spark, sf_dir):
+    """k-NN graph construction (k=3) over the LSH candidate pairs — the
+    input relation for graph-based dedup/clustering (SemDeDup's cluster
+    graphs, kNN-density filtering, graph-connectivity curation): every
+    vector's top-k among its LSH candidates, ranked by rounded cosine with
+    the neighbor id as the deterministic tiebreak. Unlike the threshold
+    query (emb_near_dup_pairs) the result is per-node bounded — k rows per
+    vector regardless of neighborhood density, so downstream joins can't
+    skew on dup-saturated regions. Shape at 100 TB: candidates are the
+    bounded-keyspace bucket equi-join (never all-pairs), symmetrization is
+    a union, and the top-k is a per-key window over candidate-sized input.
+    Reference analogue: none — training-data pipeline extension."""
+    from .functions.similarity import cosine, lsh_candidate_pairs
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    cand = lsh_candidate_pairs(
+        emb, n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM
+    )
+    sym = cand.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id")
+    ).unionAll(
+        cand.select(
+            F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id")
+        )
+    )
+    ea = emb.select(F.col("vec_id").alias("_i"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("_j"), F.col("embedding").alias("eb"))
+    scored = (
+        sym.join(ea, sym.vec_id == ea._i)
+        .join(eb, sym.neighbor_id == eb._j)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )
+
+
+@register(
+    "docs_contrastive_pairs",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    {_SURVIVOR_RANKED_CTES}
+    SELECT a.component, a.doc_id AS anchor_doc_id,
+           m.doc_id AS positive_doc_id
+    FROM ranked a JOIN ranked m ON a.component = m.component
+    WHERE a.rn = 1 AND m.rn > 1
+    """,
+)
+def docs_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair extraction from the duplicate clusters:
+    per SimHash component, the keep-one survivor (same quality-then-id rule
+    the dedup survivor gate pins) becomes the ANCHOR and every other member
+    a POSITIVE — the (anchor, positive) pairs an embedding model trains on
+    (in-batch negatives come free at training time, so the engine's job
+    ends at the positives). Near-dup clusters are exactly the supervision
+    soft labels can't fake: same content, different boilerplate/encoding.
+    Shape at 100 TB: pair graph → components is the blocked near-linear
+    path; the anchor join is cluster-sized. Reference analogue: none —
+    training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b")
+    surv = S.dup_cluster_survivors(
+        d, comps, "doc_id", TXT.quality_score(F.col("text"))
+    )
+    members = comps.select(F.col("id").alias("doc_id"), "component")
+    return (
+        members.join(
+            surv.select("component", "survivor_doc_id"), "component"
+        )
+        .filter(F.col("doc_id") != F.col("survivor_doc_id"))
+        .select(
+            "component",
+            F.col("survivor_doc_id").alias("anchor_doc_id"),
+            F.col("doc_id").alias("positive_doc_id"),
+        )
     )
 
 
