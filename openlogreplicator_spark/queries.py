@@ -2284,6 +2284,78 @@ def engine_partial_stream_state(spark, sf_dir):
     )
 
 
+@register("engine_bootstrap_tail", _REPLAY_SQL)
+def engine_bootstrap_tail(spark, sf_dir):
+    """Snapshot-bootstrap → log-tail handoff (the Debezium initial-load /
+    Kafka compacted-topic consumer shape; reference analogue: OLR's
+    dictionary bootstrap + start-from-scn): a NEW target is stood up from
+    (a) the boundary DDL traffic replayed as metadata-only epochs — the
+    dictionary lands at the boundary version (v3 here, asserted) with the
+    SAME field ids a full replay allocates, (b) one bulk load of the
+    source's compacted changelog at the boundary — newest version per key
+    INCLUDING delete tombstones (asserted present; an out-of-order tail
+    event must lose LWW to a boundary delete, so live-rows-only bootstrap
+    resurrects dead keys — tests/test_bootstrap.py), then (c) tailing only
+    the post-boundary file, whose rename DDL must re-map the
+    bootstrap-written v3 files by field id. Final state value-hashes
+    against the DuckDB replay of the FULL log — handoff is exact, no gap,
+    no overlap, no resurrection. Shape at 100 TB: the snapshot bulk load
+    is O(state) MoR appends (no event decode, no read of existing data);
+    the tail is the normal incremental path."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.lww import lww_compact_auto
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    boundary = 3  # files [0, 3) are source history, file 3 is the tail
+
+    # the "source database": replay history to materialize its state
+    d_src = tempfile.mkdtemp(prefix="olr_boot_src_")
+    src = CdcPipeline(
+        spark, ev, os.path.join(d_src, "t"), os.path.join(d_src, "c")
+    )
+    for i in range(boundary):
+        src.apply_epoch(
+            spark.read.schema(EVENTS_DDL).parquet(files[i]), epoch_id=i
+        )
+    st = LakeTable.load(spark, src.table_path)
+    snap = lww_compact_auto(st.read(), key="url", order=("warc_ts", "_seq"))
+    if snap.filter(F.col("_op") == "d").limit(1).count() == 0:
+        raise AssertionError("boundary changelog carries no tombstones")
+
+    # the new consumer: metadata-only epochs -> bulk bootstrap -> tail
+    d_tgt = tempfile.mkdtemp(prefix="olr_boot_tgt_")
+    tgt = CdcPipeline(
+        spark, ev, os.path.join(d_tgt, "t"), os.path.join(d_tgt, "c")
+    )
+    for i in range(boundary):
+        ddl_only = (
+            spark.read.schema(EVENTS_DDL)
+            .parquet(files[i])
+            .filter(F.col("op") == "ddl")
+        )
+        tgt.apply_epoch(ddl_only, epoch_id=i)
+    tt = LakeTable.load(spark, tgt.table_path)
+    if tt.current_schema_ver != st.current_schema_ver:
+        raise AssertionError(
+            f"dictionary handoff diverged: {tt.current_schema_ver} "
+            f"!= {st.current_schema_ver}"
+        )
+    tgt.bootstrap_changelog(snap)
+    for i in range(boundary, len(files)):
+        tgt.apply_epoch(
+            spark.read.schema(EVENTS_DDL).parquet(files[i]), epoch_id=i
+        )
+    return tgt.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
 @register("engine_purge_replay", _REPLAY_SQL)
 def engine_purge_replay(spark, sf_dir):
     """Tombstone physical erasure (GDPR retention clock) through the value

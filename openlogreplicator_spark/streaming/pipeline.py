@@ -211,6 +211,46 @@ class CdcPipeline:
             t, broadcast_budget_keys=self.lww_broadcast_budget
         )
 
+    def bootstrap_changelog(self, snapshot: DataFrame) -> dict:
+        """Initial-load → tail handoff (the Debezium snapshot→stream /
+        Kafka compacted-topic bootstrap; reference analogue: OLR starts a
+        new target from a dictionary bootstrap plus the source's current
+        rows, then tails from that scn): bulk-load a COMPACTED CHANGELOG —
+        one newest version per key, INCLUDING delete tombstones, in the
+        target's physical layout (url, warc_ts, _seq, _op, payload) —
+        straight into the table, bypassing event decode entirely.
+
+        The caller owns three invariants:
+        * the dictionary must already be at the snapshot's schema version
+          (replay the boundary DDL traffic first — metadata-only epochs,
+          the S5 dictionary-bootstrap shape);
+        * tombstones MUST ride along (Kafka log compaction retains them —
+          delete.retention.ms — for exactly this): an out-of-order tail
+          event that predates a boundary delete must LOSE to it by LWW;
+          bootstrap from live rows only and the dead key resurrects
+          (tests/test_bootstrap.py constructs the hazard);
+        * the bootstrap commit is watermark-NEUTRAL (epoch_id=None): the
+          boundary epochs are confirmed by the DDL replay, so a resume
+          re-tails from the boundary and re-delivered tail epochs stay
+          idempotent. Production staging would run this on a WAP branch
+          and publish atomically.
+
+        Scale shape: the snapshot is written as per-bucket MoR deltas —
+        O(snapshot) write, no read of existing data, LWW resolves the
+        (empty) overlap at read time."""
+        from ..operators.merge import merge_append
+
+        table = self.ensure_table()
+        if self.partial_updates:
+            raise ValueError(
+                "bootstrap_changelog requires whole-row images (a partial "
+                "table's NULL columns mean 'unchanged', which a snapshot "
+                "cannot assert)"
+            )
+        return merge_append(
+            table, snapshot, epoch_id=None, extra_summary={"bootstrap": True}
+        )
+
     # ------------------------------------------------------------ the epoch
     def apply_epoch(self, batch_df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
