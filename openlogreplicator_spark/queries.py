@@ -11255,6 +11255,86 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+@register(
+    "events_position_attribution",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts
+               FROM events WHERE event_type = 'click'),
+    touched AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts, c.click_id) AS pos,
+             count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 72 HOUR)
+    SELECT purchase_id, user_id, click_id,
+           CAST(pos AS INTEGER) AS pos,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches = 1 THEN CAST(1.0 AS DOUBLE)
+                WHEN n_touches = 2 THEN CAST(0.5 AS DOUBLE)
+                WHEN pos = 1 OR pos = n_touches THEN CAST(0.4 AS DOUBLE)
+                ELSE round(CAST(0.2 AS DOUBLE) / (n_touches - 2), 6)
+           END AS weight
+    FROM touched
+    """,
+)
+def events_position_attribution(spark, sf_dir):
+    """U-shaped (position-based) multi-touch attribution — completes the
+    attribution family next to the last-touch as-of join: every click in a
+    purchase's 72 h lookback gets fractional credit (single touch 1.0, two
+    touches 0.5/0.5, else 0.4 to first and last and 0.2 split across the
+    middle — rounded 6 dp so both engines divide identically). Touch order
+    is the deterministic (ts, click_id) total order. Shape at 100 TB: the
+    candidate join is equi-keyed on user with a bounded time-range
+    predicate (per-user state is lookback-bounded — the streaming interval
+    join's batch twin), and both window functions share ONE purchase-keyed
+    exchange over candidate-sized input. Reference analogue: none —
+    training-data/events extension."""
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.c_user)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 72 HOURS")),
+    )
+    wo = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    wp = Window.partitionBy("purchase_id")
+    n, pos = F.col("n_touches"), F.col("pos")
+    return (
+        j.select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.row_number().over(wo).alias("pos"),
+            F.count("*").over(wp).alias("n_touches"),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            "pos",
+            "n_touches",
+            F.when(n == 1, F.lit(1.0))
+            .when(n == 2, F.lit(0.5))
+            .when((pos == 1) | (pos == n), F.lit(0.4))
+            .otherwise(F.round(F.lit(0.2) / (n - 2), 6))
+            .alias("weight"),
+        )
+    )
+
+
 # =========================================================================
 # Web-graph analytics over the shared link-graph edge CTE: degree profile,
 # degree-ordered triangle enumeration, HITS hubs/authorities — the rest of
