@@ -3413,6 +3413,82 @@ def engine_metrics_log(spark, sf_dir):
     )
 
 
+# Dictionary-chain truthfulness: the DDL is RE-DERIVED from the table's
+# stored per-version field lists (diff consecutive schemas by FIELD ID —
+# new id = add, same id new name = rename, same id new type = widen,
+# missing id = drop) and must match the raw log's ddl rows exactly. The
+# n_cols expectation replays adds/drops over the target's 7 base columns
+# (url, warc_ts, _seq, _op, html, text, lang — the pipeline's fixed layout).
+_DICT_LOG_SQL = f"""
+    SELECT CAST(schema_ver AS BIGINT) AS to_ver, action, col_name,
+           new_name, new_type,
+           CAST(7 + sum(CASE action WHEN 'add_column' THEN 1
+                                    WHEN 'drop_column' THEN -1
+                                    ELSE 0 END)
+                OVER (ORDER BY seq ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_cols
+    FROM read_parquet('{_REPLAY_EVENTS}/*.parquet') WHERE op = 'ddl'
+    """
+
+
+@register("engine_dictionary_log", _DICT_LOG_SQL)
+def engine_dictionary_log(spark, sf_dir):
+    """Dictionary-chain parity (S5/P9; reference analogue: the checkpoint's
+    serialized schema chain must reproduce the DDL that built it,
+    Schema.cpp / SystemTransaction.cpp dictionary replay): the replayed
+    table's stored per-version field lists are DIFFED consecutive-pairwise
+    by field id to re-derive every DDL action — a new field id is an
+    add_column, a same-id name change a rename, a same-id type change a
+    widen, a vanished id a drop — and the reconstruction must value-hash
+    against the raw log's ddl rows (action, column, new name/type, target
+    version) plus a replayed column count. Catches dictionary corruption
+    the state gates can't see: a schema version written with the wrong
+    field id or a lost widening still serves correct CURRENT data but
+    breaks time travel and field-id reads of old files. Driver-side
+    metadata walk, O(versions), no data scan."""
+    from .lake.table import LakeTable
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    table_path, _marks, _metrics = _shared_mor_replay(spark)
+    t = LakeTable.load(spark, table_path)
+    vers = sorted(int(v) for v in t.snap["schemas"])
+    rows = []
+    for prev_v, v in zip(vers, vers[1:]):
+        prev = {f["id"]: f for f in t.schema_at(prev_v)}
+        cur = {f["id"]: f for f in t.schema_at(v)}
+        added = [f for fid, f in cur.items() if fid not in prev]
+        dropped = [f for fid, f in prev.items() if fid not in cur]
+        renamed = [
+            (prev[fid]["name"], cur[fid]["name"])
+            for fid in cur
+            if fid in prev and prev[fid]["name"] != cur[fid]["name"]
+        ]
+        widened = [
+            (cur[fid]["name"], cur[fid]["type"])
+            for fid in cur
+            if fid in prev and prev[fid]["type"] != cur[fid]["type"]
+        ]
+        n_changes = len(added) + len(dropped) + len(renamed) + len(widened)
+        if n_changes != 1:
+            raise AssertionError(
+                f"schema v{prev_v}->v{v} is not one DDL: {n_changes} changes"
+            )
+        if added:
+            rec = ("add_column", added[0]["name"], None, added[0]["type"])
+        elif dropped:
+            rec = ("drop_column", dropped[0]["name"], None, None)
+        elif renamed:
+            rec = ("rename_column", renamed[0][0], renamed[0][1], None)
+        else:
+            rec = ("widen_type", widened[0][0], None, widened[0][1])
+        rows.append((v, *rec, len(cur)))
+    return spark.createDataFrame(
+        rows,
+        schema="to_ver long, action string, col_name string, "
+        "new_name string, new_type string, n_cols long",
+    )
+
+
 # Incremental view maintenance off the CDF changelog: a downstream consumer
 # keeps a per-lang aggregate of the target table current by applying ONLY
 # each epoch's pre/post-image rows (sign-uniform: +1 insert/update_postimage,
