@@ -529,3 +529,31 @@ def test_tpch_q5_dims_broadcast_cycle_in_join(spark):
     assert p.count("BroadcastHashJoin") >= 4, p
     f = formatted(df)
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in f, f
+
+
+def test_position_attribution_shares_one_window_exchange(spark):
+    """Both attribution windows (row_number + count) run over ONE
+    purchase-keyed exchange; the candidate join is equi-keyed on user
+    (never a cartesian / nested-loop shape for the range predicate)."""
+    p = plan_of(QUERIES["events_position_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert p.count("hashpartitioning(purchase_id") == 1, p
+
+
+def test_knn_graph_topk_is_group_limited(spark):
+    """The per-vector top-3 rank filter pushes down as WindowGroupLimit
+    (partial per-partition top-k before the window shuffle) — the plan
+    that keeps dup-saturated neighborhoods from shuffling whole."""
+    p = plan_of(QUERIES["emb_knn_graph"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_triangles_are_equi_join_only(spark):
+    """Degree-ordered triangle enumeration: wedge build and closure are
+    equi-joins — a cartesian or OR-join closure probe would be the
+    all-pairs shape the orientation exists to avoid. No window/global
+    sort anywhere either."""
+    p = plan_of(QUERIES["docs_host_triangles"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "Window" not in p, p
