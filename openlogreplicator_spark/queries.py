@@ -11818,6 +11818,88 @@ def docs_contrastive_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "docs_bigram_kneser_ney",
+    """
+    WITH base AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents WHERE length(trim(text)) > 0),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+      FROM base WHERE len(toks) >= 2),
+    bc AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c12
+      FROM bi GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM bc GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY w2),
+    tots AS (SELECT CAST(count(*) AS BIGINT) AS npp FROM bc)
+    SELECT bc.w1, bc.w2, bc.c12,
+           round((bc.c12 - CAST(0.75 AS DOUBLE)) / ctx.c1
+                 + CAST(0.75 AS DOUBLE) * ctx.n1f / ctx.c1
+                   * (CAST(cont.n1p AS DOUBLE) / tots.npp), 6) AS p_kn
+    FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tots
+    """,
+)
+def docs_bigram_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model (fixed discount 0.75) — the
+    smoothing the add-k entries (docs_unigram_logprob / docs_bigram_logprob)
+    are the baseline for, and the one production LM-based quality filters
+    (CCNet's KenLM) actually use: P(w2|w1) = max(c12−d,0)/c1 +
+    d·N1+(w1,·)/c1 · Pcont(w2), where the continuation probability
+    Pcont(w2) = N1+(·,w2)/N1+(·,·) counts the DISTINCT contexts w2 follows
+    ("Francisco" is frequent but only ever follows "San" — KN's insight).
+    c1 is the context total (Σ_w2 c12 — differs from the unigram count only
+    at document-final tokens, stated here because both engines must use the
+    same definition). Every input is an exact BIGINT count and the formula
+    is spelled with identical association on both engines, so the doubles
+    match bitwise before the 6 dp round. Shape at 100 TB: one corpus scan
+    into bigram counts (map-side HOF pair build — never tokens⋈tokens),
+    then every derived relation (context totals, continuation counts, type
+    total) is vocab- or bigram-types-bounded. Reference analogue: none —
+    training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    bi = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("toks"), i).alias("w1"),
+                    F.element_at(F.col("toks"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1p"))
+    tots = bc.agg(F.count("*").alias("npp"))
+    return (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                (F.col("c12") - F.lit(0.75)) / F.col("c1")
+                + F.lit(0.75) * F.col("n1f") / F.col("c1")
+                * (F.col("n1p").cast("double") / F.col("npp")),
+                6,
+            ).alias("p_kn"),
+        )
+    )
+
+
 # theta/KMV sketch spec shared by both engines: k minimum md5 hashes per
 # set; theta_X = kth_min/2^32 when the set holds >= k distinct keys else
 # 1.0 (the sketch IS the set below k). Union/intersection estimates follow
