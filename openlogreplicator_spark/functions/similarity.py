@@ -162,6 +162,38 @@ def token_ngrams(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return df.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
 
 
+def containment_pairs(
+    rel: DataFrame, candidates: DataFrame, id_col: str, item_col: str
+) -> DataFrame:
+    """Directional set CONTAINMENT for candidate pairs: c_ab = |A∩B|/|A| and
+    c_ba = |A∩B|/|B| over a distinct (id, item) relation. Containment is the
+    asymmetric near-dup measure (Broder's resemblance twin): a short quote
+    fully inside a long page has Jaccard ≈ |A|/|B| (tiny) but c_ab = 1 — the
+    subset-duplication signal Jaccard structurally cannot see. Computed ONLY
+    for candidate (a, b) pairs — never all-pairs."""
+    ra = rel.select(F.col(id_col).alias("a"), F.col(item_col))
+    rb = rel.select(F.col(id_col).alias("b"), F.col(item_col))
+    sizes = rel.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        candidates.join(ra, "a").join(rb, ["b", item_col])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a"
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b"
+        )
+        .select(
+            "a", "b", "n_inter", "na", "nb",
+            (F.col("n_inter") / F.col("na")).alias("c_ab"),
+            (F.col("n_inter") / F.col("nb")).alias("c_ba"),
+        )
+    )
+
+
 def ngram_jaccard_near_dup(
     df: DataFrame,
     id_col: str,

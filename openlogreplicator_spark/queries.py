@@ -12149,3 +12149,505 @@ def docs_anchor_text_profile(spark, sf_dir):
         F.col("atext").alias("top_text"),
         F.col("c").alias("top_count"),
     )
+
+
+# CUPED pre-period cut shared by the Spark impl and the SQL twin: the events
+# table spans 2024-01-01 .. 2024-01-30, so day 15 splits it ~50/50 into a
+# covariate window and an experiment window.
+_CUPED_CUT = "2024-01-15"
+_CUPED_SQL = f"""
+    WITH pre AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events WHERE ts < TIMESTAMP '{_CUPED_CUT}' GROUP BY user_id),
+    u AS (
+      SELECT event_type, user_id, user_id % 2 AS arm,
+             round(sum(value), 6) AS y
+      FROM events WHERE ts >= TIMESTAMP '{_CUPED_CUT}'
+      GROUP BY event_type, user_id),
+    ux AS (
+      SELECT u.event_type, u.arm, u.y, coalesce(pre.x, 0) AS x
+      FROM u LEFT JOIN pre USING (user_id)),
+    st AS (
+      SELECT event_type,
+             round(covar_samp(x, y), 6) AS cxy,
+             round(var_samp(x), 6) AS vx,
+             round(avg(x), 6) AS mx
+      FROM ux GROUP BY event_type),
+    adj AS (
+      SELECT ux.event_type, arm, y,
+             y - (cxy / vx) * (x - mx) AS yc, cxy / vx AS theta
+      FROM ux JOIN st USING (event_type))
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+           CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+           round(min(theta), 4) AS theta,
+           round(avg(y) FILTER (WHERE arm = 1)
+                 - avg(y) FILTER (WHERE arm = 0), 4) AS lift_raw,
+           round(avg(yc) FILTER (WHERE arm = 1)
+                 - avg(yc) FILTER (WHERE arm = 0), 4) AS lift_cuped,
+           round(var_samp(yc) / var_samp(y), 4) AS var_reduction
+    FROM adj GROUP BY event_type
+    """
+
+
+@register("events_ab_cuped", _CUPED_SQL)
+def events_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced A/B readout (Deng et al. 2013) — the adjusted
+    lift every mature experimentation platform reports next to
+    events_ab_lift's raw one: per metric (event_type), each user's
+    experiment-period value sum is adjusted by their PRE-period activity
+    count (theta = cov(X,Y)/var(X), Y' = Y − theta·(X − mean X)), shrinking
+    variance by the covariate's explained share without biasing the lift
+    (X predates assignment). Cross-engine determinism: the covariate is an
+    exact BIGINT count, per-user Y sums round 6dp, the moments round 6dp
+    AFTER aggregation, and theta/lifts are computed FROM the rounded stats
+    (the events_ab_lift contract). Shape at 100 TB: two per-user
+    partial-agg groupBys joined on user, types-sized moment stats broadcast
+    back, one final types-sized agg — never a self-join, never a window.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    cut = F.lit(_CUPED_CUT).cast("timestamp")
+    pre = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"))
+    )
+    u = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    ux = (
+        u.join(pre, "user_id", "left")
+        .select(
+            "event_type", "arm", "y",
+            F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        )
+    )
+    st = ux.groupBy("event_type").agg(
+        F.round(F.covar_samp("x", "y"), 6).alias("cxy"),
+        F.round(F.var_samp("x"), 6).alias("vx"),
+        F.round(F.avg("x"), 6).alias("mx"),
+    )
+    theta = F.col("cxy") / F.col("vx")
+    adj = ux.join(F.broadcast(st), "event_type").select(
+        "event_type", "arm", "y",
+        (F.col("y") - theta * (F.col("x") - F.col("mx"))).alias("yc"),
+        theta.alias("theta"),
+    )
+    a0, a1 = F.col("arm") == 0, F.col("arm") == 1
+    return adj.groupBy("event_type").agg(
+        F.count(F.when(a0, 1)).alias("n0"),
+        F.count(F.when(a1, 1)).alias("n1"),
+        F.round(F.min("theta"), 4).alias("theta"),
+        F.round(
+            F.avg(F.when(a1, F.col("y"))) - F.avg(F.when(a0, F.col("y"))), 4
+        ).alias("lift_raw"),
+        F.round(
+            F.avg(F.when(a1, F.col("yc"))) - F.avg(F.when(a0, F.col("yc"))), 4
+        ).alias("lift_cuped"),
+        F.round(F.var_samp("yc") / F.var_samp("y"), 4).alias("var_reduction"),
+    )
+
+
+_TRIGRAM_PATHS_SQL = """
+    WITH seqd AS (
+      SELECT concat_ws('>', event_type,
+               lead(event_type, 1) OVER w, lead(event_type, 2) OVER w) AS path,
+             lead(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+          FROM seqd WHERE p2 IS NOT NULL GROUP BY path)
+    SELECT path, n_paths FROM c ORDER BY n_paths DESC, path LIMIT 20
+    """
+
+
+@register("events_trigram_paths", _TRIGRAM_PATHS_SQL)
+def events_trigram_paths(spark, sf_dir):
+    """Top-20 length-3 behavioral paths (the Sankey / user-journey query,
+    one order up from events_markov_transition's first-order matrix):
+    consecutive event-type triples per user, counted corpus-wide. The
+    rank-20 cut is total-ordered (count DESC, path ASC) so the emitted SET
+    is engine-independent. Shape at 100 TB: BOTH leads share the engine's
+    ONE per-key (user_id → ts, event_id) window exchange (plan-pinned),
+    the path count partial-aggregates over a types³-bounded keyspace, and
+    the cut is TakeOrderedAndProject — no global sort ever materializes.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type", 1).over(w).alias("p1"),
+        F.lead("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    c = (
+        seqd.select(F.concat_ws(">", "src", "p1", "p2").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n_paths"))
+    )
+    return c.orderBy(F.desc("n_paths"), "path").limit(20)
+
+
+_USER_GINI_SQL = """
+    WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY user_id),
+    r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM c)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(x) AS BIGINT) AS total_events,
+           round((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+                 / (count(*) * sum(x)), 6) AS gini
+    FROM r
+    """
+
+
+@register("events_user_gini", _USER_GINI_SQL)
+def events_user_gini(spark, sf_dir):
+    """Gini coefficient of per-user activity — the one-number inequality
+    measure behind hot-key budgeting (a Gini near 0 means LWW/session state
+    spreads evenly; near 1 means a few keys own the stream and the salted
+    paths earn their keep). Computed from the exact rank identity
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over counts sorted ascending —
+    every term is exact BIGINT until the one final division, and equal
+    counts contribute the same Σ i·x_i under ANY tie order, so the value is
+    engine-independent by construction. Shape at 100 TB: the rank window
+    runs on the KEYS-sized count relation (not events), the one
+    single-partition window this catalog allows at users-scale — past that
+    the distributed prefix-sum (functions/packing.py) is the drop-in.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("x"))
+    r = c.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    n, sx = F.count("*"), F.sum("x")
+    return r.agg(
+        n.alias("n_users"),
+        sx.alias("total_events"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * sx)
+            / (n * sx),
+            6,
+        ).alias("gini"),
+    )
+
+
+_CONTAINMENT_SQL = """
+    WITH arr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
+      FROM documents WHERE doc_id < 2000),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(a, CAST(i AS INTEGER),
+                                        CAST(i AS INTEGER) + 2), ' ') AS shingle
+      FROM arr, unnest(generate_series(1, len(a) - 2)) AS t(i)),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) BETWEEN 2 AND 64),
+    cs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM cs l JOIN cs r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b)
+    SELECT a, b, n_inter,
+           round(n_inter * 1.0 / sa.n, 4) AS c_ab,
+           round(n_inter * 1.0 / sb.n, 4) AS c_ba
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE greatest(n_inter * 1.0 / sa.n, n_inter * 1.0 / sb.n) >= 0.7
+    """
+
+
+@register("docs_containment_dups", _CONTAINMENT_SQL)
+def docs_containment_dups(spark, sf_dir):
+    """Directional CONTAINMENT near-dups (Broder 1997's resemblance twin) —
+    the subset-duplication detector Jaccard structurally misses: a quote or
+    syndicated fragment fully inside a longer page scores c_ab = |A∩B|/|A|
+    ≈ 1 while its Jaccard ≈ |A|/|B| stays tiny, so a Jaccard-only dedup
+    keeps shipping the same buried boilerplate. Candidates reuse the
+    DF-capped 3-token-shingle equi-join (the [2, 64] cap is the quadratic
+    hot-shingle guard shared with docs_ngram_jaccard_near_dup); both
+    directions are then EXACT over candidate pairs only, emitted where
+    either direction ≥ 0.7. Same bounded id-range sample as the other pair
+    queries (pair output is quadratic in cluster size). Shape at 100 TB:
+    one extra projection over the existing intersection partial-agg —
+    containment is free once Jaccard's n_inter/|A|/|B| exist.
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    sh = S.token_ngrams(d, "doc_id", "text", n=3)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= 64))
+        .select("shingle")
+    )
+    cs = sh.join(rare, "shingle")
+    cands = (
+        cs.select(F.col("doc_id").alias("a"), "shingle")
+        .join(cs.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    pairs = S.containment_pairs(sh, cands, "doc_id", "shingle")
+    return pairs.filter(
+        F.greatest(F.col("c_ab"), F.col("c_ba")) >= 0.7
+    ).select(
+        "a", "b", "n_inter",
+        F.round("c_ab", 4).alias("c_ab"),
+        F.round("c_ba", 4).alias("c_ba"),
+    )
+
+
+_EMB_DRIFT_SQL = """
+    WITH tagged AS (
+      SELECT label, embedding,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':drift'),
+                                 1, 8) AS BIGINT) % 10 = 0 AS is_holdout
+      FROM embeddings),
+    comp AS (
+      SELECT label, is_holdout, pos, round(avg(val), 6) AS c
+      FROM (SELECT label, is_holdout,
+                   unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                     AS val,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM tagged)
+      GROUP BY label, is_holdout, pos),
+    counts AS (
+      SELECT label,
+             CAST(count(*) FILTER (WHERE is_holdout) AS BIGINT) AS n_holdout,
+             CAST(count(*) FILTER (WHERE NOT is_holdout) AS BIGINT) AS n_rest
+      FROM tagged GROUP BY label),
+    paired AS (
+      SELECT h.label, h.c AS ch, r.c AS cr
+      FROM comp h JOIN comp r ON h.label = r.label AND h.pos = r.pos
+      WHERE h.is_holdout AND NOT r.is_holdout)
+    SELECT p.label, n_holdout, n_rest,
+           round(sum(ch * cr) / (sqrt(sum(ch * ch)) * sqrt(sum(cr * cr))), 4)
+             AS centroid_cosine
+    FROM paired p JOIN counts USING (label)
+    GROUP BY p.label, n_holdout, n_rest
+    """
+
+
+@register("emb_holdout_centroid_drift", _EMB_DRIFT_SQL)
+def emb_holdout_centroid_drift(spark, sf_dir):
+    """Per-label centroid drift between a deterministic md5-keyed 10%
+    holdout and the remaining 90% — the embedding-distribution stability
+    monitor (a label whose fresh-batch centroid swings away from the
+    corpus centroid means the encoder or the upstream mix changed; run it
+    per ingest batch before trusting ANN buckets or SemDeDup cells built
+    on the old geometry). Centroid components round 6dp on BOTH engines
+    before the cosine (the emb_outliers contract) so avg summation order
+    cannot flip the hash. Shape at 100 TB: two centroids per label ride
+    ONE partial-agg over (label, side, pos) — labels×2×dim rows — and
+    everything after runs on that tiny relation; the corpus is scanned
+    once, map-side. Reference analogue: none — training-data extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    is_holdout = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("vec_id").cast("string"), F.lit(":drift"))
+                    .cast("binary")
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 10 == 0
+    )
+    tagged = emb.select("label", "embedding", is_holdout.alias("is_holdout"))
+    comp = (
+        tagged.select(
+            "label", "is_holdout", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .select(
+            "label", "is_holdout", (F.col("pos0") + 1).alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "is_holdout", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+    )
+    counts = tagged.groupBy("label").agg(
+        F.count(F.when(F.col("is_holdout"), 1)).alias("n_holdout"),
+        F.count(F.when(~F.col("is_holdout"), 1)).alias("n_rest"),
+    )
+    h = comp.filter(F.col("is_holdout")).select(
+        "label", "pos", F.col("c").alias("ch")
+    )
+    rst = comp.filter(~F.col("is_holdout")).select(
+        "label", "pos", F.col("c").alias("cr")
+    )
+    paired = h.join(rst, ["label", "pos"])
+    cosd = paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ch") * F.col("cr"))
+            / (
+                F.sqrt(F.sum(F.col("ch") * F.col("ch")))
+                * F.sqrt(F.sum(F.col("cr") * F.col("cr")))
+            ),
+            4,
+        ).alias("centroid_cosine")
+    )
+    return cosd.join(F.broadcast(counts), "label").select(
+        "label", "n_holdout", "n_rest", "centroid_cosine"
+    )
+
+
+# Retransmitted-delivery fixture for the built-in watermarked-dedup gate:
+# the replay log with at-least-once transport noise injected — recent DML
+# rows re-delivered as EXACT copies, half into their own archive file
+# (in-batch duplicate) and half into the NEXT file (cross-batch duplicate,
+# the case that needs state). "Recent" = warc_ts within 24 h of the running
+# event-time max at injection, HALF the 48 h watermark delay — so by
+# construction every duplicate arrives while the original's dedup state is
+# provably alive (margin 24 h), and no duplicate can be late-dropped.
+_RETRANS_SPEC = dict(base=_REPLAY_SPEC, retrans="recent24h_seqmod4_v1")
+_RETRANS_EVENTS = fixture_path(_REPLAY_BASE, "replay_retrans", _RETRANS_SPEC)
+
+
+def _ensure_retransmit_replay_events() -> str:
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = _ensure_replay_events()
+
+    def _write(d: str) -> None:
+        files = sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        running_max = None
+        carry = None
+        day_us = np.timedelta64(24 * 3600 * 1_000_000, "us")
+        for k, f in enumerate(files):
+            t = pq.read_table(f)
+            op = t["op"].combine_chunks().to_pandas()
+            url = t["url"].combine_chunks().to_pandas()
+            wts = t["warc_ts"].combine_chunks().to_numpy()
+            seq = t["seq"].combine_chunks().to_numpy()
+            dml = (
+                op.notna().to_numpy()
+                & (op != "ddl").fillna(False).to_numpy()
+                & url.notna().to_numpy()
+                & ~np.isnat(wts)
+            )
+            fmax = wts[dml].max()
+            running_max = fmax if running_max is None else max(running_max, fmax)
+            cand = dml & (wts >= running_max - day_us)
+            same_idx = np.nonzero(cand & (seq % 4 == 0))[0]
+            next_idx = np.nonzero(cand & (seq % 4 == 1))[0]
+            parts = [t, t.take(same_idx)]
+            if carry is not None:
+                parts.append(carry)
+            carry = t.take(next_idx)
+            if k == len(files) - 1:
+                parts.append(carry)  # last file: nowhere later to go
+            out = os.path.join(d, os.path.basename(f))
+            pq.write_table(
+                pa.concat_tables(parts), out, compression="snappy"
+            )
+            os.utime(out, (1_600_000_000 + k, 1_600_000_000 + k))
+
+    return ensure_fixture(_RETRANS_EVENTS, _write)
+
+
+_STREAM_DEDUP_WM_SQL = f"""
+    SELECT DISTINCT url, warc_ts, seq AS _seq, op AS _op,
+           md5(coalesce(text, '')) AS text_md5
+    FROM read_parquet('{_RETRANS_EVENTS}/*.parquet')
+    WHERE op IS NOT NULL AND op <> 'ddl'
+      AND url IS NOT NULL AND warc_ts IS NOT NULL
+    """
+
+
+@register("engine_stream_dedup_watermark", _STREAM_DEDUP_WM_SQL)
+def engine_stream_dedup_watermark(spark, sf_dir):
+    """Spark's BUILT-IN watermarked streaming dedup through the value gate:
+    dropDuplicatesWithinWatermark((url, seq), 48 h watermark on warc_ts)
+    over the retransmitted-delivery fixture — the at-least-once transport
+    layer (a Kafka producer retry, an S3 multipart re-upload, our network
+    sink's re-streamed partition) re-delivers recent rows as exact copies,
+    in-batch AND across micro-batches, and the operator must admit each
+    (url, seq) exactly once. Complements the engine's own positional dedup
+    (confirmed-epoch suppression: pipeline.py) and the custom first-seen
+    operator (streaming/dedup.py): this is the bounded-state JVM shape —
+    state per key EXPIRES once the watermark passes its event time, so
+    state size tracks the delay window, not distinct-keys-ever (the reason
+    it scales where a forever-state dedup cannot). Fixture margin makes
+    correctness provable: duplicates copy only rows within 24 h of the
+    running event-time max (half the 48 h delay), so no duplicate can
+    outlive its original's state or arrive late. In-flight asserts pin that
+    the fixture actually injected duplicates and that the operator dropped
+    every one of them. Shape at 100 TB: the dedup shuffle is on the dedup
+    key itself; state store swaps to RocksDB past memory. Reference
+    analogue: idempotent re-delivery suppression (WriterStream confirm
+    protocol, Writer.cpp confirmedScn gating), re-expressed on event time."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_retransmit_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_dedupwm_")
+    out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+    dml_filter = (
+        F.col("op").isNotNull()
+        & (F.col("op") != "ddl")
+        & F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+    )
+    n_in = (
+        spark.read.schema(EVENTS_DDL).parquet(ev).filter(dml_filter).count()
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev)
+    )
+    deduped = (
+        stream.filter(dml_filter)
+        .select("url", "warc_ts", "seq", "op", "text")
+        .withWatermark("warc_ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["url", "seq"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.schema(
+        "url string, warc_ts timestamp, seq long, op string, text string"
+    ).parquet(out)
+    n_out = res.count()
+    if n_out >= n_in:
+        raise AssertionError(
+            f"retransmit fixture injected no duplicates ({n_in} in, {n_out} out)"
+        )
+    n_distinct = res.select("url", "seq").distinct().count()
+    if n_out != n_distinct:
+        raise AssertionError(
+            f"dedup admitted a duplicate: {n_out} rows, {n_distinct} keys"
+        )
+    return res.select(
+        "url",
+        "warc_ts",
+        F.col("seq").alias("_seq"),
+        F.col("op").alias("_op"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")).alias(
+            "text_md5"
+        ),
+    )

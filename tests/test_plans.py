@@ -557,3 +557,40 @@ def test_triangles_are_equi_join_only(spark):
     p = plan_of(QUERIES["docs_host_triangles"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
     assert "Window" not in p, p
+
+
+def test_trigram_paths_single_window_exchange(spark):
+    """events_trigram_paths: BOTH leads ride ONE per-user window exchange
+    and the rank-20 cut is TakeOrderedAndProject — no global sort."""
+    p = plan_of(QUERIES["events_trigram_paths"](spark, SF_DIR))
+    assert p.count("hashpartitioning(user_id") == 1, p
+    assert p.count("Window") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_ab_cuped_no_window_no_cartesian(spark):
+    """events_ab_cuped: the covariate join is equi-keyed on user, the
+    types-sized moment stats come back as a broadcast — no window, no
+    cartesian anywhere."""
+    p = plan_of(QUERIES["events_ab_cuped"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_user_gini_window_is_keys_sized(spark):
+    """events_user_gini: the rank window runs on the aggregated per-key
+    count relation — exactly two exchanges (per-key agg + the single
+    -partition rank), never a window over raw events."""
+    p = plan_of(QUERIES["events_user_gini"](spark, SF_DIR))
+    assert p.count("Exchange") == 2, p
+    assert p.count("Window") == 1, p
+
+
+def test_centroid_drift_is_broadcast_only(spark):
+    """emb_holdout_centroid_drift: everything after the (label, side, pos)
+    partial-agg runs on the tiny centroid relation — broadcast joins only,
+    no sort-merge, no cartesian."""
+    p = plan_of(QUERIES["emb_holdout_centroid_drift"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
