@@ -12651,3 +12651,204 @@ def engine_stream_dedup_watermark(spark, sf_dir):
             "text_md5"
         ),
     )
+
+
+_HEAPS_SQL = """
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT token) AS BIGINT) AS n_types
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                     AS token
+            FROM documents)
+      WHERE length(token) > 0 GROUP BY doc_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(regr_slope(ln(CAST(n_types AS DOUBLE)),
+                            ln(CAST(n_tokens AS DOUBLE))), 4) AS heaps_beta,
+           round(exp(regr_intercept(ln(CAST(n_types AS DOUBLE)),
+                                    ln(CAST(n_tokens AS DOUBLE)))), 4)
+             AS heaps_k,
+           round(regr_r2(ln(CAST(n_types AS DOUBLE)),
+                         ln(CAST(n_tokens AS DOUBLE))), 4) AS r2
+    FROM per_doc WHERE n_tokens > 0
+    """
+
+
+@register("docs_heaps_fit", _HEAPS_SQL)
+def docs_heaps_fit(spark, sf_dir):
+    """Heaps'-law fit (V = K·nᵝ) of type-token scaling across documents —
+    docs_zipf_fit's companion corpus-health diagnostic: natural text sits
+    near β ≈ 0.4-0.6; templated/duplicated corpora collapse toward β → 0
+    (vocabulary stops growing with length), so a β drift between crawls
+    flags boilerplate saturation before the dedup stages measure it the
+    expensive way. OLS of ln(distinct tokens) on ln(total tokens), both
+    exact BIGINTs per document, via built-in regr_* aggregates (single
+    reduce, the docs_zipf_fit contract — 4dp post-rounding absorbs ln/sum
+    ulp skew). Shape at 100 TB: per-doc (count, count DISTINCT) ride one
+    two-phase partial agg over (doc, token); the regression is one reduce
+    over docs-sized input. Reference analogue: none — training-data
+    pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+    ).filter(F.col("n_tokens") > 0)
+    y = F.log(F.col("n_types").cast("double"))
+    x = F.log(F.col("n_tokens").cast("double"))
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.regr_slope(y, x), 4).alias("heaps_beta"),
+        F.round(F.exp(F.regr_intercept(y, x)), 4).alias("heaps_k"),
+        F.round(F.regr_r2(y, x), 4).alias("r2"),
+    )
+
+
+_TWONN_SQL = f"""
+    WITH b AS ({{tables}}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r
+        ON l.table_id = r.table_id AND l.bucket = r.bucket
+       AND l.vec_id < r.vec_id),
+    sym AS (SELECT a AS vec_id, b AS neighbor_id FROM cand
+            UNION ALL SELECT b, a FROM cand),
+    scored AS (
+      SELECT s.vec_id, s.neighbor_id,
+             round(CAST(list_cosine_similarity(
+                     CAST(ea.embedding AS DOUBLE[]),
+                     CAST(eb.embedding AS DOUBLE[])) AS DOUBLE), 4) AS cosine
+      FROM sym s JOIN embeddings ea ON s.vec_id = ea.vec_id
+                 JOIN embeddings eb ON s.neighbor_id = eb.vec_id),
+    ranked AS (
+      SELECT vec_id, cosine,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored),
+    top2 AS (
+      SELECT vec_id,
+             max(CASE WHEN rank = 1 THEN cosine END) AS c1,
+             max(CASE WHEN rank = 2 THEN cosine END) AS c2
+      FROM ranked WHERE rank <= 2 GROUP BY vec_id),
+    mus AS (
+      SELECT vec_id, (1 - c2) / (1 - c1) AS mu
+      FROM top2 WHERE c2 IS NOT NULL AND (1 - c1) > 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_used,
+           round(count(*) / sum(ln(mu)), 4) AS id_twonn,
+           round(quantile_cont(mu, 0.5), 4) AS mu_median
+    FROM mus
+    """
+
+
+@register(
+    "emb_intrinsic_dim",
+    _TWONN_SQL.format(
+        tables=_lsh_tables_sql(
+            "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)"
+        )
+    ),
+)
+def emb_intrinsic_dim(spark, sf_dir):
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): per vector,
+    the ratio mu = r2/r1 of its two nearest-neighbor distances is Pareto(d)
+    -distributed, so d̂ = n / Σ ln(mu) — the one-number geometry check that
+    tells you whether a 64-dim embedding column really spans 64 dims or
+    lives on a ~10-dim manifold (prices PCA/matryoshka truncation and JL
+    cuts before running them). Distance is rounded-cosine distance over
+    the SAME LSH candidate neighborhoods the dedup/kNN pipeline uses
+    (documented approximation: a true NN outside every shared bucket is
+    invisible — acceptable because the estimator only needs local ratios);
+    exact-dup neighbors (r1 = 0 after the 4dp round) are excluded, mu is a
+    single division of rounded values, and the MLE/median round 4dp after
+    the one reduce. Shape at 100 TB: candidates from the bounded-keyspace
+    bucket equi-join (never all-pairs), top-2 via WindowGroupLimit
+    (partial per-partition top-k before the shuffle), one scalar reduce.
+    Reference analogue: none — training-data pipeline extension."""
+    from .functions.similarity import cosine, lsh_candidate_pairs
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    cand = lsh_candidate_pairs(
+        emb, n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM
+    )
+    sym = cand.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id")
+    ).unionAll(
+        cand.select(
+            F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id")
+        )
+    )
+    ea = emb.select(F.col("vec_id").alias("_i"), F.col("embedding").alias("ea"))
+    eb = emb.select(
+        F.col("vec_id").alias("_j"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        sym.join(ea, sym.vec_id == ea._i)
+        .join(eb, sym.neighbor_id == eb._j)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    ranked = scored.select(
+        "vec_id", "cosine", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 2)
+    top2 = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("cosine"))).alias("c1"),
+        F.max(F.when(F.col("rank") == 2, F.col("cosine"))).alias("c2"),
+    )
+    mus = top2.filter(
+        F.col("c2").isNotNull() & ((1 - F.col("c1")) > 0)
+    ).select(((1 - F.col("c2")) / (1 - F.col("c1"))).alias("mu"))
+    return mus.agg(
+        F.count("*").alias("n_used"),
+        F.round(F.count("*") / F.sum(F.log("mu")), 4).alias("id_twonn"),
+        F.round(F.expr("percentile(mu, 0.5)"), 4).alias("mu_median"),
+    )
+
+
+_STALENESS_SQL = """
+    WITH last_change AS (
+      SELECT user_id, max(ts) AS last_ts FROM events GROUP BY user_id),
+    horizon AS (SELECT max(ts) AS now_ts FROM events),
+    aged AS (
+      SELECT user_id,
+             (epoch_us(now_ts) - epoch_us(last_ts))
+               // CAST(86400000000 AS BIGINT) AS stale_days
+      FROM last_change CROSS JOIN horizon)
+    SELECT stale_days, CAST(count(*) AS BIGINT) AS n_keys
+    FROM aged GROUP BY stale_days
+    """
+
+
+@register("cdc_staleness_histogram", _STALENESS_SQL)
+def cdc_staleness_histogram(spark, sf_dir):
+    """Key-staleness histogram: whole days since each key's LAST change,
+    measured against the stream's own event-time horizon — the freshness
+    profile a CDC consumer reads to size recrawl budgets and TTL policies
+    (complements cdc_recrawl_interval's BETWEEN-change gaps: this is the
+    open interval at the end). Day bucketing rides exact integer micros —
+    Spark `div` truncates and DuckDB `//` floors, identical for the
+    non-negative diffs here (ROUND3 dialect note). Shape at 100 TB: the
+    per-key max is the LWW partial agg, the horizon is a one-row broadcast
+    crossJoin, the histogram is a days-bounded groupBy. Reference
+    analogue: the checkpoint/confirmed-scn lag metric (Writer.cpp
+    confirmedScn vs current scn), re-expressed per key on event time."""
+    ev = T(spark, sf_dir, "events")
+    last_change = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    aged = last_change.crossJoin(F.broadcast(horizon)).select(
+        # unix_micros rejects TIMESTAMP_NTZ; the cast is identity under the
+        # session UTC pin (ROUND3 dialect note)
+        F.expr(
+            "(unix_micros(CAST(now_ts AS TIMESTAMP))"
+            " - unix_micros(CAST(last_ts AS TIMESTAMP))) div 86400000000"
+        ).alias("stale_days")
+    )
+    return aged.groupBy("stale_days").agg(F.count("*").alias("n_keys"))

@@ -594,3 +594,29 @@ def test_centroid_drift_is_broadcast_only(spark):
     p = plan_of(QUERIES["emb_holdout_centroid_drift"](spark, SF_DIR))
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_heaps_fit_is_two_phase_agg_only(spark):
+    """docs_heaps_fit: per-doc type/token counts are a two-phase partial
+    agg; the regression is one reduce — no join, no window anywhere."""
+    p = plan_of(QUERIES["docs_heaps_fit"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_intrinsic_dim_topk_is_group_limited(spark):
+    """emb_intrinsic_dim: the per-vector top-2 rank filter pushes down as
+    WindowGroupLimit (the emb_knn_graph contract); candidates stay
+    equi-join-only."""
+    p = plan_of(QUERIES["emb_intrinsic_dim"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_staleness_horizon_is_one_row_broadcast(spark):
+    """cdc_staleness_histogram: per-key max + days-bounded histogram; the
+    horizon rides as a one-row broadcast (nested-loop on a single row is
+    the intended shape), never a sort-merge join or window."""
+    p = plan_of(QUERIES["cdc_staleness_histogram"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
