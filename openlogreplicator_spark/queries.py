@@ -12852,3 +12852,142 @@ def cdc_staleness_histogram(spark, sf_dir):
         ).alias("stale_days")
     )
     return aged.groupBy("stale_days").agg(F.count("*").alias("n_keys"))
+
+
+_CLIP_CALIB_SQL = """
+    WITH vals AS (
+      SELECT pos, val FROM (
+        SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS val,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings)),
+    bounds AS (
+      SELECT pos,
+             round(quantile_cont(val, 0.01), 6) AS lo,
+             round(quantile_cont(val, 0.99), 6) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM vals GROUP BY pos),
+    clipped AS (
+      SELECT v.pos,
+             CAST(count(*) FILTER (WHERE val < lo OR val > hi) AS BIGINT)
+               AS n_clipped
+      FROM vals v JOIN bounds b ON v.pos = b.pos
+      GROUP BY v.pos)
+    SELECT b.pos AS pos, lo, hi,
+           CAST(round(n_clipped * 1e6 / n) AS BIGINT) AS clip_ppm
+    FROM bounds b JOIN clipped c ON b.pos = c.pos
+    """
+
+
+@register("emb_clip_calibration", _CLIP_CALIB_SQL)
+def emb_clip_calibration(spark, sf_dir):
+    """Per-dimension [p1, p99] clip calibration — the post-training-
+    quantization table an int8 encoder consumes (emb_quantize_error prices
+    min/max scaling; percentile clipping is what production PTQ actually
+    uses because one outlier otherwise owns the whole int8 range): exact
+    interpolated 1%/99% quantiles per dimension, plus the clipped-mass ppm
+    those bounds imply (counted against the ROUNDED bounds so both engines
+    count the identical set; the share rides as exact integer ppm). Shape
+    at 100 TB: posexplode into a (dim)-keyed percentile agg — 64 groups —
+    with the bounds broadcast back for a second map-side counting pass;
+    swap to approx_percentile when exactness stops paying. Reference
+    analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("pos0", "val0")
+    ).select(
+        # posexplode pos is int32 vs generate_series BIGINT (emb_dim_stats
+        # gotcha) — cast to long
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    bounds = vals.groupBy("pos").agg(
+        F.round(F.expr("percentile(val, 0.01)"), 6).alias("lo"),
+        F.round(F.expr("percentile(val, 0.99)"), 6).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    clipped = (
+        vals.join(F.broadcast(bounds), "pos")
+        .groupBy("pos")
+        .agg(
+            F.count(
+                F.when((F.col("val") < F.col("lo")) | (F.col("val") > F.col("hi")), 1)
+            ).alias("n_clipped")
+        )
+    )
+    return bounds.join(clipped, "pos").select(
+        "pos", "lo", "hi",
+        F.round(F.col("n_clipped") * 1e6 / F.col("n"))
+        .cast("long")
+        .alias("clip_ppm"),
+    )
+
+
+_CONV_LAG_SQL = """
+    WITH signups AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id,
+             min(e.ts) AS purchase_ts
+      FROM signups s
+      JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+      GROUP BY s.user_id),
+    lags AS (
+      SELECT s.user_id,
+             (epoch_us(purchase_ts) - epoch_us(signup_ts)) AS lag_us
+      FROM signups s LEFT JOIN conv c ON s.user_id = c.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(count(lag_us) AS BIGINT) AS n_converted,
+           round(count(lag_us) * 1.0 / count(*), 4) AS conv_rate,
+           round(quantile_cont(lag_us, 0.5) / 3600e6, 4) AS p50_hours,
+           round(quantile_cont(lag_us, 0.9) / 3600e6, 4) AS p90_hours
+    FROM lags
+    """
+
+
+@register("events_conversion_lag", _CONV_LAG_SQL)
+def events_conversion_lag(spark, sf_dir):
+    """Signup→purchase conversion lag: share of signup users who later
+    purchase, and the exact p50/p90 of the first-purchase delay — the
+    time-to-convert readout product/growth teams pair with events_funnel's
+    strict-order counts (funnel says IF, this says HOW FAST). Lags ride as
+    exact integer micros into the percentile (the cdc_recrawl_interval
+    contract) and become hours only at the rounded output. Shape at
+    100 TB: two per-user partial aggs joined on user (equi-key, never a
+    window over raw events — the min-after-signup folds inside the join's
+    aggregate); percentiles run over the users-sized lag column. Reference
+    analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        signups.join(purchases, "user_id")
+        .filter(F.col("pts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    lags = signups.join(conv, "user_id", "left").select(
+        F.expr(
+            "unix_micros(CAST(purchase_ts AS TIMESTAMP))"
+            " - unix_micros(CAST(signup_ts AS TIMESTAMP))"
+        ).alias("lag_us")
+    )
+    return lags.agg(
+        F.count("*").alias("n_signup_users"),
+        F.count("lag_us").alias("n_converted"),
+        F.round(F.count("lag_us") * 1.0 / F.count("*"), 4).alias("conv_rate"),
+        F.round(F.expr("percentile(lag_us, 0.5)") / 3600e6, 4).alias(
+            "p50_hours"
+        ),
+        F.round(F.expr("percentile(lag_us, 0.9)") / 3600e6, 4).alias(
+            "p90_hours"
+        ),
+    )

@@ -620,3 +620,20 @@ def test_staleness_horizon_is_one_row_broadcast(spark):
     p = plan_of(QUERIES["cdc_staleness_histogram"](spark, SF_DIR))
     assert "SortMergeJoin" not in p, p
     assert "Window" not in p, p
+
+
+def test_clip_calibration_bounds_broadcast_back(spark):
+    """emb_clip_calibration: the 64-row bounds relation broadcasts back for
+    the counting pass — no sort-merge join, no window."""
+    p = plan_of(QUERIES["emb_clip_calibration"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_conversion_lag_no_window(spark):
+    """events_conversion_lag: min-after-signup folds inside equi-joined
+    partial aggs — never a window over raw events."""
+    p = plan_of(QUERIES["events_conversion_lag"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
