@@ -12991,3 +12991,55 @@ def events_conversion_lag(spark, sf_dir):
             "p90_hours"
         ),
     )
+
+
+_ANISO_SQL = f"""
+    WITH {_EMB_COV_CTES},
+    cov AS (
+      SELECT i, j, cov FROM covu
+      UNION ALL
+      SELECT j AS i, i AS j, cov FROM covu WHERE i <> j),
+    v0 AS (
+      SELECT unnest(generate_series(1, {_EMB_DIM})) AS i,
+             round(1.0 / sqrt(CAST({_EMB_DIM} AS DOUBLE)), 6) AS x),
+    {_pca_iter_sql("v0", "w1", "v1")},
+    {_pca_iter_sql("v1", "w2", "v2")},
+    {_pca_iter_sql("v2", "w3", "v3")},
+    w4 AS (
+      SELECT c.i AS i, sum(c.cov * v.x) AS s
+      FROM cov c JOIN v3 v ON v.i = c.j GROUP BY c.i),
+    lam AS (
+      SELECT round(sum(w.s * v.x) / sum(v.x * v.x), 6) AS eigval
+      FROM w4 w JOIN v3 v USING (i)),
+    tr AS (SELECT round(sum(cov), 6) AS trace FROM covu WHERE i = j)
+    SELECT lam.eigval AS lam1, tr.trace AS trace,
+           round(lam.eigval / tr.trace, 4) AS top_share
+    FROM lam CROSS JOIN tr
+    """
+
+
+@register("emb_anisotropy", _ANISO_SQL)
+def emb_anisotropy(spark, sf_dir):
+    """Anisotropy readout: λ₁/trace(C), the share of total embedding
+    variance the dominant direction owns — THE one-number form of the
+    known contextual-embedding pathology (Ethayarajh 2019: a rogue common
+    direction makes every cosine look alike, poisoning ANN and SemDeDup
+    thresholds; pipelines whiten or drop that component first). λ₁ replays
+    emb_pca_power's pinned 3-step power trajectory + Rayleigh; the trace
+    is the rounded covariance diagonal — both from the SAME shared
+    covariance CTE chain, so this entry and the PCA/covariance gates move
+    in lockstep. Shape at 100 TB: identical to emb_pca_power — one
+    per-partition float64 Gram is the only corpus-sized step; everything
+    here runs on dim²-bounded relations and two one-row scalars.
+    Reference analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    cov = S.covariance_upper(emb, "embedding", dim=_EMB_DIM)
+    comp = S.pca_power_top(cov, dim=_EMB_DIM, iters=3, round_dp=6)
+    lam = comp.agg(F.min("eigval").alias("lam1"))
+    tr = cov.filter(F.col("i") == F.col("j")).agg(
+        F.round(F.sum("cov"), 6).alias("trace")
+    )
+    return lam.crossJoin(tr).select(
+        "lam1", "trace",
+        F.round(F.col("lam1") / F.col("trace"), 4).alias("top_share"),
+    )
