@@ -3767,10 +3767,12 @@ def docs_repetition_stats(spark, sf_dir):
     return TXT.repetition_stats(T(spark, sf_dir, "documents"))
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(max_hamming: int = 3) -> str:
     """DuckDB twin of functions.similarity.simhash_signatures + blocking:
     md5-nibble bit votes per distinct token, 64-bit pack (bit 63 via the
-    signed-BIGINT complement), 16-bit-chunk pigeonhole blocking."""
+    signed-BIGINT complement), 16-bit-chunk pigeonhole blocking. The
+    threshold is a parameter so histogram-style entries can keep every
+    blocked candidate (max_hamming=64) while sharing this one spelling."""
     nibs = ", ".join(
         f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1) AS n{i}"
         for i in range(16)
@@ -3803,7 +3805,7 @@ def _simhash_sql() -> str:
            CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
     FROM blocked l JOIN blocked r
       ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk AND l.doc_id < r.doc_id
-    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
     """
 
 
@@ -4910,8 +4912,10 @@ def cdc_recrawl_interval(spark, sf_dir):
     )
 
 
-_DUP_NGRAM_SQL = """
-    WITH base AS (
+# 5-gram window CTE shared by the cross-doc n-gram entries (dup share,
+# corpus top-k): ONE spelling so the gram definition can never drift
+# between the entries that must agree on it.
+_FIVEGRAM_CTE = """base AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       FROM documents WHERE length(trim(text)) > 0),
     g AS (
@@ -4919,7 +4923,10 @@ _DUP_NGRAM_SQL = """
              unnest(list_transform(generate_series(1, len(toks) - 4),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                          || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
-      FROM base WHERE len(toks) >= 5),
+      FROM base WHERE len(toks) >= 5)"""
+
+_DUP_NGRAM_SQL = f"""
+    WITH {_FIVEGRAM_CTE},
     dupg AS (
       SELECT gram FROM (
         SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY gram)
@@ -12155,38 +12162,60 @@ def docs_anchor_text_profile(spark, sf_dir):
 # table spans 2024-01-01 .. 2024-01-30, so day 15 splits it ~50/50 into a
 # covariate window and an experiment window.
 _CUPED_CUT = "2024-01-15"
+# Every moment rides as an EXACT sum (x: BIGINT count; y: per-row
+# DECIMAL(18,6) cast summed exactly), converted to DOUBLE once in ONE fixed
+# spelling: the original avg(y)-per-arm spelling straddled a 4dp rounding
+# midpoint (lift_raw −33.99875) and flipped with the session's partial-agg
+# order — the cdc_value_drift lesson applied to a whole moment system.
+# CUPED identities on the exact moments (yc is affine in (y, x), so
+# avg/var of yc need no second pass): lift_cuped = lift_raw − θ·Δavg(x);
+# var(yc) = var(y) − 2θ·cov + θ²·var(x).
 _CUPED_SQL = f"""
     WITH pre AS (
       SELECT user_id, CAST(count(*) AS BIGINT) AS x
       FROM events WHERE ts < TIMESTAMP '{_CUPED_CUT}' GROUP BY user_id),
     u AS (
       SELECT event_type, user_id, user_id % 2 AS arm,
-             round(sum(value), 6) AS y
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
       FROM events WHERE ts >= TIMESTAMP '{_CUPED_CUT}'
       GROUP BY event_type, user_id),
     ux AS (
       SELECT u.event_type, u.arm, u.y, coalesce(pre.x, 0) AS x
       FROM u LEFT JOIN pre USING (user_id)),
-    st AS (
+    sums AS (
       SELECT event_type,
-             round(covar_samp(x, y), 6) AS cxy,
-             round(var_samp(x), 6) AS vx,
-             round(avg(x), 6) AS mx
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(x) FILTER (WHERE arm = 0) AS DOUBLE) AS sx0,
+             CAST(sum(x) FILTER (WHERE arm = 1) AS DOUBLE) AS sx1,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(y) FILTER (WHERE arm = 0) AS DOUBLE) AS sy0,
+             CAST(sum(y) FILTER (WHERE arm = 1) AS DOUBLE) AS sy1,
+             -- width-19 casts force int128-backed decimals: DuckDB executes
+             -- DECIMAL(18)*DECIMAL(18) in int64 and overflows at sf0.01
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(y AS DECIMAL(19,6)) * CAST(y AS DECIMAL(19,6)))
+                  AS DOUBLE) AS syy
       FROM ux GROUP BY event_type),
-    adj AS (
-      SELECT ux.event_type, arm, y,
-             y - (cxy / vx) * (x - mx) AS yc, cxy / vx AS theta
-      FROM ux JOIN st USING (event_type))
-    SELECT event_type,
-           CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n0,
-           CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n1,
-           round(min(theta), 4) AS theta,
-           round(avg(y) FILTER (WHERE arm = 1)
-                 - avg(y) FILTER (WHERE arm = 0), 4) AS lift_raw,
-           round(avg(yc) FILTER (WHERE arm = 1)
-                 - avg(yc) FILTER (WHERE arm = 0), 4) AS lift_cuped,
-           round(var_samp(yc) / var_samp(y), 4) AS var_reduction
-    FROM adj GROUP BY event_type
+    st AS (
+      SELECT event_type, n0, n1,
+             round((sxy - sx * sy / n) / (n - 1), 6) AS cxy,
+             round((sxx - sx * sx / n) / (n - 1), 6) AS vx,
+             round((syy - sy * sy / n) / (n - 1), 6) AS vy,
+             sy1 / n1 - sy0 / n0 AS dy,
+             sx1 / n1 - sx0 / n0 AS dx
+      FROM sums)
+    SELECT event_type, n0, n1,
+           round(cxy / vx, 4) AS theta,
+           round(dy, 4) AS lift_raw,
+           round(dy - (cxy / vx) * dx, 4) AS lift_cuped,
+           round((vy - 2 * (cxy / vx) * cxy
+                  + (cxy / vx) * (cxy / vx) * vx) / vy, 4) AS var_reduction
+    FROM st
     """
 
 
@@ -12198,13 +12227,20 @@ def events_ab_cuped(spark, sf_dir):
     experiment-period value sum is adjusted by their PRE-period activity
     count (theta = cov(X,Y)/var(X), Y' = Y − theta·(X − mean X)), shrinking
     variance by the covariate's explained share without biasing the lift
-    (X predates assignment). Cross-engine determinism: the covariate is an
-    exact BIGINT count, per-user Y sums round 6dp, the moments round 6dp
-    AFTER aggregation, and theta/lifts are computed FROM the rounded stats
-    (the events_ab_lift contract). Shape at 100 TB: two per-user
-    partial-agg groupBys joined on user, types-sized moment stats broadcast
-    back, one final types-sized agg — never a self-join, never a window.
-    Reference analogue: none — training-data pipeline extension."""
+    (X predates assignment). Cross-engine determinism — stronger than the
+    events_ab_lift round-post-agg contract, because the original spelling
+    FAILED it: avg(y) per arm straddled a 4dp rounding midpoint
+    (−33.99875) and flipped with the session's partial-agg summation
+    order. Every moment now rides as an EXACT sum (x: BIGINT; y: per-row
+    DECIMAL(18,6) cast, summed exactly — order-independent on both
+    engines), converted to DOUBLE once in one fixed spelling; because yc
+    is affine in (y, x), CUPED's adjusted lift and variance follow from
+    closed identities on those moments (lift_cuped = lift_raw − θ·Δx̄;
+    var(yc) = var(y) − 2θ·cov + θ²·var(x)) with cov/var rounded 6dp
+    before θ. Shape at 100 TB: two per-user partial-agg groupBys joined
+    on user, then ONE types-sized exact-moment agg — never a self-join,
+    never a window, no second pass for the adjusted series. Reference
+    analogue: none — training-data pipeline extension."""
     ev = T(spark, sf_dir, "events")
     cut = F.lit(_CUPED_CUT).cast("timestamp")
     pre = (
@@ -12215,7 +12251,11 @@ def events_ab_cuped(spark, sf_dir):
     u = (
         ev.filter(F.col("ts") >= cut)
         .groupBy("event_type", "user_id")
-        .agg(F.round(F.sum("value"), 6).alias("y"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("y")
+        )
         .withColumn("arm", F.col("user_id") % 2)
     )
     ux = (
@@ -12225,29 +12265,46 @@ def events_ab_cuped(spark, sf_dir):
             F.coalesce(F.col("x"), F.lit(0)).alias("x"),
         )
     )
-    st = ux.groupBy("event_type").agg(
-        F.round(F.covar_samp("x", "y"), 6).alias("cxy"),
-        F.round(F.var_samp("x"), 6).alias("vx"),
-        F.round(F.avg("x"), 6).alias("mx"),
-    )
-    theta = F.col("cxy") / F.col("vx")
-    adj = ux.join(F.broadcast(st), "event_type").select(
-        "event_type", "arm", "y",
-        (F.col("y") - theta * (F.col("x") - F.col("mx"))).alias("yc"),
-        theta.alias("theta"),
-    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
     a0, a1 = F.col("arm") == 0, F.col("arm") == 1
-    return adj.groupBy("event_type").agg(
+    sums = ux.groupBy("event_type").agg(
+        F.count("*").alias("n"),
         F.count(F.when(a0, 1)).alias("n0"),
         F.count(F.when(a1, 1)).alias("n1"),
-        F.round(F.min("theta"), 4).alias("theta"),
+        d(F.sum(x)).alias("sx"),
+        d(F.sum(F.when(a0, x))).alias("sx0"),
+        d(F.sum(F.when(a1, x))).alias("sx1"),
+        d(F.sum(x * x)).alias("sxx"),
+        d(F.sum(y)).alias("sy"),
+        d(F.sum(F.when(a0, y))).alias("sy0"),
+        d(F.sum(F.when(a1, y))).alias("sy1"),
+        d(F.sum(x * y)).alias("sxy"),
+        d(F.sum(y * y)).alias("syy"),
+    )
+    n, n0, n1 = F.col("n"), F.col("n0"), F.col("n1")
+    st = sums.select(
+        "event_type", "n0", "n1",
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1), 6)
+        .alias("cxy"),
+        F.round((F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1), 6)
+        .alias("vx"),
+        F.round((F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1), 6)
+        .alias("vy"),
+        (F.col("sy1") / n1 - F.col("sy0") / n0).alias("dy"),
+        (F.col("sx1") / n1 - F.col("sx0") / n0).alias("dx"),
+    )
+    theta = F.col("cxy") / F.col("vx")
+    return st.select(
+        "event_type", "n0", "n1",
+        F.round(theta, 4).alias("theta"),
+        F.round(F.col("dy"), 4).alias("lift_raw"),
+        F.round(F.col("dy") - theta * F.col("dx"), 4).alias("lift_cuped"),
         F.round(
-            F.avg(F.when(a1, F.col("y"))) - F.avg(F.when(a0, F.col("y"))), 4
-        ).alias("lift_raw"),
-        F.round(
-            F.avg(F.when(a1, F.col("yc"))) - F.avg(F.when(a0, F.col("yc"))), 4
-        ).alias("lift_cuped"),
-        F.round(F.var_samp("yc") / F.var_samp("y"), 4).alias("var_reduction"),
+            (F.col("vy") - 2 * theta * F.col("cxy")
+             + theta * theta * F.col("vx")) / F.col("vy"),
+            4,
+        ).alias("var_reduction"),
     )
 
 
@@ -13042,4 +13099,310 @@ def emb_anisotropy(spark, sf_dir):
     return lam.crossJoin(tr).select(
         "lam1", "trace",
         F.round(F.col("lam1") / F.col("trace"), 4).alias("top_share"),
+    )
+
+
+@register(
+    "docs_simhash_hamming_hist",
+    f"""
+    WITH pairs AS ({_simhash_sql(max_hamming=64)})
+    SELECT hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(count(*)) OVER (ORDER BY hamming) AS BIGINT) AS cum_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def docs_simhash_hamming_hist(spark, sf_dir):
+    """Hamming-distance histogram over the SimHash blocked candidate pairs —
+    the threshold picker / drift monitor for the bitwise dedup family, the
+    exact twin of emb_pair_cosine_hist on the cosine side: before committing
+    to `hamming <= 3` on a new corpus, read where the candidate mass sits
+    (a near-dup corpus shows a low-hamming spike well separated from the
+    random-pair bulk near 32). Candidates are the pigeonhole-blocked pairs
+    (sharing >= 1 of 4 16-bit chunks), so the histogram prices exactly the
+    verification work the dedup entry would do at any threshold; cumulative
+    counts read the cost of loosening the dial. Shape at 100 TB: identical
+    to docs_simhash_near_dup (blocked equi-join, never all-pairs); the
+    histogram + cumulative window run on a <= 64-row relation. DuckDB twin
+    shares the ONE parameterized _simhash_sql spelling (threshold 64 =
+    keep every blocked candidate); window sum CAST because DuckDB sums
+    BIGINT into HUGEINT. Reference analogue: none — training-data pipeline
+    extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=64)
+    hist = pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy("hamming").rowsBetween(Window.unboundedPreceding, 0)
+    return hist.select(
+        "hamming",
+        "n_pairs",
+        F.sum("n_pairs").over(w).alias("cum_pairs"),
+    )
+
+
+@register(
+    "events_ab_power",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT) AS n1,
+             round(avg(value) FILTER (WHERE user_id % 2 = 0), 6) AS m0,
+             round(var_samp(value) FILTER (WHERE user_id % 2 = 0), 6) AS v0,
+             round(var_samp(value) FILTER (WHERE user_id % 2 = 1), 6) AS v1
+      FROM events GROUP BY event_type)
+    SELECT event_type, n0, n1, m0,
+           round(CAST(2.801585 AS DOUBLE) * sqrt(v0 / n0 + v1 / n1), 4)
+             AS mde_abs,
+           CAST(ceil(
+             CAST(2 AS DOUBLE) * (CAST(2.801585 AS DOUBLE) * CAST(2.801585 AS DOUBLE))
+             * ((v0 + v1) / 2)
+             / ((CAST(0.01 AS DOUBLE) * m0) * (CAST(0.01 AS DOUBLE) * m0))
+           ) AS BIGINT) AS n_per_arm_1pct
+    FROM stats WHERE m0 > 0
+    """,
+)
+def events_ab_power(spark, sf_dir):
+    """Experiment power analysis — the sizing companion to events_ab_lift:
+    per metric, (a) the minimum detectable absolute effect at the CURRENT
+    sample (alpha 5% two-sided, 80% power: z_{a/2}+z_b = 1.959964+0.841621
+    = 2.801585, folded to one literal so neither engine performs the
+    addition) and (b) the per-arm sample size required to detect a 1%
+    relative lift of the control mean (n = 2 z^2 vp / delta^2, pooled
+    variance vp = (v0+v1)/2). The answer to "how long must this flag run"
+    — asked before every readout the lift entry serves. Cross-engine
+    determinism: the events_ab_lift contract — moments rounded 6dp
+    post-agg, every downstream value pure arithmetic on identical doubles
+    (z^2 spelled as z*z, never pow), so ceil lands on the same integer
+    bitwise. Numeric literals CAST to DOUBLE (bare decimals parse as
+    DECIMAL in both dialects). Shape at 100 TB: one partial-agg groupBy
+    over event types; all sizing arithmetic runs on the types-sized
+    relation. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    v0 = F.col("user_id") % 2 == 0
+    v1 = F.col("user_id") % 2 == 1
+    z = F.lit(2.801585).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.when(v0, 1)).alias("n0"),
+        F.count(F.when(v1, 1)).alias("n1"),
+        F.round(F.avg(F.when(v0, F.col("value"))), 6).alias("m0"),
+        F.round(F.var_samp(F.when(v0, F.col("value"))), 6).alias("v0"),
+        F.round(F.var_samp(F.when(v1, F.col("value"))), 6).alias("v1"),
+    )
+    delta = F.lit(0.01).cast("double") * F.col("m0")
+    return stats.filter(F.col("m0") > 0).select(
+        "event_type", "n0", "n1", "m0",
+        F.round(z * F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")), 4)
+         .alias("mde_abs"),
+        F.ceil(
+            F.lit(2.0).cast("double") * (z * z)
+            * ((F.col("v0") + F.col("v1")) / 2)
+            / (delta * delta)
+        ).cast("long").alias("n_per_arm_1pct"),
+    )
+
+
+# DuckDB twin of sinks.builders.build_json_messages over the replay fixture:
+# the document is reassembled fragment-by-fragment (engine-native to_json on
+# every string leaf so escaping parity is yyjson-vs-Jackson, not hand-rolled),
+# optional fields dropped exactly where Spark's ignoreNullFields drops them.
+# Literal braces stay readable because this is a plain string with one
+# placeholder substituted below (not an f-string).
+_JSON_MSG_SQL = """
+    WITH ev AS (
+      SELECT * FROM read_parquet('@EVENTS@/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    frag AS (
+      SELECT seq, url, op, warc_ts,
+        CASE WHEN op <> 'd' THEN
+          '"after":{' || array_to_string(list_filter([
+              CASE WHEN url IS NOT NULL
+                   THEN '"url":' || CAST(to_json(url) AS VARCHAR) END,
+              CASE WHEN text IS NOT NULL
+                   THEN '"text":' || CAST(to_json(text) AS VARCHAR) END,
+              CASE WHEN lang IS NOT NULL
+                   THEN '"lang":' || CAST(to_json(lang) AS VARCHAR) END,
+              CASE WHEN extras['http_status'][1] IS NOT NULL
+                   THEN '"http_status":'
+                        || CAST(to_json(extras['http_status'][1]) AS VARCHAR) END,
+              CASE WHEN extras['fetch_status'][1] IS NOT NULL
+                   THEN '"fetch_status":'
+                        || CAST(to_json(extras['fetch_status'][1]) AS VARCHAR) END
+            ], x -> x IS NOT NULL), ',') || '}'
+        END AS after_frag,
+        CASE WHEN op IN ('u', 'd') AND before IS NOT NULL THEN
+          '"before":{' || array_to_string(list_transform(map_entries(before),
+              e -> CAST(to_json(e.key) AS VARCHAR) || ':'
+                   || CAST(to_json(decode(e.value)) AS VARCHAR)), ',') || '}'
+        END AS before_frag
+      FROM ev)
+    SELECT seq, url,
+      '{"scn":' || epoch_us(warc_ts)
+      || ',"tm":"' || strftime(warc_ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z"'
+      || ',"seq":' || seq
+      || ',"payload":[{'
+      || array_to_string(list_filter([
+           '"op":' || CAST(to_json(op) AS VARCHAR),
+           '"schema":{"owner":"CC","table":"PAGES"}',
+           '"rid":' || CAST(to_json(url) AS VARCHAR),
+           after_frag,
+           before_frag
+         ], x -> x IS NOT NULL), ',')
+      || '}]}' AS message
+    FROM frag
+    """.replace("@EVENTS@", _REPLAY_EVENTS)
+
+
+@register("engine_json_messages", _JSON_MSG_SQL)
+def engine_json_messages(spark, sf_dir):
+    """F12 value gate: the reference's PRIMARY output format — the JSON
+    change document {scn, tm, seq, payload:[{op, schema, rid, after,
+    before}]} (BuilderJson.cpp:837-997) — byte-compared per event against a
+    DuckDB reassembly of the identical document over the same fixed log.
+    This was the one sink surface with only golden-bytes pytest coverage
+    (round-4 candidate list); the exact-string value hash is the driver-side
+    analogue of the reference's dump-diff test strategy (Parser.cpp:129-186:
+    output must match byte-for-byte, not just semantically). Escaping parity
+    comes free on both sides by routing every string leaf through the
+    engine's own JSON writer (Jackson vs yyjson, both RFC 8259-minimal) —
+    never a hand-rolled escaper. Shape at 100 TB: build_json_messages is one
+    map-side to_json(struct(...)) — whole-stage-codegen'd, zero Python, no
+    shuffle; this gate's filter is the pipeline's committed-DML predicate.
+    Reference: src/builder/BuilderJson.cpp, user-manual.adoc:266-355."""
+    from .sinks.builders import build_json_messages
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(_ensure_replay_events())
+    committed = ev.filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    return build_json_messages(committed)
+
+
+@register(
+    "docs_topk_ngrams",
+    f"""
+    WITH {_FIVEGRAM_CTE},
+    occ AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM g GROUP BY gram),
+    dfc AS (SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+            FROM (SELECT DISTINCT doc_id, gram FROM g) GROUP BY gram)
+    SELECT o.gram, o.n_occurrences, d.n_docs
+    FROM occ o JOIN dfc d USING (gram)
+    ORDER BY o.n_occurrences DESC, o.gram LIMIT 20
+    """,
+)
+def docs_topk_ngrams(spark, sf_dir):
+    """Corpus-wide most-frequent 5-grams with document frequency — WIMBD's
+    counting primitive (Elazar et al. 2024: the first question asked of any
+    new pretraining corpus is "what are its most common n-grams", because
+    the head is boilerplate/licence text that dedup and filters must be
+    tuned against). Complements docs_dup_ngram_share (per-doc share) with
+    the corpus-level head itself; the gram definition is the SAME shared
+    _FIVEGRAM_CTE spelling, so the two entries can never disagree on what a
+    gram is. Shape at 100 TB: gram build is a map-side HOF over the token
+    array (O(tokens), never tokens-join-tokens); occurrence and document
+    frequency are both two-phase partial aggs (doc frequency via
+    dropDuplicates(doc, gram) THEN count — never a countDistinct); the cut
+    is TakeOrderedAndProject on the total order (n DESC, gram), so only
+    top-k rows per partition ever shuffle. Reference analogue: none —
+    training-data pipeline extension."""
+    n = 5
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower("text")), r"\s+")
+    base = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    gram_of = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("toks"), i + k) for k in range(n)]
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.size("toks") - (n - 1)), gram_of)
+        ).alias("gram"),
+    )
+    occ = grams.groupBy("gram").agg(F.count("*").alias("n_occurrences"))
+    dfc = (
+        grams.dropDuplicates(["doc_id", "gram"])
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return (
+        occ.join(dfc, "gram")
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "events_did_lift",
+    """
+    WITH mid AS (
+      SELECT CAST(min(epoch_us(ts))
+             + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS BIGINT) AS mid_us
+      FROM events),
+    cells AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             round(avg(value) FILTER (WHERE user_id % 2 = 0
+                                        AND epoch_us(ts) < mid_us), 6) AS m_c_pre,
+             round(avg(value) FILTER (WHERE user_id % 2 = 0
+                                        AND epoch_us(ts) >= mid_us), 6) AS m_c_post,
+             round(avg(value) FILTER (WHERE user_id % 2 = 1
+                                        AND epoch_us(ts) < mid_us), 6) AS m_t_pre,
+             round(avg(value) FILTER (WHERE user_id % 2 = 1
+                                        AND epoch_us(ts) >= mid_us), 6) AS m_t_post
+      FROM events CROSS JOIN mid GROUP BY event_type)
+    SELECT event_type, n, m_c_pre, m_c_post, m_t_pre, m_t_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4) AS did_lift
+    FROM cells
+    """,
+)
+def events_did_lift(spark, sf_dir):
+    """Difference-in-differences lift — the quasi-experimental estimator for
+    when randomization is imperfect or the treatment landed at a point in
+    time: (treated post − treated pre) − (control post − control pre)
+    removes both the fixed group difference and the shared time trend that
+    a raw post-period compare (events_ab_lift) confounds. Completes the
+    experimentation family: raw lift → CUPED (covariate adjust) → SRM
+    (validity) → power (sizing) → DiD (no-randomization fallback). The
+    pre/post boundary is the stream's midpoint in EXACT integer micros
+    (min + (max−min) div 2 — Spark `div` truncates, DuckDB `//` floors,
+    identical for the non-negative span), computed once and broadcast via
+    cross join, so both engines cut the identical event set. Means rounded
+    6dp post-agg, DiD from rounded means (the events_ab_lift contract).
+    Shape at 100 TB: one two-value reduce for the boundary, then ONE
+    partial-agg groupBy over event types with the 2×2 cells as conditional
+    aggregates — never a self-join, never a shuffle keyed finer than
+    event_type. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(
+        (
+            F.min(ts_us)
+            + F.expr("(max(unix_micros(cast(ts as timestamp)))"
+                     " - min(unix_micros(cast(ts as timestamp)))) div 2")
+        ).cast("long").alias("mid_us")
+    )
+    e = ev.crossJoin(F.broadcast(mid)).withColumn("ts_us", ts_us)
+    ctl, trt = F.col("user_id") % 2 == 0, F.col("user_id") % 2 == 1
+    pre, post = F.col("ts_us") < F.col("mid_us"), F.col("ts_us") >= F.col("mid_us")
+    m = lambda c: F.round(F.avg(F.when(c, F.col("value"))), 6)  # noqa: E731
+    cells = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        m(ctl & pre).alias("m_c_pre"),
+        m(ctl & post).alias("m_c_post"),
+        m(trt & pre).alias("m_t_pre"),
+        m(trt & post).alias("m_t_post"),
+    )
+    return cells.select(
+        "event_type", "n", "m_c_pre", "m_c_post", "m_t_pre", "m_t_post",
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            4,
+        ).alias("did_lift"),
     )
