@@ -45,6 +45,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import shutil
 import uuid
 from contextlib import contextmanager
 from typing import Any, Iterable
@@ -751,6 +752,76 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    def write_symlink_manifest(self, out_dir: str | None = None) -> str:
+        """Delta-style ``symlink_format_manifest`` export: one text file per
+        bucket (``bucket=N/manifest``) listing the ABSOLUTE data-file paths
+        of the current snapshot, so an external engine (Trino/Presto/DuckDB/
+        plain parquet readers) can serve the table without this library —
+        the interop hatch Delta generates for Hive-compatible readers.
+        External-read contract (stated in the exported ``README``): rows
+        with ``_op = 'd'`` are LWW delete tombstones and must be filtered;
+        everything else is a live winner.
+
+        REFUSED in code (not docs) whenever an external raw read would be
+        WRONG: dirty merge-on-read buckets (state needs read-time LWW — a
+        superseded version would surface), partial-image tables (NULL
+        payload = unchanged marker, not a value), and files written under a
+        schema that differs from the current one (the library's read path
+        remaps those by field id; an external reader cannot). Run
+        compaction / bucket rewrites first to normalize. Shape at scale:
+        O(files) driver-side metadata walk, no data scan; the export is
+        published atomically (temp dir + rename) like every other metadata
+        artifact."""
+        if self.partial_images:
+            raise ValueError(
+                "write_symlink_manifest is unsound on a partial-image table "
+                "(rows are NULL-means-unchanged partial images)"
+            )
+        if self.snap.get("dirty_buckets"):
+            raise ValueError(
+                "write_symlink_manifest refused: dirty merge-on-read buckets "
+                f"{sorted(self.snap['dirty_buckets'])} need read-time LWW — "
+                "compact_table() first"
+            )
+        cur = self.current_schema()
+        fes = list(self._select_files(None, None, None))
+        stale = sorted({
+            fe["schema_ver"] for fe in fes
+            if self.schema_at(fe["schema_ver"]) != cur
+        })
+        if stale:
+            raise ValueError(
+                "write_symlink_manifest refused: files written under schema "
+                f"versions {stale} differ from the current schema — an "
+                "external reader cannot remap by field id; rewrite_buckets/"
+                "cluster_buckets first"
+            )
+        out = out_dir or os.path.join(self.path, "_symlink_format_manifest")
+        tmp = out + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        by_bucket: dict[int, list[str]] = {}
+        for fe in fes:
+            by_bucket.setdefault(fe["bucket"], []).append(
+                os.path.abspath(os.path.join(self.path, fe["path"]))
+            )
+        for b, paths in by_bucket.items():
+            d = os.path.join(tmp, f"bucket={b}")
+            os.makedirs(d)
+            with open(os.path.join(d, "manifest"), "w") as fh:
+                fh.write("\n".join(sorted(paths)) + "\n")
+        with open(os.path.join(tmp, "README"), "w") as fh:
+            fh.write(
+                "symlink_format_manifest: absolute parquet paths per bucket "
+                f"for snapshot version {self.snap['version']}.\n"
+                "External readers MUST filter rows WHERE _op = 'd' "
+                "(LWW delete tombstones).\n"
+            )
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.replace(tmp, out)
         return out
 
     # ------------------------------------------------------------ evolution

@@ -13406,3 +13406,159 @@ def events_did_lift(spark, sf_dir):
             4,
         ).alias("did_lift"),
     )
+
+
+@register("engine_symlink_manifest", _REPLAY_SQL)
+def engine_symlink_manifest(spark, sf_dir):
+    """Interop export gate: LakeTable.write_symlink_manifest emits the
+    Delta-style symlink_format_manifest (absolute data-file paths per
+    bucket) and the state is then read back the way an EXTERNAL engine
+    would — plain spark.read.parquet over the manifest's file list, no
+    library read path, tombstones filtered per the exported README contract
+    (_op = 'd') — and value-hashed against the full DuckDB replay. This
+    proves the manifest covers exactly the live winners: a missing file, a
+    leaked superseded version, or a schema-version mix would hash-fail.
+    The export itself REFUSES (in code) the three cases where a raw
+    external read lies: dirty MoR buckets, partial-image tables, files
+    under non-current schemas. Shape at 100 TB: O(files) driver-side
+    metadata walk, no data scan, atomic publish. Reference analogue:
+    Delta Lake GENERATE symlink_format_manifest; the reference's
+    checkpoint file-list handoff (Metadata.cpp) is the same contract —
+    a consumer must be able to resume from metadata alone."""
+    from .lake.table import LakeTable
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_symlink_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_batch_replay()
+    t = LakeTable.load(spark, p.table_path)
+    man = t.write_symlink_manifest()
+    paths: list[str] = []
+    for root, _dirs, fnames in os.walk(man):
+        for fn in fnames:
+            if fn == "manifest":
+                with open(os.path.join(root, fn)) as fh:
+                    paths += [ln for ln in fh.read().splitlines() if ln]
+    assert paths and all(os.path.isfile(q) for q in paths), (
+        "symlink manifest lists missing files"
+    )
+    ext = spark.read.parquet(*paths)  # external-reader path: no library read
+    return ext.filter(F.col("_op") != "d").select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
+
+
+@register(
+    "events_stickiness",
+    """
+    WITH au AS (SELECT DISTINCT user_id FROM events),
+    mau AS (SELECT CAST(count(*) AS BIGINT) AS mau FROM au),
+    du AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    daily AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day)
+    SELECT day, dau, mau,
+           round(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+    FROM daily CROSS JOIN mau
+    """,
+)
+def events_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness — the canonical product-engagement ratio (what
+    share of the monthly audience shows up on a given day), the daily
+    health series read next to events_retention's cohort view and
+    events_hourly_seasonality's shape. Both distincts are two-phase
+    (dropDuplicates partial-agg THEN count — never a countDistinct
+    shuffle); the one-row MAU total rides a broadcast cross join (the
+    docs_source_mix_entropy pattern). Day stays TIMESTAMP on both engines
+    (the documented DATE-dtype trap). Shape at 100 TB: dedup shuffles are
+    keyed (day, user) / (user) — partial aggs absorb the fan-in; the join
+    is one-row broadcast. Reference analogue: none — training-data
+    pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    mau = (
+        ev.select("user_id").dropDuplicates()
+        .agg(F.count("*").alias("mau"))
+    )
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .dropDuplicates()
+        .groupBy("day")
+        .agg(F.count("*").alias("dau"))
+    )
+    return daily.crossJoin(F.broadcast(mau)).select(
+        "day", "dau", "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 4)
+         .alias("stickiness"),
+    )
+
+
+@register(
+    "events_k_anonymity",
+    """
+    WITH qi AS (
+      SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+      FROM events),
+    cell AS (
+      SELECT event_type, day, CAST(count(*) AS BIGINT) AS cell_users
+      FROM qi GROUP BY event_type, day),
+    tot AS (
+      SELECT CAST(sum(cell_users) AS BIGINT) AS total_user_cells,
+             CAST(count(*) AS BIGINT) AS n_cells
+      FROM cell),
+    ks AS (SELECT unnest([2, 5, 10]) AS k)
+    SELECT k, n_cells,
+           CAST(count(*) FILTER (WHERE cell_users < k) AS BIGINT)
+             AS n_violating_cells,
+           CAST(coalesce(sum(cell_users) FILTER (WHERE cell_users < k), 0)
+                AS BIGINT) AS users_at_risk,
+           round(CAST(coalesce(sum(cell_users)
+                               FILTER (WHERE cell_users < k), 0) AS DOUBLE)
+                 / total_user_cells, 4) AS risk_share
+    FROM cell CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, n_cells, total_user_cells
+    """,
+)
+def events_k_anonymity(spark, sf_dir):
+    """k-anonymity profile over the quasi-identifier (event_type, day):
+    how many QI cells hold fewer than k distinct users, and what share of
+    user-cell memberships sits in those re-identifiable cells — the
+    data-governance release gate that complements docs_pii_redact (PII is
+    what you redact; k-anonymity is what the remaining dimensions still
+    leak). Thresholds k ∈ {2,5,10} fan out as a 3-element literal explode.
+    All counts exact BIGINTs to one final division. Shape at 100 TB: the
+    QI dedup is one (type, day, user)-keyed partial-agg; cells are a
+    types×days-bounded relation, so the threshold cross join and the
+    one-row totals broadcast are metadata-sized. Reference analogue: none
+    — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).dropDuplicates()
+    cell = qi.groupBy("event_type", "day").agg(
+        F.count("*").alias("cell_users")
+    )
+    tot = cell.agg(
+        F.sum("cell_users").alias("total_user_cells"),
+        F.count("*").alias("n_cells"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    )
+    risky = F.when(F.col("cell_users") < F.col("k"), F.col("cell_users"))
+    j = cell.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy("k", "n_cells", "total_user_cells")
+        .agg(
+            F.count(risky).alias("n_violating_cells"),
+            F.coalesce(F.sum(risky), F.lit(0)).cast("long")
+            .alias("users_at_risk"),
+        )
+        .select(
+            "k", "n_cells", "n_violating_cells", "users_at_risk",
+            F.round(
+                F.col("users_at_risk").cast("double")
+                / F.col("total_user_cells"),
+                4,
+            ).alias("risk_share"),
+        )
+    )

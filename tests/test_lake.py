@@ -302,3 +302,52 @@ def test_file_commits_survives_snapshot_expiry(spark, table):
     fc = t.file_commits()  # must not raise on expired snapshot JSONs
     files = {r._file for r in t.read(with_file=True).collect()}
     assert files <= set(fc)
+
+
+def test_symlink_manifest_roundtrip_and_refusals(spark, table, tmp_path):
+    import datetime as dt
+    ts = dt.datetime(2020, 1, 1)
+    rows = [(f"u{i}", ts, i, "c", f"t{i}") for i in range(12)]
+    rows.append(("u3", dt.datetime(2020, 1, 2), 100, "d", None))
+    _write_rows(spark, table, rows)
+
+    man = table.write_symlink_manifest()
+    assert os.path.isfile(os.path.join(man, "README"))
+    paths = []
+    for root, _d, fs in os.walk(man):
+        for fn in fs:
+            if fn == "manifest":
+                with open(os.path.join(root, fn)) as fh:
+                    paths += [ln for ln in fh.read().splitlines() if ln]
+    assert paths and all(os.path.isabs(p) and os.path.isfile(p) for p in paths)
+    # the external-reader contract reproduces the library read exactly
+    ext = (
+        spark.read.parquet(*paths)
+        .filter(F.col("_op") != "d")
+        .select("url", "warc_ts", "_seq", "text")
+    )
+    lib = table.read().filter(F.col("_op") != "d").select(
+        "url", "warc_ts", "_seq", "text"
+    )
+    assert sorted(map(tuple, ext.collect())) == sorted(map(tuple, lib.collect()))
+
+    # refusal 1: dirty merge-on-read buckets need read-time LWW
+    table.snap["dirty_buckets"] = [1]
+    with pytest.raises(ValueError, match="dirty"):
+        table.write_symlink_manifest()
+    table.snap["dirty_buckets"] = []
+
+    # refusal 2: files written under a non-current schema (external readers
+    # cannot remap by field id)
+    table.evolve("rename_column", "text", new_name="body")
+    t2 = LakeTable.load(spark, table.path)
+    with pytest.raises(ValueError, match="schema"):
+        t2.write_symlink_manifest()
+
+    # refusal 3: partial-image tables
+    tp = LakeTable.create(
+        spark, str(tmp_path / "tp"), FIELDS, key_col="url", n_buckets=2,
+        flags={"partial_images": True},
+    )
+    with pytest.raises(ValueError, match="partial"):
+        tp.write_symlink_manifest()
