@@ -13562,3 +13562,683 @@ def events_k_anonymity(spark, sf_dir):
             ).alias("risk_share"),
         )
     )
+
+
+# =========================================================================
+# Relational breadth II: TPC-H shapes q4/q7/q8/q14/q18/q19/q22 (variants
+# where the driver tables lack a column — partsupp, commit/receipt dates,
+# shipmode, phone — the variant keeps the SHAPE: the operator under test
+# is the semi/anti join, the disjunctive pushdown, the HAVING cut, the
+# share-of-group conditional aggregate)
+# =========================================================================
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), late-shipment variant: the
+    driver's lineitem has no commit/receipt dates, so "late" is a lineitem
+    shipped more than 60 days after the order date — the operator under
+    test is unchanged: a correlated EXISTS that must plan as a LEFT SEMI
+    join (each order counted once no matter how many lineitems qualify;
+    an inner join + distinct would shuffle the multiplicity). Scale shape:
+    the quarter filter prunes the orders scan; the semi join shuffles on
+    orderkey with the non-equi ship-date predicate evaluated as the join
+    residual; the priority rollup is a 5-group partial agg. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    WITH nr AS (
+      SELECT n_nationkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT supp_region, cust_region, l_year,
+           round(sum(volume), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM (
+      SELECT r1.r_name AS supp_region, r2.r_name AS cust_region,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nr r1 ON s_nationkey = r1.n_nationkey
+      JOIN nr r2 ON c_nationkey = r2.n_nationkey
+      WHERE ((r1.r_name = 'AFRICA' AND r2.r_name = 'AMERICA')
+          OR (r1.r_name = 'AMERICA' AND r2.r_name = 'AFRICA'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY supp_region, cust_region, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping), region-level variant: trade volume
+    between two geographies in BOTH directions by ship year — the
+    two-sided disjunctive geography predicate that must NOT collapse into
+    a cross filter (AFRICA→AMERICA and AMERICA→AFRICA are distinct output
+    groups). Region level because the sf0.001 driver data has ~10
+    suppliers spread over 25 nations — a nation-pair variant is empty at
+    the smallest SF (probed). Scale shape: nation⋈region collapses into a
+    25-row nation→region map broadcast into BOTH sides of the fact; the
+    date filter prunes the lineitem scan; the only wide shuffles are the
+    orderkey join and the final 2×2×years rollup. Reference analogue:
+    none — relational coverage (SURVEY §2.6)."""
+    nr = (
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(T(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders")
+    pair = (
+        ((F.col("supp_region") == "AFRICA") & (F.col("cust_region") == "AMERICA"))
+        | ((F.col("supp_region") == "AMERICA") & (F.col("cust_region") == "AFRICA"))
+    )
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(pair)
+        .groupBy(
+            "supp_region",
+            "cust_region",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH nr AS (
+      SELECT n_nationkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey)
+    SELECT o_year,
+           round(sum(CASE WHEN supp_region = 'AFRICA' THEN volume
+                          ELSE CAST(0 AS DOUBLE) END), 2) AS africa_revenue,
+           round(sum(volume), 2) AS total_revenue,
+           round(round(sum(CASE WHEN supp_region = 'AFRICA' THEN volume
+                                ELSE CAST(0 AS DOUBLE) END), 2)
+                 / round(sum(volume), 2), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             r1.r_name AS supp_region,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nr r1 ON s_nationkey = r1.n_nationkey
+      JOIN nr r2 ON c_nationkey = r2.n_nationkey
+      WHERE r2.r_name = 'ASIA' AND p_type = 'ECONOMY')
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), region-level variant: of all
+    ECONOMY-part volume sold to ASIA customers, what share per order year
+    was supplied from AFRICA — the share-of-group conditional aggregate
+    over a 6-way join graph (the widest in the catalog: lineitem joins
+    part, supplier, orders, customer and the nation→region map on both
+    the supplier and customer sides). Supplier REGION share because the
+    smallest SF has too few suppliers for a single-nation numerator
+    (probed: nation-level is all-zero at sf0.001). Determinism: both
+    revenue sums round 2 dp post-agg and the share divides the ROUNDED
+    sums (6 dp), so FP summation order cannot flip any output. Scale
+    shape: part/supplier/customer/nation/region all broadcast; the only
+    wide shuffle is lineitem⋈orders on orderkey, then a years-sized
+    rollup. Reference analogue: none — relational coverage (SURVEY
+    §2.6)."""
+    nr = (
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(T(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "r_name")
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("r_name").alias("cust_region"))
+        .filter(F.col("cust_region") == "ASIA")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    africa_vol = F.when(F.col("supp_region") == "AFRICA", vol).otherwise(
+        F.lit(0.0)
+    )
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(africa_vol), 2).alias("africa_revenue"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "o_year", "africa_revenue", "total_revenue",
+        F.round(F.col("africa_revenue") / F.col("total_revenue"), 6)
+        .alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount)
+                          ELSE CAST(0 AS DOUBLE) END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           round(100 * round(sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE CAST(0 AS DOUBLE) END), 2)
+                 / round(sum(l_extendedprice * (1 - l_discount)), 2), 4)
+             AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): the promo share of one ship month's
+    revenue — a conditional-aggregate ratio over a fact⋈dim join. The
+    month filter prunes the lineitem scan; part broadcasts; the CASE
+    rides the partial agg so the answer is one row with no second pass.
+    promo_share_pct divides the two 2 dp-ROUNDED sums (4 dp) so FP
+    summation order cannot flip the hash. Reference analogue: none —
+    relational coverage (SURVEY §2.6)."""
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(vol), 2).alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        F.round(
+            100 * F.col("promo_revenue") / F.col("total_revenue"), 4
+        ).alias("promo_share_pct"),
+        "n_items",
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250)
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+           total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    clears a HAVING threshold, decorated with customer and order facts,
+    top-20 by price. The driver's l_quantity values are integral doubles
+    (probed: zero fractional rows), so the HAVING compare on the raw sum
+    is exact on both engines — no rounding dial needed. Scale shape: the
+    quantity rollup is a partial+final agg on orderkey; the HAVING cut
+    makes the surviving side tiny, so the joins back to orders and
+    customer are effectively a point-lookup join plus a broadcast; the
+    final cut is TakeOrderedAndProject with o_orderkey breaking
+    o_totalprice ties. Reference analogue: none — relational coverage
+    (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 35)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), driver-column variant: three OR'd
+    conjunction groups mixing dim predicates (p_brand, p_size) with fact
+    predicates (l_quantity) — the disjunctive-pushdown shape. Catalyst
+    must split the disjunction: the common superset predicates
+    (p_brand IN (...), l_quantity BETWEEN overall bounds) are inferred
+    and pushed into both scans while the full cross-side disjunction
+    evaluates as the join residual — never a cartesian, never a
+    filter-after-join of the whole fact. Scale shape: part broadcasts;
+    one pass over the pruned lineitem scan; single-row aggregate.
+    Reference analogue: none — relational coverage (SURVEY §2.6)."""
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q22_dormant_customers",
+    """
+    WITH ab AS (
+      SELECT round(avg(c_acctbal), 2) AS avg_bal
+      FROM customer WHERE c_acctbal > 0)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    CROSS JOIN ab
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY n_name
+    """,
+)
+def tpch_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), dormancy variant: customers
+    with an above-average account balance and NO order since 2000 —
+    the scalar-subquery threshold + NOT EXISTS anti-join pair. Dormancy
+    (no RECENT order) rather than no-order-ever because every driver
+    customer has orders (probed: the classic spelling returns zero rows);
+    grouping is by nation because the driver customer has no phone
+    column. Determinism: the threshold is the 2 dp-ROUNDED mean on both
+    engines, so FP summation order in the avg cannot move the cut. Scale
+    shape: the one-row average broadcasts (no driver collect); the
+    anti-join shuffles on custkey against the date-pruned orders scan;
+    nation broadcasts into a 25-group rollup. Reference analogue: none —
+    relational coverage (SURVEY §2.6)."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    recent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    ab = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(ab)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    dormant = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+_BM25_QUERIES = [
+    ("q_merge_join", ("merge", "join")),
+    ("q_scan_filter", ("scan", "filter")),
+    ("q_window_sort_order", ("window", "sort", "order")),
+]
+_BM25_K1, _BM25_B, _BM25_TOPK = 1.2, 0.75, 5
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{tok}')" for qid, toks in _BM25_QUERIES for tok in toks
+    )
+    return f"""
+    WITH q(query_id, token) AS (VALUES {qvals}),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+               AS token
+      FROM documents),
+    tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len
+      FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(doc_len) AS DOUBLE) / count(*), 6) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT q.query_id, t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok t JOIN q ON t.token = q.token
+      GROUP BY q.query_id, t.doc_id, t.token),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE token IN (SELECT token FROM q)
+      GROUP BY token),
+    term AS (
+      SELECT tf.query_id, tf.doc_id,
+             round(ln((n_docs - df + CAST(0.5 AS DOUBLE))
+                      / (df + CAST(0.5 AS DOUBLE)) + CAST(1 AS DOUBLE)), 6)
+               * (tf * CAST({_BM25_K1 + 1} AS DOUBLE))
+               / (tf + CAST({_BM25_K1} AS DOUBLE)
+                       * (CAST({1 - _BM25_B} AS DOUBLE)
+                          + CAST({_BM25_B} AS DOUBLE) * doc_len / avgdl))
+               AS w
+      FROM tf
+      JOIN df ON tf.token = df.token
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats),
+    score AS (
+      SELECT query_id, doc_id, round(sum(w), 6) AS score
+      FROM term GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+      FROM score)
+    WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register("docs_bm25_search", _bm25_sql())
+def docs_bm25_search(spark, sf_dir):
+    """BM25 full-text retrieval (k1=1.2, b=0.75): top-5 documents per
+    query for a fixed multi-token query set — the lexical-search
+    workhorse a curation pipeline uses to pull topical slices and to
+    seed decontamination sweeps (the inverted-index consumer shape next
+    to engine_incremental_inverted_index, which maintains the postings
+    this query would serve from). Determinism: tf/df/doc_len are exact
+    BIGINTs off the shared tokenizer; avgdl is one exact int division;
+    idf rounds 6 dp (ln of a rational — the KN/logprob ln contract);
+    scores round 6 dp BEFORE the per-query rank with doc_id tiebreak.
+    Scale shape at 100 TB: the query tokens broadcast as a literal
+    relation, so tf/df aggregate only the semi-joined token subset —
+    never a full-vocabulary relation; doc_len is a zero-shuffle
+    expression; the rank is a WindowGroupLimit over queries×candidates.
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    qtok = spark.createDataFrame(
+        [(qid, tok) for qid, toks in _BM25_QUERIES for tok in toks],
+        "query_id string, token string",
+    )
+    tok = S.tokens(d, "doc_id", "text", distinct=False)
+    dl = d.select(
+        "doc_id", TXT.token_count(F.col("text")).alias("doc_len")
+    )
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum("doc_len").cast("double") / F.count("*"), 6
+        ).alias("avgdl"),
+    )
+    hits = tok.join(F.broadcast(qtok), "token")
+    tf = hits.groupBy("query_id", "doc_id", "token").agg(
+        F.count("*").alias("tf")
+    )
+    df = (
+        hits.select("token", "doc_id")
+        .dropDuplicates()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    w = idf * (F.col("tf") * F.lit(_BM25_K1 + 1)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1 - _BM25_B) + F.lit(_BM25_B) * F.col("doc_len") / F.col("avgdl"))
+    )
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", w.alias("w"))
+    )
+    score = term.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("w"), 6).alias("score")
+    )
+    rk = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        score.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= _BM25_TOPK)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+_KM_PERIOD_US = 2_592_000_000_000      # 30-day "month"
+_KM_CENSOR_US = 15_552_000_000_000     # 180-day censoring window
+
+
+@register(
+    "customer_survival_km",
+    f"""
+    WITH pu AS (
+      SELECT o_custkey,
+             min(epoch_us(o_orderdate)) AS f,
+             max(epoch_us(o_orderdate)) AS l
+      FROM orders GROUP BY o_custkey),
+    tot AS (
+      SELECT max(l) AS horizon, CAST(count(*) AS BIGINT) AS n_users
+      FROM pu),
+    du AS (
+      SELECT (l - f) // {_KM_PERIOD_US} AS month,
+             l >= horizon - {_KM_CENSOR_US} AS censored
+      FROM pu CROSS JOIN tot),
+    ex AS (
+      SELECT month, CAST(count(*) AS BIGINT) AS n_exits,
+             CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT) AS n_deaths
+      FROM du GROUP BY month),
+    ar AS (
+      SELECT month, n_deaths,
+             n_users - (CAST(sum(n_exits) OVER (ORDER BY month) AS BIGINT)
+                        - n_exits) AS at_risk
+      FROM ex CROSS JOIN tot),
+    d AS (
+      SELECT month, n_deaths, at_risk,
+             round(CAST(n_deaths AS DOUBLE) / at_risk, 6) AS hazard
+      FROM ar WHERE n_deaths > 0),
+    fs AS (
+      SELECT list(CAST(1 AS DOUBLE) - hazard ORDER BY month) AS fctrs
+      FROM d),
+    idx AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY month) AS INTEGER) AS i
+      FROM d)
+    SELECT month, at_risk, n_deaths, hazard,
+           round(list_reduce(list_prepend(CAST(1 AS DOUBLE), fctrs[1:i]),
+                             (a, b) -> a * b), 6) AS survival
+    FROM idx CROSS JOIN fs
+    """,
+)
+def customer_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival over customer order lifetimes: lifetime =
+    first→last order in 30-day periods, right-censored when the last
+    order falls within 180 days of the dataset horizon (the customer may
+    still be alive); S(m) = Π_{{j≤m}} (1 − d_j/n_j) over death months —
+    the churn/retention curve under censoring that events_retention's
+    plain cohort counts misstate (they count censored users as churned).
+    Built on orders because every events user is active to the horizon
+    (probed: zero deaths — a degenerate curve). Determinism: lifetimes
+    and the censor cut are exact integer micros; at-risk counts are a
+    cumulative BIGINT window; each hazard rounds 6 dp; the survival
+    product folds a month-SORTED factor array seeded with 1.0 on both
+    engines (Spark aggregate vs DuckDB list_reduce over list_prepend —
+    identical multiply order, and IEEE multiplication is deterministic,
+    no libm in the fold), rounded 6 dp. Scale shape at 100 TB: one
+    custkey partial agg, then everything runs on the months-bounded exit
+    relation (~tens of rows) — the single-task window and the one-row
+    factor-array broadcast are metadata-sized by construction. Reference
+    analogue: none — training-data pipeline extension."""
+    o = T(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    pu = o.groupBy("o_custkey").agg(
+        F.min(us).alias("f"), F.max(us).alias("l")
+    )
+    tot = pu.agg(
+        F.max("l").alias("horizon"), F.count("*").alias("n_users")
+    )
+    du = pu.crossJoin(F.broadcast(tot)).select(
+        F.expr(f"(l - f) div {_KM_PERIOD_US}").alias("month"),
+        (F.col("l") >= F.col("horizon") - F.lit(_KM_CENSOR_US)).alias(
+            "censored"
+        ),
+        "n_users",
+    )
+    ex = du.groupBy("month", "n_users").agg(
+        F.count("*").alias("n_exits"),
+        F.count(F.when(~F.col("censored"), F.lit(1))).alias("n_deaths"),
+    )
+    cum = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = ex.select(
+        "month",
+        "n_deaths",
+        (
+            F.col("n_users") - (F.sum("n_exits").over(cum) - F.col("n_exits"))
+        ).alias("at_risk"),
+    )
+    d = ar.filter(F.col("n_deaths") > 0).withColumn(
+        "hazard",
+        F.round(F.col("n_deaths").cast("double") / F.col("at_risk"), 6),
+    )
+    fs = d.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("month", "hazard"))),
+            lambda x: F.lit(1.0) - x["hazard"],
+        ).alias("fctrs")
+    )
+    rk = Window.orderBy("month")
+    return (
+        d.withColumn("i", F.row_number().over(rk))
+        .crossJoin(F.broadcast(fs))
+        .select(
+            "month", "at_risk", "n_deaths", "hazard",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("fctrs"), F.lit(1), F.col("i")),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
