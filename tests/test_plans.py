@@ -637,3 +637,68 @@ def test_conversion_lag_no_window(spark):
     p = plan_of(QUERIES["events_conversion_lag"](spark, SF_DIR))
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_tpch_q4_is_left_semi(spark):
+    """tpch_q4_order_priority: the correlated EXISTS plans as ONE left
+    semi join (each order counted once — an inner join + distinct would
+    shuffle lineitem multiplicity), with the quarter filter pushed into
+    the orders scan."""
+    p = plan_of(QUERIES["tpch_q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_tpch_q7_q8_broadcast_all_dims(spark):
+    """q7/q8: every dim side (supplier/customer/part + nation->region map)
+    broadcasts; the only sort-merge-eligible shuffle is lineitem x orders
+    on orderkey."""
+    for name in ("tpch_q7_volume_shipping", "tpch_q8_market_share"):
+        p = plan_of(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "CartesianProduct" not in p, (name, p)
+
+
+def test_tpch_q18_takeordered_after_having(spark):
+    """q18: the top-20 cut is TakeOrderedAndProject (never a global sort)
+    and the HAVING side aggregates before any join."""
+    p = plan_of(QUERIES["tpch_q18_large_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", ""), p
+
+
+def test_tpch_q19_disjunction_not_cartesian(spark):
+    """q19: the OR'd brand/size/quantity groups stay an equi-join on
+    partkey with the disjunction as residual — never a cartesian — and
+    Catalyst infers a pushable superset predicate for the part scan."""
+    df = QUERIES["tpch_q19_disjunctive_revenue"](spark, SF_DIR)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+    f = formatted(df)
+    assert "PushedFilters" in f, f
+
+
+def test_tpch_q22_anti_join_broadcast_threshold(spark):
+    """q22: the one-row average broadcasts (no collect) and the dormancy
+    check is a LEFT ANTI join against the date-pruned orders scan."""
+    p = plan_of(QUERIES["tpch_q22_dormant_customers"](spark, SF_DIR))
+    assert "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_bm25_topk_is_group_limited(spark):
+    """docs_bm25_search: the per-query top-5 pushes down as
+    WindowGroupLimit, and the query-token relation broadcasts so tf/df
+    never aggregate the full vocabulary."""
+    p = plan_of(QUERIES["docs_bm25_search"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_survival_km_windows_are_months_sized(spark):
+    """customer_survival_km: the only shuffle over data is the custkey
+    partial agg; every window/sort runs on the months-bounded exit
+    relation (no window keyed by raw order rows)."""
+    p = plan_of(QUERIES["customer_survival_km"](spark, SF_DIR))
+    assert "hashpartitioning(o_custkey" in p, p
+    assert "CartesianProduct" not in p, p
