@@ -11710,10 +11710,10 @@ docs_host_hits.__doc__ = docs_host_hits.__doc__.replace(
 )
 
 
-@register(
-    "emb_knn_graph",
-    f"""
-    WITH b AS ({_lsh_tables_sql("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)")}),
+# kNN-graph CTE prefix shared by emb_knn_graph and emb_knn_label_accuracy —
+# ONE spelling of the LSH-candidate top-k so the accuracy gate moves with
+# the graph (the contrastive-pairs/survivor-CTE sharing rule)
+_KNN_RANKED_CTES = f"""b AS ({_lsh_tables_sql("(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)")}),
     cand AS (
       SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
       FROM b l JOIN b r
@@ -11733,7 +11733,13 @@ docs_host_hits.__doc__ = docs_host_hits.__doc__.replace(
              CAST(row_number() OVER (PARTITION BY vec_id
                                      ORDER BY cosine DESC, neighbor_id)
                   AS INTEGER) AS rank
-      FROM scored)
+      FROM scored)"""
+
+
+@register(
+    "emb_knn_graph",
+    f"""
+    WITH {_KNN_RANKED_CTES}
     SELECT vec_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
     """,
 )
@@ -14241,4 +14247,278 @@ def customer_survival_km(spark, sf_dir):
                 6,
             ).alias("survival"),
         )
+    )
+
+
+@register(
+    "emb_knn_label_accuracy",
+    f"""
+    WITH {_KNN_RANKED_CTES},
+    knn AS (SELECT vec_id, neighbor_id FROM ranked WHERE rank <= 3),
+    votes AS (
+      SELECT k.vec_id, e.label, CAST(count(*) AS BIGINT) AS n_votes
+      FROM knn k JOIN embeddings e ON k.neighbor_id = e.vec_id
+      GROUP BY k.vec_id, e.label),
+    pred AS (
+      SELECT vec_id, label AS pred_label FROM (
+        SELECT vec_id, label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY n_votes DESC, label) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT e.label AS true_label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(count(*) FILTER (WHERE p.pred_label = e.label) AS BIGINT)
+             AS n_correct,
+           round(CAST(count(*) FILTER (WHERE p.pred_label = e.label)
+                      AS DOUBLE) / count(*), 4) AS accuracy
+    FROM pred p JOIN embeddings e ON p.vec_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def emb_knn_label_accuracy(spark, sf_dir):
+    """kNN label-prediction accuracy (k=3 majority vote) per true label —
+    the embedding-quality eval that prices the WHOLE retrieval stack at
+    once: if the LSH candidates + cosine ranking can't recover a vector's
+    own label from its neighbors, neither dedup thresholds nor ANN recall
+    numbers mean much. Reuses emb_knn_graph's EXACT top-k spelling (the
+    shared _KNN_RANKED_CTES — the gate moves with the graph); prediction
+    tie-break is (votes DESC, label ASC), so a 1-1-1 vote deterministically
+    picks the smallest label on both engines. Vectors with no LSH
+    candidates are absent from the eval set by construction (documented —
+    their recall is the ann_recall_eval family's business). Scale shape:
+    votes aggregate the per-node-BOUNDED kNN output (≤ k rows per vector);
+    the label dim broadcasts; accuracy is a labels-sized rollup. Reference
+    analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    knn = QUERIES["emb_knn_graph"](spark, sf_dir).select(
+        "vec_id", "neighbor_id"
+    )
+    lab = emb.select(F.col("vec_id").alias("_v"), "label")
+    votes = (
+        knn.join(F.broadcast(lab), knn["neighbor_id"] == lab["_v"])
+        .groupBy("vec_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    rn = Window.partitionBy("vec_id").orderBy(F.desc("n_votes"), "label")
+    pred = (
+        votes.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.select(F.col("vec_id").alias("_t"), F.col("label").alias("true_label"))
+    hit = F.when(F.col("pred_label") == F.col("true_label"), F.lit(1))
+    return (
+        pred.join(F.broadcast(truth), pred["vec_id"] == truth["_t"])
+        .groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.count(hit).alias("n_correct"),
+        )
+        .select(
+            "true_label", "n_eval", "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval"), 4
+            ).alias("accuracy"),
+        )
+    )
+
+
+_HOLT_ALPHA, _HOLT_BETA, _HOLT_H = 0.3, 0.1, 7
+
+
+@register(
+    "events_holt_forecast",
+    f"""
+    WITH RECURSIVE daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    ds AS (
+      SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(n AS DOUBLE) AS y
+      FROM daily),
+    holt AS (
+      SELECT CAST(2 AS BIGINT) AS i, d2.y AS y, d2.y AS l, d2.y - d1.y AS b
+      FROM ds d1, ds d2 WHERE d1.i = 1 AND d2.i = 2
+      UNION ALL
+      SELECT h.i + 1, d.y,
+             CAST({_HOLT_ALPHA} AS DOUBLE) * d.y
+               + CAST({1 - _HOLT_ALPHA} AS DOUBLE) * (h.l + h.b) AS l,
+             CAST({_HOLT_BETA} AS DOUBLE)
+               * ((CAST({_HOLT_ALPHA} AS DOUBLE) * d.y
+                   + CAST({1 - _HOLT_ALPHA} AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST({1 - _HOLT_BETA} AS DOUBLE) * h.b AS b
+      FROM holt h JOIN ds d ON d.i = h.i + 1)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM ds) AS n_days,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + {_HOLT_H} * b, 6) AS forecast_{_HOLT_H}d
+    FROM holt WHERE i = (SELECT count(*) FROM ds)
+    """,
+)
+def events_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (α=0.3, β=0.1) over the daily
+    event counts, with the h=7-day forecast — the trend-aware capacity
+    forecast EWMA (events_ewma_daily_rate) can't give because a single
+    smoother has no slope state. A DOUBLY-recursive statistic has no
+    windowed-SQL form; here both recursions ride ONE fold whose
+    accumulator is a (y, l, b) STRUCT: Spark aggregate() over the
+    day-sorted array seeded with its first element, the lambda
+    initializing (l₂=y₂, b₂=y₂−y₁) on the first step via the NULL-level
+    branch. The DuckDB twin is a RECURSIVE CTE stepping the same
+    recurrence over row-numbered days — NOT list_reduce: DuckDB 1.0
+    evaluates struct_pack fields sequentially against a MUTATING
+    accumulator, so a field expression referencing acc.l after the l
+    field sees the NEW level (verified: the b update silently used nl;
+    single-value accumulators like CUSUM's are unaffected). Determinism:
+    counts are exact BIGINTs, α/β spelled as CAST DOUBLE literals, both
+    engines step the identical recurrence in identical order (no libm),
+    so the doubles match bitwise before the 6 dp round. Scale
+    shape: one day-keyed partial agg, then a days-bounded single-row
+    fold. Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    mk = lambda x: F.struct(
+        x["n"].cast("double").alias("y"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    ys = daily.agg(
+        F.count("*").alias("n_days"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "n"))), mk
+        ).alias("arr"),
+    )
+    a, b1 = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        lvl = F.lit(a) * x["y"] + F.lit(1 - a) * (acc["l"] + acc["b"])
+        init = F.struct(
+            x["y"].alias("y"), x["y"].alias("l"), (x["y"] - acc["y"]).alias("b")
+        )
+        upd = F.struct(
+            x["y"].alias("y"),
+            lvl.alias("l"),
+            (F.lit(b1) * (lvl - acc["l"]) + F.lit(1 - b1) * acc["b"]).alias("b"),
+        )
+        return F.when(acc["l"].isNull(), init).otherwise(upd)
+
+    s = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.element_at(F.col("arr"), 1),
+        step,
+    )
+    return ys.select(
+        "n_days",
+        F.round(s["l"], 6).alias("level"),
+        F.round(s["b"], 6).alias("trend"),
+        F.round(s["l"] + F.lit(_HOLT_H) * s["b"], 6).alias(
+            f"forecast_{_HOLT_H}d"
+        ),
+    )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mu,
+             round(sqrt(CAST(sum(n * n) AS DOUBLE) / count(*)
+                        - (CAST(sum(n) AS DOUBLE) / count(*))
+                          * (CAST(sum(n) AS DOUBLE) / count(*))), 6) AS sd
+      FROM daily GROUP BY event_type),
+    dev AS (
+      SELECT d.event_type, d.day,
+             CAST(n AS DOUBLE) - mu - CAST(0.5 AS DOUBLE) * sd AS x,
+             round(CAST(4 AS DOUBLE) * sd, 6) AS h
+      FROM daily d JOIN stats s ON d.event_type = s.event_type),
+    arrs AS (
+      SELECT event_type, h,
+             list(day ORDER BY day) AS days,
+             list(x ORDER BY day) AS xs
+      FROM dev GROUP BY event_type, h),
+    idx AS (
+      SELECT event_type, h, days, xs,
+             unnest(generate_series(1, len(xs))) AS i
+      FROM arrs)
+    SELECT event_type, days[i] AS day,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:i]),
+                             (acc, v) -> greatest(acc + v, CAST(0 AS DOUBLE))),
+                 6) AS cusum,
+           round(list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:i]),
+                             (acc, v) -> greatest(acc + v, CAST(0 AS DOUBLE))),
+                 6) > h AS alarm
+    FROM idx
+    """,
+)
+def events_cusum_changepoint(spark, sf_dir):
+    """One-sided CUSUM change-point trajectory per event type over daily
+    counts: S_j = max(0, S_{j-1} + (y_j − μ − 0.5σ)), alarm when S_j
+    clears the 4σ decision interval — the sequential drift detector that
+    catches a sustained small shift events_anomaly_zscore's pointwise
+    z-scores miss (z needs one big day; CUSUM accumulates many slightly-
+    elevated days). The recursion is a prefix fold (the survival-curve
+    recipe): each (type, day) row folds max(0, acc+x) over its day-sorted
+    deviation prefix, seeded 0.0 on both engines (Spark aggregate vs
+    DuckDB list_reduce over list_prepend — identical order; greatest/add
+    only, no libm, so doubles match bitwise). μ/σ come from exact BIGINT
+    moments rounded 6 dp (the bot_regularity contract; sqrt is IEEE
+    correctly-rounded, deterministic). Scale shape: one (type, day)
+    partial agg, then everything runs on the types×days-bounded relation;
+    the per-type factor arrays are days-sized. Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    cnt = F.count("*")
+    mu = F.round(F.sum("n").cast("double") / cnt, 6)
+    sd = F.round(
+        F.sqrt(
+            F.sum(F.col("n") * F.col("n")).cast("double") / cnt
+            - (F.sum("n").cast("double") / cnt)
+              * (F.sum("n").cast("double") / cnt)
+        ),
+        6,
+    )
+    stats = daily.groupBy("event_type").agg(mu.alias("mu"), sd.alias("sd"))
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n").cast("double") - F.col("mu") - F.lit(0.5) * F.col("sd"))
+        .alias("x"),
+        F.round(F.lit(4.0) * F.col("sd"), 6).alias("h"),
+    )
+    arrs = dev.groupBy("event_type", "h").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.sort_array(F.collect_list("day")).alias("days"),
+    )
+    idx = arrs.select(
+        "event_type", "h", "days", "xs",
+        F.posexplode(F.col("days")),
+    ).select(
+        "event_type", "h", "xs",
+        F.col("col").alias("day"),
+        (F.col("pos") + 1).alias("i"),
+    )
+    cusum = F.round(
+        F.aggregate(
+            F.slice(F.col("xs"), F.lit(1), F.col("i")),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc + v, F.lit(0.0)),
+        ),
+        6,
+    )
+    return idx.select(
+        "event_type", "day",
+        cusum.alias("cusum"),
+        (cusum > F.col("h")).alias("alarm"),
     )

@@ -702,3 +702,29 @@ def test_survival_km_windows_are_months_sized(spark):
     p = plan_of(QUERIES["customer_survival_km"](spark, SF_DIR))
     assert "hashpartitioning(o_custkey" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_knn_label_accuracy_reuses_group_limit(spark):
+    """emb_knn_label_accuracy: rides emb_knn_graph's WindowGroupLimit
+    top-k; label decoration and truth join broadcast (labels are a dim)."""
+    p = plan_of(QUERIES["emb_knn_label_accuracy"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_holt_forecast_single_data_shuffle(spark):
+    """events_holt_forecast: one day-keyed partial agg over the events
+    scan; the fold runs on a one-row days-bounded array — no window, no
+    join at all."""
+    p = plan_of(QUERIES["events_holt_forecast"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "Join" not in p, p
+
+
+def test_cusum_runs_on_types_days_relation(spark):
+    """events_cusum_changepoint: stats broadcast back onto the (type, day)
+    relation — never a sort-merge join — and no window anywhere (the
+    prefix fold replaces it)."""
+    p = plan_of(QUERIES["events_cusum_changepoint"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "Window" not in p, p
