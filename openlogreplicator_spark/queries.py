@@ -14522,3 +14522,102 @@ def events_cusum_changepoint(spark, sf_dir):
         cusum.alias("cusum"),
         (cusum > F.col("h")).alias("alarm"),
     )
+
+
+_PSI_BOUNDS = (1.0, 2.0, 5.0, 10.0, 20.0, 50.0, 100.0)  # 8 buckets
+
+
+def _psi_bucket_sql() -> str:
+    cases = " ".join(
+        f"WHEN value < CAST({b} AS DOUBLE) THEN {i}"
+        for i, b in enumerate(_PSI_BOUNDS)
+    )
+    return f"CASE {cases} ELSE {len(_PSI_BOUNDS)} END"
+
+
+@register(
+    "events_psi_drift",
+    f"""
+    WITH wk AS (
+      SELECT date_trunc('week', ts) AS week,
+             {_psi_bucket_sql()} AS bucket
+      FROM events),
+    cnt AS (
+      SELECT week, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM wk GROUP BY week, bucket),
+    grid AS (
+      SELECT w.week, b.bucket, coalesce(c.n, 0) AS n
+      FROM (SELECT DISTINCT week FROM wk) w
+      CROSS JOIN (SELECT unnest(generate_series(0, {len(_PSI_BOUNDS)}))
+                    AS bucket) b
+      LEFT JOIN cnt c ON c.week = w.week AND c.bucket = b.bucket),
+    tot AS (
+      SELECT week, CAST(sum(n) AS BIGINT) AS wk_total FROM grid
+      GROUP BY week),
+    p AS (
+      SELECT g.week, g.bucket, g.n, t.wk_total,
+             (g.n + CAST(0.5 AS DOUBLE))
+               / (t.wk_total + CAST({0.5 * (len(_PSI_BOUNDS) + 1)}
+                                    AS DOUBLE)) AS p
+      FROM grid g JOIN tot t ON g.week = t.week),
+    lagged AS (
+      SELECT week, bucket, p,
+             lag(p) OVER (PARTITION BY bucket ORDER BY week) AS q
+      FROM p)
+    SELECT week,
+           round(sum((p - q) * ln(p / q)), 6) AS psi,
+           CAST(count(*) AS BIGINT) AS n_buckets
+    FROM lagged WHERE q IS NOT NULL
+    GROUP BY week
+    """,
+)
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution, week
+    over week: PSI = Σ_buckets (p−q)·ln(p/q) on fixed value buckets with
+    add-0.5 smoothing (so an empty bucket contributes a finite term) —
+    the standard production drift monitor; complements cdc_value_drift
+    (mean shift — blind to shape changes) and docs_source_jsd (token
+    distributions). The >0.2 "investigate" convention applies to the
+    output. Determinism: bucket edges are literal doubles compared
+    against the raw value identically on both engines; counts are exact
+    BIGINTs densified over an explicit week×bucket grid (a missing
+    bucket row would silently drop its PSI term); p/q are single exact
+    divisions; the 8-term sum rounds 6 dp post-agg. Scale shape: one
+    (week, bucket) partial agg over the scan, then everything runs on
+    the weeks×9 grid — the lag window and final rollup are
+    metadata-sized. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    bucket = F.lit(len(_PSI_BOUNDS))
+    for i in range(len(_PSI_BOUNDS) - 1, -1, -1):
+        bucket = F.when(
+            F.col("value") < F.lit(_PSI_BOUNDS[i]), F.lit(i)
+        ).otherwise(bucket)
+    wk = ev.select(F.date_trunc("week", "ts").alias("week"), bucket.alias("bucket"))
+    cnt = wk.groupBy("week", "bucket").agg(F.count("*").alias("n"))
+    weeks = wk.select("week").distinct()
+    buckets = spark.range(len(_PSI_BOUNDS) + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    grid = (
+        weeks.crossJoin(F.broadcast(buckets))
+        .join(cnt, ["week", "bucket"], "left")
+        .select("week", "bucket", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = grid.groupBy("week").agg(F.sum("n").alias("wk_total"))
+    smooth = F.lit(0.5 * (len(_PSI_BOUNDS) + 1))
+    p = grid.join(tot, "week").select(
+        "week", "bucket",
+        ((F.col("n") + F.lit(0.5)) / (F.col("wk_total") + smooth)).alias("p"),
+    )
+    lw = Window.partitionBy("bucket").orderBy("week")
+    lagged = p.withColumn("q", F.lag("p").over(lw)).filter(
+        F.col("q").isNotNull()
+    )
+    return lagged.groupBy("week").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+        F.count("*").alias("n_buckets"),
+    )

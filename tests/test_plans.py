@@ -728,3 +728,12 @@ def test_cusum_runs_on_types_days_relation(spark):
     p = plan_of(QUERIES["events_cusum_changepoint"](spark, SF_DIR))
     assert "SortMergeJoin" not in p, p
     assert "Window" not in p, p
+
+
+def test_psi_drift_runs_on_week_bucket_grid(spark):
+    """events_psi_drift: one (week, bucket) partial agg over the scan;
+    the lag window runs on the weeks x 9 grid, and the grid build is a
+    broadcast cross join (never a sort-merge join over data)."""
+    p = plan_of(QUERIES["events_psi_drift"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
