@@ -1281,3 +1281,112 @@ def zorder_buckets(
     )
     return {"files": len(new_files), "rows": rows,
             "buckets_rewritten": len(present)}
+
+
+# --------------------------------------------------------------- ANALYZE
+
+
+def analyze(
+    table: LakeTable, columns: Iterable[str] | None = None
+) -> dict[str, dict]:
+    """ANALYZE TABLE — per-column statistics over the LIVE state
+    (tombstones excluded, MoR winners resolved, partial images folded),
+    persisted on the snapshot chain as a watermark-neutral metadata-only
+    commit (``summary.op = "analyze"``). The Iceberg/Delta
+    compute-statistics analogue; reference analogue: the dictionary's
+    per-table metadata that sizes the replicator's structures
+    (Schema.cpp dictionary counters) — here the stats feed planning
+    (DimensionLookup-style broadcast decisions, join-side selection) and
+    humans, without a data scan at read time.
+
+    Recorded per column: ``n_rows``, ``null_count``, ``ndv`` (exact,
+    count-distinct — at 10^10+ rows swap in approx_count_distinct; the
+    stats CONSUMERS tolerate approximation, the gate pins the exact
+    path), and min/max — stored JSON-safe: timestamps as epoch
+    micros under ``min_num``/``max_num``, integral/floating values as
+    numbers, strings raw under ``min_str``/``max_str``. One aggregate
+    pass over the state (partial+final agg; count-distincts share the
+    scan via Expand), one driver row.
+    """
+    from pyspark.sql import types as T
+
+    state = (
+        read_state_partial(table) if table.partial_images else read_state(table)
+    )
+    cols = list(columns) if columns is not None else [
+        c for c in state.columns if not c.startswith("_")
+    ]
+    by_name = {f.name: f.dataType for f in state.schema.fields}
+
+    def ordv(c):
+        # timestamps aggregate as exact epoch micros INSIDE the job — no
+        # driver-side datetime/timezone conversion can drift the value;
+        # blobs skip min/max entirely (comparing whole payloads for a
+        # bound nobody can use)
+        if isinstance(by_name[c], (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        if isinstance(by_name[c], T.BinaryType):
+            return F.lit(None)
+        return F.col(c)
+
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        exprs += [
+            F.count(c).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__ndv_{c}"),
+            F.min(ordv(c)).alias(f"__min_{c}"),
+            F.max(ordv(c)).alias(f"__max_{c}"),
+        ]
+    row = state.agg(*exprs).collect()[0].asDict()
+
+    def jsonable(c, v):
+        if v is None:
+            return None, None
+        t = by_name[c]
+        if isinstance(t, T.BinaryType):
+            # no min/max for blobs: a truncated bound would misreport the
+            # range (the col_bounds >64-char refusal, applied to stats)
+            return None, None
+        if isinstance(t, T.BooleanType):
+            return int(v), None
+        if isinstance(t, (T.FloatType, T.DoubleType)):
+            return float(v), None
+        if isinstance(
+            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return int(v), None
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+            return int(v), None  # already epoch micros via ordv()
+        return None, str(v)  # strings, dates, decimals: render
+
+    stats: dict[str, dict] = {}
+    for c in cols:
+        mn_num, mn_str = jsonable(c, row[f"__min_{c}"])
+        mx_num, mx_str = jsonable(c, row[f"__max_{c}"])
+        stats[c] = {
+            "n_rows": int(row["__n"]),
+            "null_count": int(row["__n"] - row[f"__nn_{c}"]),
+            "ndv": int(row[f"__ndv_{c}"]),
+            "min_num": mn_num, "max_num": mx_num,
+            "min_str": mn_str, "max_str": mx_str,
+        }
+    table.commit_summary_only({"op": "analyze", "table_stats": stats})
+    return stats
+
+
+def table_stats(table: LakeTable) -> dict[str, dict] | None:
+    """Latest persisted ANALYZE stats off the snapshot chain (newest
+    ``op = "analyze"`` summary at or below the handle's version), or None
+    if the table was never analyzed. O(snapshots-since-analyze) metadata
+    reads, no data scan — the read path consumers use."""
+    head = int(table.snap["version"])
+    for v in sorted((x for x in table.versions() if x <= head), reverse=True):
+        s = (
+            LakeTable.load(table.spark, table.path, version=v).snap.get(
+                "summary", {}
+            )
+            or {}
+        )
+        if s.get("op") == "analyze":
+            return s.get("table_stats")
+    return None

@@ -14621,3 +14621,164 @@ def events_psi_drift(spark, sf_dir):
         ).alias("psi"),
         F.count("*").alias("n_buckets"),
     )
+
+
+_TABLE_STATS_COLS = ("url", "warc_ts", "text", "lang", "http_status")
+
+
+def _table_stats_sql() -> str:
+    def one(c, kind):
+        if kind == "ts":
+            mn = "epoch_us(min({c}))"; mx = "epoch_us(max({c}))"
+            ms = "CAST(NULL AS VARCHAR)"; xs = "CAST(NULL AS VARCHAR)"
+        elif kind == "num":
+            mn = "CAST(min({c}) AS BIGINT)"; mx = "CAST(max({c}) AS BIGINT)"
+            ms = "CAST(NULL AS VARCHAR)"; xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = "CAST(NULL AS BIGINT)"; mx = "CAST(NULL AS BIGINT)"
+            ms = "min({c})"; xs = "max({c})"
+        return f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS null_count,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+               {mn.format(c=c)} AS min_num, {mx.format(c=c)} AS max_num,
+               {ms.format(c=c)} AS min_str, {xs.format(c=c)} AS max_str
+        FROM winners""".format(c=c)
+
+    kinds = {"url": "str", "warc_ts": "ts", "text": "str", "lang": "str",
+             "http_status": "num"}
+    parts = " UNION ALL ".join(one(c, kinds[c]) for c in _TABLE_STATS_COLS)
+    return f"WITH winners AS ({_REPLAY_SQL}) {parts}"
+
+
+@register("engine_table_stats", _table_stats_sql())
+def engine_table_stats(spark, sf_dir):
+    """ANALYZE TABLE through the value gate: replay the fixed log, run
+    operators.merge.analyze (per-column n_rows / null_count / exact NDV /
+    min-max over the LIVE state, persisted as a metadata-only snapshot
+    commit), then read the stats back OFF THE CHAIN through a freshly
+    loaded handle — so the gate hashes what a later reader actually
+    sees, not the in-memory return value. The DuckDB twin recomputes
+    every statistic from the replayed winners (http_status's null_count
+    counts the pre-v2 rows — a stats pass that ran before schema
+    resolution would miss them). Timestamps ride as exact epoch micros
+    (computed INSIDE the aggregate, no driver datetime conversion);
+    strings compare raw. Scale shape: one partial+final aggregate pass
+    over the state (count-distincts share the scan via Expand; at 10^10
+    rows swap exact NDV for approx_count_distinct — consumers tolerate
+    it, the gate pins the exact path), then O(chain) metadata reads at
+    consumption time. Reference analogue: dictionary metadata counters,
+    Schema.cpp."""
+    from .lake.table import LakeTable
+    from .operators.merge import analyze, table_stats
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_stats_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_batch_replay()
+    analyze(LakeTable.load(spark, p.table_path), columns=_TABLE_STATS_COLS)
+    stats = table_stats(LakeTable.load(spark, p.table_path))
+    assert stats is not None
+    rows = [
+        (
+            c,
+            s["n_rows"], s["null_count"], s["ndv"],
+            s["min_num"], s["max_num"], s["min_str"], s["max_str"],
+        )
+        for c, s in ((c, stats[c]) for c in _TABLE_STATS_COLS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows long, null_count long, ndv long, "
+        "min_num long, max_num long, min_str string, max_str string",
+    )
+
+
+@register(
+    "docs_lsh_band_s_curve",
+    f"""
+    WITH {_MINHASH_CAND_TMPL.format(id_cap=1000)},
+    loose_bands AS (
+      SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band_hash FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band_id, md5(h2 || h3) AS band_hash FROM sig),
+    cand_loose AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM loose_bands l JOIN loose_bands r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id),
+    all_pairs AS (
+      SELECT a, b FROM cand UNION SELECT a, b FROM cand_loose),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS n_inter
+      FROM all_pairs p
+      JOIN tok ta ON ta.doc_id = p.a
+      JOIN tok tb ON tb.doc_id = p.b AND tb.token = ta.token
+      GROUP BY p.a, p.b),
+    j AS (
+      SELECT i.a, i.b,
+             CAST(floor(CAST(n_inter AS DOUBLE)
+                        / (sa.n + sb.n - n_inter) * 10) AS BIGINT)
+               AS j_bucket,
+             CASE WHEN cl.a IS NOT NULL THEN 1 ELSE 0 END AS det_loose,
+             CASE WHEN ct.a IS NOT NULL THEN 1 ELSE 0 END AS det_tight
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      LEFT JOIN cand_loose cl ON cl.a = i.a AND cl.b = i.b
+      LEFT JOIN cand ct ON ct.a = i.a AND ct.b = i.b)
+    SELECT j_bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(det_loose) AS BIGINT) AS n_loose,
+           CAST(sum(det_tight) AS BIGINT) AS n_tight,
+           round(CAST(sum(det_loose) AS DOUBLE) / count(*), 4)
+             AS rate_loose,
+           round(CAST(sum(det_tight) AS DOUBLE) / count(*), 4)
+             AS rate_tight
+    FROM j GROUP BY j_bucket
+    """,
+)
+def docs_lsh_band_s_curve(spark, sf_dir):
+    """Empirical MinHash-LSH S-curve: per exact-Jaccard decile, the
+    detection rate of the LOOSE band spec (4 hashes, 2 bands × 2) vs the
+    TIGHT one (8 hashes, 2 bands × 4) — the evidence behind the repo's
+    band-tightness dial (tight bands keep candidates near-linear on
+    templated corpora but drop low-similarity pairs; this table shows
+    exactly where each spec's recall cliff sits, the empirical twin of
+    the analytic 1−(1−j^r)^b curve). Truth pairs are conditioned on the
+    UNION of both specs' candidates (an unconditioned truth would need
+    all-pairs Jaccard — the thing LSH exists to avoid; rates near the
+    cliff are therefore relative to surfaced pairs, stated here).
+    Determinism: both engines compute raw Jaccard as the SAME double
+    division (CAST, not *1.0 — DuckDB's 1.0 is DECIMAL and decimal
+    bucketing floors 0.6·10 to 6 where the double floors to 5), bucket
+    by floor(j·10), and count exact ints to one rounded division. Scale
+    shape: signatures are one partial agg; both band joins are
+    bounded-keyspace equi-joins; exact Jaccard runs on candidates only.
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    cand_t = S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=8, band_size=4)
+    cand_l = S.minhash_candidate_pairs(d, "doc_id", "text", n_hashes=4, band_size=2)
+    allp = cand_t.select("a", "b").union(cand_l.select("a", "b")).distinct()
+    j = S.jaccard_pairs(d, allp, "doc_id", "text")
+    flagged = (
+        j.join(cand_l.withColumn("_l", F.lit(1)), ["a", "b"], "left")
+        .join(cand_t.withColumn("_t", F.lit(1)), ["a", "b"], "left")
+        .select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("j_bucket"),
+            F.coalesce("_l", F.lit(0)).alias("det_loose"),
+            F.coalesce("_t", F.lit(0)).alias("det_tight"),
+        )
+    )
+    return flagged.groupBy("j_bucket").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("det_loose").alias("n_loose"),
+        F.sum("det_tight").alias("n_tight"),
+        F.round(F.sum("det_loose").cast("double") / F.count("*"), 4)
+        .alias("rate_loose"),
+        F.round(F.sum("det_tight").cast("double") / F.count("*"), 4)
+        .alias("rate_tight"),
+    )

@@ -67,6 +67,9 @@ def main() -> None:
                     help="CHECK constraint on c/u events (repeatable): rows "
                          "where the SQL predicate IS FALSE are dead-lettered "
                          "and excluded from the merge")
+    ap.add_argument("--analyze", action="store_true",
+                    help="after the run, ANALYZE the table (per-column "
+                         "stats persisted as a metadata-only commit)")
     ap.add_argument("--branch",
                     help="stage commits on this branch ref (write-audit-"
                          "publish); main is untouched until --publish")
@@ -120,6 +123,12 @@ def main() -> None:
     else:
         p.run_batch_replay()
     n = p.target_state().count()
+    if args.analyze:
+        from openlogreplicator_spark.lake.table import LakeTable
+        from openlogreplicator_spark.operators.merge import analyze
+
+        stats = analyze(LakeTable.load(spark, args.table))
+        print(f"analyzed {len(stats)} columns")
     if args.branch and args.publish:
         from openlogreplicator_spark.lake.table import LakeTable
 

@@ -559,3 +559,49 @@ def test_maintain_partial_table_routes_to_fold_compaction(spark, tmp_path):
     wm = int(dt.datetime(2020, 3, 1).timestamp() * 1_000_000)
     rep2 = maintain(t, partial_watermark_us=wm)
     assert "compact_partial" in rep2
+
+
+def test_analyze_persists_and_survives_later_commits(spark, tmp_path):
+    """ANALYZE stats commit metadata-only, are readable off the chain by a
+    fresh handle, survive later epochs (table_stats walks back to the
+    newest analyze), and a re-analyze supersedes them."""
+    from openlogreplicator_spark.datagen import GenSpec, write_events
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import analyze, table_stats
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    src = str(tmp_path / "src")
+    write_events(src, GenSpec(n_events=400, n_files=2, seed=11))
+    import glob
+
+    files = sorted(glob.glob(src + "/*.parquet"))
+    p = CdcPipeline(
+        spark, src, str(tmp_path / "t"), str(tmp_path / "c"),
+        merge_mode="mor", compact_every=0,
+    )
+    p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(files[0]), epoch_id=0)
+
+    t = LakeTable.load(spark, p.table_path)
+    stats = analyze(t, columns=("url", "lang"))
+    # metadata-only: the analyze commit added no data files
+    t2 = LakeTable.load(spark, p.table_path)
+    assert (t2.snap.get("summary") or {}).get("op") == "analyze"
+    got = table_stats(t2)
+    assert got == stats
+    assert got["url"]["ndv"] <= got["url"]["n_rows"]
+    # direct recompute agrees
+    from openlogreplicator_spark.operators.merge import read_state
+
+    st = read_state(t2)
+    assert got["url"]["n_rows"] == st.count()
+    assert got["url"]["ndv"] == st.select("url").distinct().count()
+    # a later epoch pushes the analyze snapshot down the chain but the
+    # accessor still finds it
+    p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(files[1]), epoch_id=1)
+    t3 = LakeTable.load(spark, p.table_path)
+    assert table_stats(t3) == stats
+    # re-analyze supersedes
+    stats2 = analyze(t3, columns=("url", "lang"))
+    assert table_stats(LakeTable.load(spark, p.table_path)) == stats2
+    assert stats2["url"]["n_rows"] >= stats["url"]["n_rows"]

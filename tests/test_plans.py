@@ -737,3 +737,10 @@ def test_psi_drift_runs_on_week_bucket_grid(spark):
     p = plan_of(QUERIES["events_psi_drift"](spark, SF_DIR))
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_s_curve_band_joins_bounded(spark):
+    """docs_lsh_band_s_curve: both band specs and the exact-Jaccard verify
+    are equi-joins — never a cartesian/nested-loop all-pairs shape."""
+    p = plan_of(QUERIES["docs_lsh_band_s_curve"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
