@@ -14782,3 +14782,200 @@ def docs_lsh_band_s_curve(spark, sf_dir):
         F.round(F.sum("det_tight").cast("double") / F.count("*"), 4)
         .alias("rate_tight"),
     )
+
+
+_NPROBE_SWEEP = (1, 2, 4)
+
+
+def _ivf_nprobe_sweep_sql() -> str:
+    per_np = " UNION ALL ".join(
+        f"""
+        SELECT {np} AS nprobe,
+               (SELECT CAST(count(*) AS BIGINT) FROM (
+                  SELECT e.query_id
+                  FROM exact e JOIN (
+                    SELECT query_id, vec_id
+                    FROM (SELECT vec_id AS query_id, embedding AS qvec, cid
+                          FROM assign WHERE vec_id < 32 AND rn <= {np})
+                         p JOIN cells USING (cid)
+                    WHERE vec_id <> query_id
+                    QUALIFY row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY list_cosine_similarity(
+                                 CAST(qvec AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[])) DESC,
+                               vec_id) <= {_RECALL_K}) a
+                    ON e.query_id = a.query_id AND e.vec_id = a.vec_id))
+                 AS n_hits"""
+        for np in _NPROBE_SWEEP
+    )
+    return f"""
+    WITH ranked_init AS (
+      SELECT embedding AS cvec,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    init AS (SELECT cid, cvec FROM ranked_init WHERE cid < 8),
+    assign AS (
+      SELECT e.vec_id, e.embedding, i.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(i.cvec AS DOUBLE[])) DESC,
+                        i.cid) AS rn
+      FROM embeddings e CROSS JOIN init i),
+    cells AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id
+      FROM q, embeddings
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(CAST(qvec AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) DESC,
+                 vec_id) <= {_RECALL_K}),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+    sweep AS ({per_np})
+    SELECT nprobe, n_queries, n_hits,
+           round(CAST(n_hits AS DOUBLE) / (n_queries * {_RECALL_K}), 4)
+             AS mean_recall
+    FROM sweep CROSS JOIN nq
+    """
+
+
+@register("ann_recall_vs_nprobe", _ivf_nprobe_sweep_sql())
+def ann_recall_vs_nprobe(spark, sf_dir):
+    """IVF recall@10 as a FUNCTION of nprobe (1, 2, 4) — the dial CURVE
+    where ann_recall_eval_ivf pins one point: probing more cells costs
+    proportionally more candidate scans and buys recall at a decreasing
+    rate, and this table is the evidence for choosing the production
+    setting (the curve flattens where extra probes stop paying).
+    Aggregate mean recall per setting = total exact-∩-approx hits over
+    n_queries·k, all exact BIGINTs to one rounded division. Same
+    determinism and shape contract as the recall-gate family: the
+    md5-pinned coarse quantizer makes the cells SQL-derivable, the exact
+    side broadcasts only the fixed 32-query eval set, and the approx
+    side is the production (cid) equi-join per nprobe. Reference
+    analogue: none — training-data pipeline extension."""
+    from .functions.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    q = emb.filter(F.col("vec_id") < 32)
+    nq = q.agg(F.count("*").alias("n_queries"))
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "vec_id")
+    per_np = []
+    for np in _NPROBE_SWEEP:
+        approx = ivf_topk(emb, q, centroids, k=_RECALL_K, nprobe=np).select(
+            "query_id", "vec_id"
+        )
+        per_np.append(
+            exact.join(approx, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(np).alias("nprobe"), "n_hits")
+        )
+    sweep = per_np[0]
+    for x in per_np[1:]:
+        sweep = sweep.unionAll(x)
+    return sweep.crossJoin(F.broadcast(nq)).select(
+        "nprobe", "n_queries", "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / (F.col("n_queries") * F.lit(_RECALL_K)),
+            4,
+        ).alias("mean_recall"),
+    )
+
+
+_INT8_RECALL_SQL = f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q8 AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                  THEN list_max(list_transform(v, x -> abs(x))) / 127.0
+                  ELSE 1.0 END AS scale
+      FROM base),
+    dqc AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / scale) * scale) AS demb
+      FROM q8),
+    q AS (SELECT vec_id AS query_id, v AS qvec FROM base
+          WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id
+      FROM q, base
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qvec, v) DESC, vec_id)
+        <= {_RECALL_K}),
+    approx AS (
+      SELECT query_id, vec_id
+      FROM q, dqc
+      WHERE vec_id <> query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_cosine_similarity(qvec, demb) DESC, vec_id)
+        <= {_RECALL_K}),
+    hits AS (
+      SELECT e.query_id, count(*) AS n
+      FROM exact e JOIN approx a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / {_RECALL_K}.0, 4) AS recall
+    FROM q LEFT JOIN hits h USING (query_id)
+    """
+
+
+@register("ann_recall_eval_int8", _INT8_RECALL_SQL)
+def ann_recall_eval_int8(spark, sf_dir):
+    """Recall@10 of full-precision queries against the int8-QUANTIZED
+    corpus vs the raw corpus — the retrieval-impact gate for the 4×
+    storage cut (emb_quantize_error prices per-vector fidelity; this
+    prices what actually matters: does the top-k CHANGE). Queries stay
+    float (the realistic serving shape: corpus quantized at rest, query
+    embedded at request time). Same determinism contract as the recall
+    family: all cosines in double (the quantizer's floor-based math is
+    IEEE-identical across engines), ranked with vec_id tiebreak. Scale
+    shape: both sides broadcast only the fixed 32-query eval set; the
+    production consumer scans the int8 form (4× fewer bytes per
+    candidate) and this gate bounds the recall it gives up. Reference
+    analogue: none — training-data pipeline extension."""
+    emb = T(spark, sf_dir, "embeddings")
+    dq = emb.select(
+        "vec_id",
+        S.dequantize_int8(S.quantize_int8(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < 32)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "vec_id")
+    approx = S.brute_force_topk(dq, q, k=_RECALL_K).select("query_id", "vec_id")
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        q.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / float(_RECALL_K), 4)
+            .alias("recall"),
+        )
+    )
