@@ -14979,3 +14979,120 @@ def ann_recall_eval_int8(spark, sf_dir):
             .alias("recall"),
         )
     )
+
+
+@register(
+    "events_type_day_rollup",
+    """
+    SELECT event_type, day,
+           CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM (SELECT event_type, date_trunc('day', ts) AS day, value
+          FROM events)
+    GROUP BY ROLLUP(event_type, day)
+    """,
+)
+def events_type_day_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP(event_type, day): per-(type, day) cells plus
+    per-type subtotals plus the grand total in ONE aggregation — the
+    hierarchical-summary shape (§2.6 aggregation breadth) a reporting
+    consumer otherwise pays three scans for. gid (the standard
+    GROUPING bitmask, type = MSB) disambiguates a rolled-up NULL from a
+    data NULL. Determinism: counts exact, value sums rounded 2 dp
+    post-agg. Scale shape: Spark plans rollup as ONE Expand + partial
+    agg — each input row fans to its 3 grouping sets map-side and
+    combines before the single shuffle; never three separate jobs.
+    Reference analogue: none — relational coverage (SURVEY §2.6)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    ).select("event_type", "day", "gid", "n_events", "total_value")
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "events_daily_type_pivot",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           {", ".join(
+             f"round(coalesce(sum(value) FILTER (WHERE event_type = '{t}'),"
+             f" CAST(0 AS DOUBLE)), 2) AS {t}_value"
+             for t in _PIVOT_TYPES)}
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def events_daily_type_pivot(spark, sf_dir):
+    """PIVOT: one row per day, one value column per event type (the
+    wide/long reshape every BI consumer asks for). The pivot value list
+    is EXPLICIT — an inferred list costs an extra distinct scan and makes
+    the output schema data-dependent, which breaks both at 100 TB and at
+    the oracle gate. A type absent on a day renders 0.0 (coalesce on
+    both engines), sums round 2 dp post-agg. Scale shape: Spark compiles
+    an explicit-values pivot to ONE partial+final aggregate with a CASE
+    per value — same plan as the hand-written conditional sums, one
+    shuffle on day. Reference analogue: none — relational coverage
+    (SURVEY §2.6)."""
+    ev = T(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum("value"))
+    )
+    return piv.select(
+        "day",
+        *[
+            F.round(F.coalesce(F.col(t), F.lit(0.0)), 2).alias(f"{t}_value")
+            for t in _PIVOT_TYPES
+        ],
+    )
+
+
+@register(
+    "events_rolling_7d_dau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS rolling_7d_users
+    FROM days d
+    JOIN ud u ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+)
+def events_rolling_7d_dau(spark, sf_dir):
+    """Rolling 7-day distinct active users per day — the windowed-DISTINCT
+    shape that windowed SQL cannot express (COUNT(DISTINCT) OVER a frame
+    is illegal in both engines): the scalable form dedups to the
+    (day, user) relation first, then RANGE-joins the days list onto it
+    and counts distinct per anchor day. Complements events_dau_wau
+    (calendar buckets reset at boundaries; the rolling window doesn't).
+    Scale shape: the dedup is one partial-agg shuffle to days×users
+    (the bounded relation); the range join fans each user-day to ≤7
+    anchor days — O(7·|ud|), never events×days; distinct-per-day is a
+    two-phase count over that. Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).dropDuplicates()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    joined = days.join(
+        ud,
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        joined.select(F.col("d").alias("day"), "user_id")
+        .dropDuplicates()
+        .groupBy("day")
+        .agg(F.count("*").alias("rolling_7d_users"))
+    )

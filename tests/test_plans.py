@@ -744,3 +744,27 @@ def test_s_curve_band_joins_bounded(spark):
     are equi-joins — never a cartesian/nested-loop all-pairs shape."""
     p = plan_of(QUERIES["docs_lsh_band_s_curve"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p, p
+
+
+def test_rollup_is_single_expand_agg(spark):
+    """events_type_day_rollup: the three grouping sets ride ONE Expand +
+    partial agg + single shuffle — never three jobs."""
+    p = plan_of(QUERIES["events_type_day_rollup"](spark, SF_DIR))
+    assert "Expand" in p, p
+    assert p.count("Exchange") <= 2, p
+
+
+def test_pivot_is_single_agg_no_extra_scan(spark):
+    """events_daily_type_pivot: the explicit value list compiles to one
+    partial+final aggregate over one scan — no distinct-values job, no
+    join."""
+    p = plan_of(QUERIES["events_daily_type_pivot"](spark, SF_DIR))
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_rolling_dau_range_join_on_bounded_relation(spark):
+    """events_rolling_7d_dau: the range join runs days x (day,user) — both
+    post-dedup bounded relations — never against raw events."""
+    p = plan_of(QUERIES["events_rolling_7d_dau"](spark, SF_DIR))
+    assert "HashAggregate" in p, p
