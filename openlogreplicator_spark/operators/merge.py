@@ -1390,3 +1390,104 @@ def table_stats(table: LakeTable) -> dict[str, dict] | None:
         if s.get("op") == "analyze":
             return s.get("table_stats")
     return None
+
+
+# ----------------------------------------------------------- zero-copy import
+
+
+def import_files(
+    table: LakeTable, paths: Iterable[str], bucket: int = 0
+) -> dict:
+    """Zero-copy registration of EXISTING parquet files as table data —
+    the Iceberg ``add_files`` / Delta ``CONVERT`` analogue, and the
+    inverse of ``clone_to``'s absolute-path trick: onboarding a decoded
+    CDC dump (or another instance's export) into the lake WITHOUT
+    rewriting a byte. Manifest entries reference the files by ABSOLUTE
+    path; new writes and any bucket rewrite (rebucket / compact /
+    cluster) migrate copy-on-write under the table's own root, and GC
+    can never delete external files (the clone rule: only relative
+    paths under own ``data/`` are sweepable).
+
+    Soundness: imported files land in ONE bucket (default 0) which is
+    marked DIRTY — the bucket invariant is "a bucket holds all versions
+    of its keys", and a single bucket satisfies it trivially no matter
+    how the external files split rows, so read-time LWW resolves
+    duplicate/tombstone versions exactly as if the pipeline had written
+    them. ``rebucket`` afterwards both distributes the keys AND
+    materializes the data internally. Files must carry the table's
+    physical schema (key, ``warc_ts``, ``_seq``, ``_op`` + current
+    payload columns) — a plain snapshot dump without the order columns
+    must write them first (Iceberg add_files demands schema match too).
+
+    Returns {"files": n, "rows": n, "bucket": b}.
+    """
+    import concurrent.futures
+
+    if not (0 <= int(bucket) < table.n_buckets):
+        raise ValueError(f"bucket {bucket} out of range")
+    aps = [os.path.abspath(p) for p in paths]
+    if not aps:
+        raise ValueError("import_files: no files given")
+    for ap in aps:
+        if not os.path.isfile(ap):
+            raise FileNotFoundError(ap)
+    allowed = {f["name"] for f in table.current_schema()} | {
+        "_seq", "_op"
+    }
+    required = {table.key_col, STATS_COL, "_seq", "_op"}
+    bloom_cols = [
+        f["name"]
+        for f in table.current_schema()
+        if f["name"] in table.bloom_cols and f["type"] == "string"
+    ]
+
+    def meta(ap: str):
+        pf = pq.ParquetFile(ap)
+        md = pf.metadata
+        names = set(pf.schema_arrow.names)
+        if not required <= names:
+            raise ValueError(
+                f"{ap}: missing required columns {sorted(required - names)}"
+            )
+        unknown = names - allowed
+        if unknown:
+            raise ValueError(
+                f"{ap}: columns not in the table schema {sorted(unknown)} "
+                "(schema-match rule: evolve the table first)"
+            )
+        lo, hi = _file_ts_bounds(md, STATS_COL)
+        blooms: dict[str, dict] = {}
+        present = [c for c in bloom_cols if c in names]
+        if present:
+            cols = pf.read(columns=present)
+            for c in present:
+                blooms[c] = bloom_build(
+                    (v.as_py() for v in cols.column(c)), md.num_rows
+                )
+        return ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms
+
+    entries, rows = [], 0
+    with concurrent.futures.ThreadPoolExecutor(min(16, len(aps))) as ex:
+        for ap, n, lo, hi, cb, blooms in ex.map(meta, aps):
+            rows += n
+            e = {
+                "path": ap,  # absolute: external, never GC-swept
+                "bucket": int(bucket),
+                "schema_ver": table.current_schema_ver,
+                "rows": n,
+            }
+            if lo is not None:
+                e["ts_min_us"], e["ts_max_us"] = lo, hi
+            if cb:
+                e["col_bounds"] = cb
+            if blooms:
+                e["bloom"] = blooms
+            entries.append(e)
+    dirty = sorted(table.dirty_buckets() | {int(bucket)})
+    table.commit_files(
+        entries,
+        replaced_buckets=[],
+        summary={"op": "import", "n_files": len(entries), "rows": rows},
+        extra={"needs_read_compaction": True, "dirty_buckets": dirty},
+    )
+    return {"files": len(entries), "rows": rows, "bucket": int(bucket)}

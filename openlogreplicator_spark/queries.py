@@ -15096,3 +15096,50 @@ def events_rolling_7d_dau(spark, sf_dir):
         .groupBy("day")
         .agg(F.count("*").alias("rolling_7d_users"))
     )
+
+
+@register("engine_import_replay", _REPLAY_SQL)
+def engine_import_replay(spark, sf_dir):
+    """Zero-copy onboarding (Iceberg add_files / Delta CONVERT): replay
+    the fixed log into a source table, export its RAW version rows
+    (all versions, tombstones included, internal order columns riding
+    along) to an EXTERNAL parquet dir, register those files into a
+    brand-new table with operators.merge.import_files — no byte copied,
+    absolute-path manifest entries, the single target bucket marked
+    dirty — and serve read_state off the imported table. The state must
+    value-hash against the full DuckDB replay: read-time LWW over the
+    dirty bucket must resolve superseded versions and tombstones exactly
+    as if the pipeline had written them (one bucket trivially satisfies
+    the buckets-partition-keys invariant regardless of how the external
+    files split rows). In-flight asserts pin the zero-copy claim: the
+    new table's data/ root holds no parquet. Reference analogue:
+    Metadata.cpp checkpoint adoption — resuming over files the engine
+    did not write."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.merge import import_files, read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_import_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "src"), os.path.join(d, "ckpt"))
+    p.run_batch_replay()
+    src = LakeTable.load(spark, p.table_path)
+    ext = os.path.join(d, "external_dump")
+    src.read().write.parquet(ext)
+    dst_path = os.path.join(d, "imported")
+    dst = LakeTable.create(
+        spark,
+        dst_path,
+        fields=[(f["name"], f["type"]) for f in src.current_schema()],
+        key_col=src.key_col,
+        n_buckets=src.n_buckets,
+    )
+    import_files(dst, sorted(_glob.glob(os.path.join(ext, "*.parquet"))))
+    assert not _glob.glob(
+        os.path.join(dst_path, "data", "**", "*.parquet"), recursive=True
+    ), "import must copy nothing"
+    state = read_state(LakeTable.load(spark, dst_path))
+    return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")

@@ -605,3 +605,88 @@ def test_analyze_persists_and_survives_later_commits(spark, tmp_path):
     stats2 = analyze(t3, columns=("url", "lang"))
     assert table_stats(LakeTable.load(spark, p.table_path)) == stats2
     assert stats2["url"]["n_rows"] >= stats["url"]["n_rows"]
+
+
+def test_import_files_zero_copy_then_rebucket_materializes(spark, tmp_path):
+    """import_files registers external parquet by absolute path (nothing
+    copied), read-time LWW resolves the imported version history, GC
+    never touches the external files, and a rebucket migrates the data
+    copy-on-write under the table's own root."""
+    import glob
+
+    from openlogreplicator_spark.datagen import GenSpec, write_events
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.operators.decode import EVENTS_DDL
+    from openlogreplicator_spark.operators.merge import (
+        import_files, read_state, rebucket,
+    )
+    from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+
+    src_dir = str(tmp_path / "src")
+    write_events(src_dir, GenSpec(n_events=500, n_files=2, seed=3))
+    p = CdcPipeline(spark, src_dir, str(tmp_path / "t"), str(tmp_path / "c"))
+    p.run_batch_replay()
+    src = LakeTable.load(spark, p.table_path)
+    want = {
+        (r.url, r.warc_ts, r._seq)
+        for r in read_state(src).select("url", "warc_ts", "_seq").collect()
+    }
+
+    ext = str(tmp_path / "ext")
+    src.read().write.parquet(ext)
+    ext_files = sorted(glob.glob(ext + "/*.parquet"))
+
+    dst_path = str(tmp_path / "imported")
+    dst = LakeTable.create(
+        spark, dst_path,
+        fields=[(f["name"], f["type"]) for f in src.current_schema()],
+        key_col=src.key_col, n_buckets=src.n_buckets,
+    )
+    res = import_files(dst, ext_files)
+    assert res["files"] == len(ext_files)
+    assert not glob.glob(dst_path + "/data/**/*.parquet", recursive=True)
+
+    dst = LakeTable.load(spark, dst_path)
+    got = {
+        (r.url, r.warc_ts, r._seq)
+        for r in read_state(dst).select("url", "warc_ts", "_seq").collect()
+    }
+    assert got == want
+
+    # GC must hold off external files
+    dst.expire_snapshots(keep_last=1, orphan_grace_secs=0)
+    for f in ext_files:
+        assert os.path.exists(f)
+
+    # rebucket materializes copy-on-write under the table root
+    rebucket(LakeTable.load(spark, dst_path), 8)
+    dst2 = LakeTable.load(spark, dst_path)
+    assert all(not os.path.isabs(fe["path"]) for fe in dst2.snap["files"])
+    got2 = {
+        (r.url, r.warc_ts, r._seq)
+        for r in read_state(dst2).select("url", "warc_ts", "_seq").collect()
+    }
+    assert got2 == want
+    # external dump still intact after materialization + GC
+    dst2.expire_snapshots(keep_last=1, orphan_grace_secs=0)
+    for f in ext_files:
+        assert os.path.exists(f)
+
+
+def test_import_files_refuses_schema_mismatch(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from openlogreplicator_spark.lake.table import LakeTable
+    from openlogreplicator_spark.operators.merge import import_files
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t2"),
+        fields=[("url", "string"), ("warc_ts", "timestamp"), ("v", "long")],
+        key_col="url",
+    )
+    bad = str(tmp_path / "bad.parquet")
+    pq.write_table(pa.table({"url": ["a"], "mystery": [1]}), bad)
+    with _pytest.raises(ValueError, match="missing required"):
+        import_files(t, [bad])
