@@ -3767,12 +3767,11 @@ def docs_repetition_stats(spark, sf_dir):
     return TXT.repetition_stats(T(spark, sf_dir, "documents"))
 
 
-def _simhash_sql(max_hamming: int = 3) -> str:
-    """DuckDB twin of functions.similarity.simhash_signatures + blocking:
-    md5-nibble bit votes per distinct token, 64-bit pack (bit 63 via the
-    signed-BIGINT complement), 16-bit-chunk pigeonhole blocking. The
-    threshold is a parameter so histogram-style entries can keep every
-    blocked candidate (max_hamming=64) while sharing this one spelling."""
+def _simhash_sig_ctes() -> str:
+    """CTE chain ending in ``full_sig(doc_id, simhash)`` — THE spelling of
+    functions.similarity.simhash_signatures (md5-nibble bit votes per
+    distinct token, 64-bit pack with bit 63 as the signed-BIGINT
+    complement), shared by the pair queries and the bit-balance audit."""
     nibs = ", ".join(
         f"(strpos('0123456789abcdef', substr(md5(token), {i + 1}, 1)) - 1) AS n{i}"
         for i in range(16)
@@ -3785,8 +3784,7 @@ def _simhash_sql(max_hamming: int = 3) -> str:
         f"CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END" for b in range(63)
     )
     sig = f"({low} + CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END)"
-    return f"""
-    WITH raw AS (
+    return f"""raw AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
       FROM documents),
@@ -3796,7 +3794,16 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     sig AS (SELECT doc_id, {sig} AS simhash FROM votes),
     full_sig AS (
       SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
-      FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id),
+      FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id)"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash signatures + 16-bit-chunk pigeonhole
+    blocking. The threshold is a parameter so histogram-style entries can
+    keep every blocked candidate (max_hamming=64) while sharing this one
+    spelling."""
+    return f"""
+    WITH {_simhash_sig_ctes()},
     blocked AS (
       SELECT doc_id, simhash, c.chunk_id,
              (simhash >> (c.chunk_id * 16)) & 65535 AS chunk
@@ -15143,3 +15150,129 @@ def engine_import_replay(spark, sf_dir):
     ), "import must copy nothing"
     state = read_state(LakeTable.load(spark, dst_path))
     return state.select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+
+
+@register(
+    "docs_simhash_bit_balance",
+    f"""
+    WITH {_simhash_sig_ctes()},
+    bits AS (
+      SELECT b.bit, (simhash >> b.bit) & 1 AS is_set
+      FROM full_sig, (SELECT unnest(generate_series(0, 63)) AS bit) b)
+    SELECT bit,
+           CAST(sum(is_set) AS BIGINT) AS n_set,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(is_set) AS DOUBLE) / count(*), 4) AS share_set,
+           round(abs(CAST(sum(is_set) AS DOUBLE) / count(*)
+                     - CAST(0.5 AS DOUBLE)), 4) AS skew
+    FROM bits GROUP BY bit
+    """,
+)
+def docs_simhash_bit_balance(spark, sf_dir):
+    """SimHash bit-balance audit: per signature bit, the share of corpus
+    documents with that bit set — a healthy hash keeps every bit near
+    0.5 (maximum entropy); a skewed bit carries less information, which
+    inflates chunk-block collision rates and silently weakens the
+    pigeonhole guarantee the blocking relies on. This is the monitoring
+    query that catches a bad hash/tokenizer interaction before the pair
+    volume explodes. Shares computed from exact BIGINTs; bit 63 rides
+    the same arithmetic-shift-then-mask spelling on both engines (the
+    signed-BIGINT complement pack). Reuses THE signature spelling
+    (_simhash_sig_ctes / similarity.with_simhash) so the audit moves
+    with the hash. Scale shape: signatures are one partial agg over
+    distinct tokens; the bit fan-out is docs×64 map-side into a 64-group
+    rollup. Reference analogue: none — training-data pipeline
+    extension."""
+    d = T(spark, sf_dir, "documents")
+    s = S.with_simhash(d.select("doc_id", "text"), "text")
+    bits = (
+        s.select(
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(63).cast("long"))
+            ).alias("bit"),
+            "simhash",
+        )
+        .select(
+            "bit",
+            # F.shiftright demands a LITERAL shift; the SQL >> operator
+            # takes a column (arithmetic shift — &1 makes bit 63 correct)
+            F.expr("(simhash >> bit) & 1").alias("is_set"),
+        )
+    )
+    share = F.sum("is_set").cast("double") / F.count("*")
+    return bits.groupBy("bit").agg(
+        F.sum("is_set").cast("long").alias("n_set"),
+        F.count("*").alias("n_docs"),
+        F.round(share, 4).alias("share_set"),
+        F.round(F.abs(share - F.lit(0.5)), 4).alias("skew"),
+    )
+
+
+_CKA_HALF = _EMB_DIM // 2
+
+
+@register(
+    "emb_cka_dim_redundancy",
+    f"""
+    WITH {_EMB_COV_CTES},
+    ss AS (
+      SELECT
+        sum(CASE WHEN j <= {_CKA_HALF}
+                 THEN cov * cov * (CASE WHEN i < j THEN 2 ELSE 1 END)
+                 ELSE CAST(0 AS DOUBLE) END) AS ss_aa,
+        sum(CASE WHEN i > {_CKA_HALF}
+                 THEN cov * cov * (CASE WHEN i < j THEN 2 ELSE 1 END)
+                 ELSE CAST(0 AS DOUBLE) END) AS ss_bb,
+        sum(CASE WHEN i <= {_CKA_HALF} AND j > {_CKA_HALF}
+                 THEN cov * cov ELSE CAST(0 AS DOUBLE) END) AS ss_ab
+      FROM covu)
+    SELECT round(ss_aa, 6) AS ss_aa, round(ss_bb, 6) AS ss_bb,
+           round(ss_ab, 6) AS ss_ab,
+           round(round(ss_ab, 6)
+                 / (sqrt(round(ss_aa, 6)) * sqrt(round(ss_bb, 6))), 6)
+             AS cka
+    FROM ss
+    """,
+)
+def emb_cka_dim_redundancy(spark, sf_dir):
+    """Linear CKA between the first and second halves of the embedding
+    dimensions — ||C_AB||²_F / (||C_AA||_F · ||C_BB||_F) over the shared
+    covariance sufficient statistic: near 0 the halves encode
+    independent information, near 1 the representation is redundant
+    across dims (the quantitative backing for matryoshka-style dim cuts
+    — emb_matryoshka_error prices truncation, this says WHY truncation
+    is cheap or not). Every Frobenius sum runs over the 6 dp-ROUNDED
+    covariance relation (the emb_covariance contract) with the i<j
+    off-diagonal doubling made explicit (covu stores the upper triangle
+    once); cka divides the rounded sums (sqrt is IEEE-exact). Scale
+    shape: identical to the covariance family — one Gram partial per
+    partition, a dim²-keyspace shuffle, then one-row arithmetic.
+    Reference analogue: none — training-data pipeline extension."""
+    from .functions.similarity import covariance_upper
+
+    emb = T(spark, sf_dir, "embeddings")
+    cov = covariance_upper(emb, "embedding", dim=_EMB_DIM)
+    h = F.lit(_CKA_HALF)
+    dbl = F.when(F.col("i") < F.col("j"), F.lit(2.0)).otherwise(F.lit(1.0))
+    sq = F.col("cov") * F.col("cov")
+    ss = cov.agg(
+        F.sum(F.when(F.col("j") <= h, sq * dbl).otherwise(F.lit(0.0)))
+        .alias("ss_aa"),
+        F.sum(F.when(F.col("i") > h, sq * dbl).otherwise(F.lit(0.0)))
+        .alias("ss_bb"),
+        F.sum(
+            F.when((F.col("i") <= h) & (F.col("j") > h), sq).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("ss_ab"),
+    )
+    return ss.select(
+        F.round("ss_aa", 6).alias("ss_aa"),
+        F.round("ss_bb", 6).alias("ss_bb"),
+        F.round("ss_ab", 6).alias("ss_ab"),
+        F.round(
+            F.round("ss_ab", 6)
+            / (F.sqrt(F.round("ss_aa", 6)) * F.sqrt(F.round("ss_bb", 6))),
+            6,
+        ).alias("cka"),
+    )
