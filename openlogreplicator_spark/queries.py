@@ -15276,3 +15276,93 @@ def emb_cka_dim_redundancy(spark, sf_dir):
             6,
         ).alias("cka"),
     )
+
+
+@register(
+    "docs_dup_cluster_size_hist",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def docs_dup_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster size histogram over the SimHash connected
+    components — the one-screen "how duplicated is this corpus" summary
+    that sizes the dedup payoff BEFORE running it: n_removable sums to
+    exactly the documents keep-one dedup would delete, and a heavy tail
+    (one giant template cluster) is the signal to check boilerplate
+    extraction before trusting near-dup pairs. Reuses THE component
+    spelling (docs_dup_clusters' CTE / similarity.connected_components),
+    so the histogram moves with the clustering. All counts exact
+    BIGINTs. Scale shape: everything after the pair graph runs on the
+    components-sized relation; the histogram is a two-phase count of
+    counts. Reference analogue: none — training-data pipeline
+    extension."""
+    clusters = QUERIES["docs_dup_clusters"](spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1)).cast("long")
+        .alias("n_removable"),
+    )
+
+
+@register(
+    "cdc_payload_size_profile",
+    f"""
+    WITH ev AS (
+      SELECT op, octet_length(html) AS n_bytes
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL AND html IS NOT NULL)
+    SELECT op, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(n_bytes) AS BIGINT) AS min_bytes,
+           CAST(CAST(quantile_disc(n_bytes, 0.5) AS BIGINT) AS BIGINT)
+             AS p50_bytes,
+           CAST(CAST(quantile_disc(n_bytes, 0.9) AS BIGINT) AS BIGINT)
+             AS p90_bytes,
+           CAST(max(n_bytes) AS BIGINT) AS max_bytes,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+    FROM ev GROUP BY op
+    """,
+)
+def cdc_payload_size_profile(spark, sf_dir):
+    """Per-op payload byte-size profile over the committed replay log
+    (exact discrete percentiles of octet_length(html)) — the operational
+    input for sizing the M6 oversize dead-letter threshold, epoch memory
+    budgets and maxBytesPerTrigger (reference analogue: the oversized-
+    transaction drop dial, OpenLogReplicator.cpp memory-max-mb). Exact
+    integer byte counts end to end; percentile_approx is NOT used —
+    percentile(…, exact) on Spark, quantile_disc on DuckDB, both pick an
+    actual data value (p50 of an even count differs between midpoint
+    interpolation and discrete selection — discrete on both engines).
+    Scale shape: one partial agg per op over the pruned scan; the
+    percentile state is per-op sorted counts, bounded by distinct sizes.
+    Reference analogue as above."""
+    from .operators.decode import EVENTS_DDL, dml_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    raw = spark.read.schema(EVENTS_DDL).parquet(ev)
+    dml = dml_events(raw).filter(F.col("html").isNotNull())
+    sized = dml.select("op", F.length("html").cast("long").alias("n_bytes"))
+    return sized.groupBy("op").agg(
+        F.count("*").alias("n_events"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_bytes)")
+        .cast("long").alias("p50_bytes"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_bytes)")
+        .cast("long").alias("p90_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
