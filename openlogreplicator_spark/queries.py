@@ -15366,3 +15366,134 @@ def cdc_payload_size_profile(spark, sf_dir):
         F.max("n_bytes").alias("max_bytes"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@register(
+    "parts_market_basket",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    part_n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+      FROM items GROUP BY l_partkey),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 3)
+    SELECT part_a, part_b, n_both, na.n_part AS n_a, nb.n_part AS n_b,
+           round(CAST(n_both AS DOUBLE) * n.n
+                 / (na.n_part * nb.n_part), 4) AS lift
+    FROM pair_n
+    JOIN part_n na ON na.l_partkey = part_a
+    JOIN part_n nb ON nb.l_partkey = part_b
+    CROSS JOIN n_orders n
+    ORDER BY n_both DESC, lift DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def parts_market_basket(spark, sf_dir):
+    """Market-basket co-purchase analysis: part pairs bought in the same
+    order, with lift = P(a,b)/(P(a)·P(b)) — the association-rule shape
+    (recommendations, bundling, also the co-occurrence kernel behind
+    item-item collaborative filtering). Support floor ≥3 keeps noise
+    pairs out; top-50 ordered by exact support first (lift on rounded
+    doubles only breaks ties, and part ids break those — a pure
+    lift-ordered cut on near-equal doubles could rank differently per
+    engine). Scale shape: the pair build is a SELF-join per order over
+    the deduped (order, part) relation — O(Σ order_size²), never
+    parts² — then parts²-bounded aggregation; part/order totals
+    broadcast back; the cut is TakeOrderedAndProject. Reference
+    analogue: none — relational/ML coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").dropDuplicates()
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_n = items.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a = items.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("_o2"), F.col("l_partkey").alias("part_b")
+    )
+    pair_n = (
+        a.join(b, (a["_o"] == b["_o2"]) & (a["part_a"] < b["part_b"]))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    na = part_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = part_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    return (
+        pair_n.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b",
+            F.round(
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("n_both"), F.desc("lift"), "part_a", "part_b"
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "events_markov_predictability",
+    f"""
+    WITH tm AS ({_MARKOV_SQL}),
+    ranked AS (
+      SELECT src, dst, n_transitions,
+             CAST(sum(n_transitions) OVER (PARTITION BY src) AS BIGINT)
+               AS n_instances,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY n_transitions DESC, dst DESC)
+               AS rn
+      FROM tm)
+    SELECT src, n_instances, dst AS predicted_dst,
+           n_transitions AS n_correct,
+           round(CAST(n_transitions AS DOUBLE) / n_instances, 4)
+             AS top1_accuracy
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_markov_predictability(spark, sf_dir):
+    """Top-1 predictability per antecedent event type: if the next event
+    is always guessed as the modal successor, how often is that right —
+    the ceiling any sequence model must beat on this corpus (near-1.0
+    chains are deterministic flows; near-1/k chains are noise), and the
+    practical readout of the transition matrix next to its raw
+    probabilities. Built ON the shared _MARKOV_SQL spelling so the eval
+    moves with the matrix. The modal successor ties-break by (count
+    DESC, dst DESC): Spark max_by over a (n, dst) struct == the DuckDB
+    row_number window — DuckDB 1.0's max_by, like arg_max, REFUSES a
+    composite key (the recorded gotcha; verified again here). Counts
+    exact to one rounded division. Scale shape: runs entirely on the
+    types² transition relation. Reference analogue: none —
+    training-data pipeline extension."""
+    tm = QUERIES["events_markov_transition"](spark, sf_dir)
+    pick = F.struct("n_transitions", "dst")
+    return tm.groupBy("src").agg(
+        F.sum("n_transitions").cast("long").alias("n_instances"),
+        F.max_by("dst", pick).alias("predicted_dst"),
+        F.max_by("n_transitions", pick).cast("long").alias("n_correct"),
+        F.round(
+            F.max_by("n_transitions", pick).cast("double")
+            / F.sum("n_transitions"),
+            4,
+        ).alias("top1_accuracy"),
+    )
