@@ -15497,3 +15497,66 @@ def events_markov_predictability(spark, sf_dir):
             4,
         ).alias("top1_accuracy"),
     )
+
+
+@register(
+    "docs_host_cocitation",
+    f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    e AS (SELECT DISTINCT src_host, dst_host FROM e0),
+    deg AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS n_in
+            FROM e GROUP BY dst_host),
+    pairs AS (
+      SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM e a JOIN e b
+        ON a.src_host = b.src_host AND a.dst_host < b.dst_host
+      GROUP BY a.dst_host, b.dst_host
+      HAVING count(*) >= 2)
+    SELECT host_a, host_b, n_common, da.n_in AS in_a, db.n_in AS in_b,
+           round(CAST(n_common AS DOUBLE) / sqrt(da.n_in * db.n_in), 4)
+             AS cocite_cosine
+    FROM pairs
+    JOIN deg da ON da.dst_host = host_a
+    JOIN deg db ON db.dst_host = host_b
+    """,
+)
+def docs_host_cocitation(spark, sf_dir):
+    """Host co-citation similarity: two hosts are similar when the same
+    source hosts link to both — n_common over the distinct in-link sets
+    with cosine normalization (n_common/√(in_a·in_b)), support floor 2.
+    The classic bibliometric-coupling dual of the link graph and the
+    first hop of SimRank — mirror/aggregator detection by WHO cites you
+    rather than what you publish (complements docs_cross_source_dups'
+    content-level mirror signal). Built on the SHARED edge spelling
+    (_LINK_GRAPH_SQL / _link_edges). Determinism: distinct-set counts
+    are exact; sqrt is IEEE-exact; one rounded division. Scale shape:
+    the pair build is a self-join per SOURCE host over the deduped edge
+    relation — O(Σ out_degree²), the market-basket bound, never hosts×
+    hosts — then a hosts²-bounded rollup with degree dims broadcast
+    back. Reference analogue: none — training-data pipeline
+    extension."""
+    e = _link_edges(spark).select("src_host", "dst_host").dropDuplicates()
+    deg = e.groupBy("dst_host").agg(F.count("*").alias("n_in"))
+    a = e.select(F.col("src_host").alias("_s"), F.col("dst_host").alias("host_a"))
+    b = e.select(F.col("src_host").alias("_s2"), F.col("dst_host").alias("host_b"))
+    pairs = (
+        a.join(b, (a["_s"] == b["_s2"]) & (a["host_a"] < b["host_b"]))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da = deg.select(F.col("dst_host").alias("host_a"), F.col("n_in").alias("in_a"))
+    db = deg.select(F.col("dst_host").alias("host_b"), F.col("n_in").alias("in_b"))
+    return (
+        pairs.join(F.broadcast(da), "host_a")
+        .join(F.broadcast(db), "host_b")
+        .select(
+            "host_a", "host_b", "n_common", "in_a", "in_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / F.sqrt(F.col("in_a") * F.col("in_b")),
+                4,
+            ).alias("cocite_cosine"),
+        )
+    )
