@@ -15560,3 +15560,91 @@ def docs_host_cocitation(spark, sf_dir):
             ).alias("cocite_cosine"),
         )
     )
+
+
+@register("engine_network_replay", _REPLAY_SQL)
+def engine_network_replay(spark, sf_dir):
+    """The network client-confirm transport through the VALUE gate: per
+    epoch, committed DML becomes JSON change messages (the F12 builder)
+    streamed per-partition over the length-prefixed confirm protocol to
+    the in-process reference consumer (sinks.network.ReferenceConsumer —
+    the SAME consumer spelling the transport pytest suite drives); the
+    state REASSEMBLED FROM THE RECEIVED FRAMES (parse → per-event
+    schema-field resolution → LWW → tombstone exclusion) must hash
+    against the full DuckDB replay. This closes the last sink surface
+    that had only transport-level tests: a framing bug, a dropped
+    partition, a double-delivered frame, or a field lost in the JSON
+    round trip all change the reassembled state. In-flight asserts pin
+    idempotent re-delivery (a confirmed epoch re-sent adds no frames)
+    and the per-partition delivery slots. Reference analogue:
+    WriterStream.cpp:185-192 — the client's confirm drives the
+    watermark; the consumer is the system of record."""
+    from .operators.decode import EVENTS_DDL
+    from .sinks.builders import build_json_messages
+    from .sinks.network import NetworkConfirmSink, ReferenceConsumer
+
+    import glob as _glob
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    committed_of = lambda f: (
+        spark.read.schema(EVENTS_DDL).parquet(f)
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        )
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    srv = ReferenceConsumer()
+    try:
+        d = tempfile.mkdtemp(prefix="olr_net_")
+        sink = NetworkConfirmSink(
+            "127.0.0.1", srv.port, confirmed_path=os.path.join(d, "wm")
+        )
+        for i, f in enumerate(files):
+            assert sink.send_epoch(build_json_messages(committed_of(f)), i)
+        n0 = sum(len(v) for v in srv.redo[0].values())
+        assert sink.send_epoch(build_json_messages(committed_of(files[0])), 0)
+        assert sum(len(v) for v in srv.redo[0].values()) == n0, (
+            "re-delivery of a confirmed epoch must add no frames"
+        )
+        payloads = [
+            m.decode("utf-8")
+            for ep in sorted(srv.redo)
+            for part in srv.redo[ep].values()
+            for m in part
+        ]
+    finally:
+        srv.close()
+    raw = spark.createDataFrame([(s,) for s in payloads], "message string")
+    schema = (
+        "scn long, seq long, payload array<struct<op string, rid string, "
+        "after struct<url string, text string, lang string, "
+        "http_status string, fetch_status string>>>"
+    )
+    p = raw.select(F.from_json("message", schema).alias("m")).select(
+        F.element_at(F.col("m.payload"), 1).alias("p"),
+        F.col("m.scn").alias("scn"),
+        F.col("m.seq").alias("_seq"),
+    )
+    rows = p.select(
+        F.col("p.rid").alias("url"),
+        F.timestamp_micros(F.col("scn")).alias("warc_ts"),
+        "_seq",
+        F.col("p.op").alias("_op"),
+        F.col("p.after.text").alias("text"),
+        F.col("p.after.lang").alias("lang"),
+        F.coalesce(
+            F.col("p.after.http_status"), F.col("p.after.fetch_status")
+        ).cast("long").alias("http_status"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("_seq")
+    )
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_op") != "d"))
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+    )

@@ -11,90 +11,14 @@ from pyspark.sql import functions as F
 
 from openlogreplicator_spark.sinks.network import (
     NetworkConfirmSink,
+    ReferenceConsumer,
     _RawTransport,
     recv_frame,
     send_frame,
 )
+
+ConsumerServer = ReferenceConsumer
 from openlogreplicator_spark.sinks.zmtp import ZmtpPair
-
-
-class ConsumerServer:
-    """Reference consumer: accepts control + data connections, buffers REDO
-    frames per (epoch, partition) and COMMITS the buffer at PARTITION_END —
-    the last complete delivery of a partition wins, which is what makes a
-    Spark task retry (same partition re-streamed on a new connection)
-    idempotent. Confirms an epoch at END (optionally refuses).
-    ``framing="zmtp"`` performs the server side of the ZMTP 3.0 PAIR
-    handshake on every accepted connection."""
-
-    def __init__(self, confirm: bool = True, framing: str = "raw"):
-        self.confirm = confirm
-        self.framing = framing
-        self.redo: dict[int, dict[int, list[bytes]]] = {}
-        self.infos: list[dict] = []
-        self.lock = threading.Lock()
-        self.srv = socket.create_server(("127.0.0.1", 0))
-        self.port = self.srv.getsockname()[1]
-        self._stop = False
-        self.thread = threading.Thread(target=self._accept_loop, daemon=True)
-        self.thread.start()
-
-    def _accept_loop(self):
-        while not self._stop:
-            try:
-                conn, _ = self.srv.accept()
-            except OSError:
-                return
-            threading.Thread(
-                target=self._serve, args=(conn,), daemon=True
-            ).start()
-
-    def _serve(self, conn: socket.socket):
-        with conn:
-            if self.framing == "zmtp":
-                try:
-                    chan = ZmtpPair(conn, as_server=True)
-                except ConnectionError:
-                    return
-            else:
-                chan = _RawTransport(conn)
-            pending: dict[tuple, list[bytes]] = {}
-            while True:
-                try:
-                    frame = chan.recv()
-                except ConnectionError:
-                    return
-                if frame is None:
-                    return
-                msg = json.loads(frame)
-                code = msg["code"]
-                if code == "INFO":
-                    self.infos.append(msg)
-                    chan.send(json.dumps(
-                        {"code": "INFO_OK", "client_confirmed": -1}
-                    ).encode())
-                elif code == "BEGIN":
-                    chan.send(json.dumps({"code": "READY"}).encode())
-                elif code == "REDO":
-                    payload = chan.recv()
-                    pending.setdefault(
-                        (msg["epoch"], msg.get("part", 0)), []
-                    ).append(payload)
-                elif code == "PARTITION_END":
-                    key = (msg["epoch"], msg.get("part", 0))
-                    with self.lock:
-                        self.redo.setdefault(key[0], {})[key[1]] = (
-                            pending.pop(key, [])
-                        )
-                elif code == "END":
-                    code_out = "CONFIRM" if self.confirm else "REFUSED"
-                    chan.send(json.dumps(
-                        {"code": code_out, "epoch": msg["epoch"]}
-                    ).encode())
-
-    def close(self):
-        self._stop = True
-        self.srv.close()
 
 
 @pytest.fixture()
