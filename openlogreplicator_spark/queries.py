@@ -15648,3 +15648,30 @@ def engine_network_replay(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("_op") != "d"))
         .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
     )
+
+
+@register("engine_stream_suppressed_replay", _REPLAY_SQL)
+def engine_stream_suppressed_replay(spark, sf_dir):
+    """The T5 stateful stale-suppression path through the value gate:
+    run_available_now(suppress_stale=True) routes every micro-batch
+    through applyInPandasWithState (per-key newest-version state; stale
+    intermediate versions are dropped BEFORE the merge, before-images
+    riding the state as base64 JSON), and the FINAL state must still
+    hash identically to the DuckDB batch replay — suppression is a
+    traffic optimization, never a semantics change (a key's newest
+    version must survive every suppression decision, including
+    tombstones and across-batch out-of-order arrivals). Complements
+    engine_replay_state_streaming (same streaming scaffold, suppression
+    OFF — together they pin that the stateful operator changes row
+    VOLUME only). Reference analogue: T5 in-memory transaction state,
+    OpenLogReplicator.cpp:218-249."""
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_stream_sup_")
+    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
+    p.run_available_now(max_files_per_trigger=2, suppress_stale=True)
+    return p.target_state().select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
