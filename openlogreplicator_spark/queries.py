@@ -15675,3 +15675,119 @@ def engine_stream_suppressed_replay(spark, sf_dir):
     return p.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order distribution), driver-column variant
+    (the classic filters o_comment which the driver orders lack; the
+    priority filter keeps the defining wrinkle): how many customers
+    placed exactly k qualifying orders — INCLUDING k = 0, which is why
+    the join must be LEFT OUTER with the filter INSIDE the join
+    condition (a WHERE would silently turn it inner and drop the zero
+    bucket; count(o_orderkey) over the null-extended rows yields the 0).
+    Scale shape: outer join shuffles on custkey, then a two-phase
+    count-of-counts over the customers-sized relation. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q21_waiting_orders",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base),
+    lt AS (SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE late)
+    SELECT s_name, CAST(numwait AS BIGINT) AS numwait
+    FROM (
+      SELECT lt.l_suppkey, count(*) AS numwait
+      FROM lt
+      WHERE EXISTS (SELECT 1 FROM su o2
+                    WHERE o2.l_orderkey = lt.l_orderkey
+                      AND o2.l_suppkey <> lt.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lt o3
+                        WHERE o3.l_orderkey = lt.l_orderkey
+                          AND o3.l_suppkey <> lt.l_suppkey)
+      GROUP BY lt.l_suppkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def tpch_q21_waiting_orders(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), late-shipment
+    variant (late = shipped >60 days after the order date — the q4
+    lateness rule, since the driver lineitem has no commit/receipt
+    dates): count, per supplier, the multi-supplier orders where THEY
+    were the ONLY late shipper — the hardest TPC-H shape: one correlated
+    EXISTS and one correlated NOT EXISTS against the same relation with
+    inequality correlation, which must plan as a semi PLUS an anti join
+    on orderkey (never a per-row subquery). Scale shape: the late/any
+    supplier-order relations dedup first (partial agg), both
+    existence checks shuffle on orderkey with the supplier-inequality
+    as join residual, the rollup is suppliers-sized, supplier broadcast
+    decorates, TakeOrdered cuts (numwait DESC, name). Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    s = T(spark, sf_dir, "supplier")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
+    )
+    su = base.select("l_orderkey", "l_suppkey").dropDuplicates()
+    lt = (
+        base.filter("late").select("l_orderkey", "l_suppkey").dropDuplicates()
+    )
+    o2 = su.select(
+        F.col("l_orderkey").alias("_o"), F.col("l_suppkey").alias("_s")
+    )
+    o3 = lt.select(
+        F.col("l_orderkey").alias("_o3"), F.col("l_suppkey").alias("_s3")
+    )
+    waiting = (
+        lt.join(
+            o2,
+            (lt["l_orderkey"] == o2["_o"]) & (lt["l_suppkey"] != o2["_s"]),
+            "left_semi",
+        )
+        .join(
+            o3,
+            (lt["l_orderkey"] == o3["_o3"]) & (lt["l_suppkey"] != o3["_s3"]),
+            "left_anti",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -768,3 +768,19 @@ def test_rolling_dau_range_join_on_bounded_relation(spark):
     post-dedup bounded relations — never against raw events."""
     p = plan_of(QUERIES["events_rolling_7d_dau"](spark, SF_DIR))
     assert "HashAggregate" in p, p
+
+
+def test_tpch_q13_left_outer_keeps_zero_bucket(spark):
+    """q13: the priority filter must ride INSIDE the left outer join
+    condition — the plan stays LeftOuter (a WHERE would turn it inner and
+    silently drop the zero-order customers)."""
+    p = plan_of(QUERIES["tpch_q13_customer_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in p, p
+
+
+def test_tpch_q21_plans_semi_plus_anti(spark):
+    """q21: the correlated EXISTS / NOT EXISTS pair plans as one semi and
+    one anti join on orderkey — never a per-row subquery or cartesian."""
+    p = plan_of(QUERIES["tpch_q21_waiting_orders"](spark, SF_DIR))
+    assert "LeftSemi" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p, p
