@@ -15791,3 +15791,53 @@ def tpch_q21_waiting_orders(spark, sf_dir):
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@register("engine_branch_diff", _SNAPSHOT_DIFF_SQL)
+def engine_branch_diff(spark, sf_dir):
+    """Snapshot diff ACROSS refs — "what would publishing this branch
+    change?": epochs 0-1 land on main, epochs 2-3 stage on a WAP branch,
+    and snapshot_diff(main_head → branch_head) must equal exactly the
+    CDF of the staged epochs (the _SNAPSHOT_DIFF_SQL oracle: old = files
+    0-1, new = all four). Sound WITHOUT new machinery because snapshot
+    version numbers are GLOBAL across refs (the WAP global-numbering
+    rule) and diffing only needs the two manifests' file sets — the
+    audit step a reviewer runs BEFORE publish_branch, next to
+    engine_replay_state_wap which gates the publish itself. Builds its
+    own table (branch creation mutates refs — the shared replay is
+    read-only). Reference analogue: the confirm protocol's
+    changes-since-position contract, WriterStream.cpp."""
+    import glob as _glob
+
+    from .lake.table import LakeTable
+    from .operators.decode import EVENTS_DDL
+    from .operators.merge import snapshot_diff
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    d = tempfile.mkdtemp(prefix="olr_branch_diff_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor", compact_every=0,
+    )
+    for i, f in enumerate(files[:2]):
+        p.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    main_head = LakeTable.current_version(p.table_path)
+    LakeTable.load(spark, p.table_path).create_branch("audit")
+    pb = CdcPipeline(
+        spark, ev, p.table_path, os.path.join(d, "ckpt2"),
+        merge_mode="mor", compact_every=0, branch="audit",
+    )
+    for i, f in enumerate(files[2:], start=2):
+        pb.apply_epoch(spark.read.schema(EVENTS_DDL).parquet(f), epoch_id=i)
+    branch_head = LakeTable.load(spark, p.table_path, branch="audit").snap[
+        "version"
+    ]
+    assert LakeTable.current_version(p.table_path) == main_head, (
+        "staging on the branch must not move main"
+    )
+    return snapshot_diff(spark, p.table_path, main_head, branch_head).select(
+        "_change", "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
