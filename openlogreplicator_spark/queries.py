@@ -15841,3 +15841,129 @@ def engine_branch_diff(spark, sf_dir):
     return snapshot_diff(spark, p.table_path, main_head, branch_head).select(
         "_change", "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+@register(
+    "events_new_vs_returning",
+    """
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY user_id),
+    tagged AS (
+      SELECT date_trunc('day', e.ts) AS day,
+             CASE WHEN date_trunc('day', e.ts) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new,
+             e.user_id
+      FROM events e JOIN fs f ON e.user_id = f.user_id),
+    du AS (SELECT DISTINCT day, user_id, is_new FROM tagged)
+    SELECT day,
+           CAST(count(*) FILTER (WHERE is_new = 1) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (WHERE is_new = 0) AS BIGINT)
+             AS returning_users,
+           round(CAST(count(*) FILTER (WHERE is_new = 1) AS DOUBLE)
+                 / count(*), 4) AS new_share
+    FROM du GROUP BY day
+    """,
+)
+def events_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning active users — the acquisition/retention
+    mix every growth dashboard leads with (a rising DAU made of new
+    users and a rising DAU made of returning ones are different
+    businesses). A user is "new" only on their first active day
+    (min-day per user, broadcast back onto the activity relation); the
+    per-day distinct dedup runs BEFORE counting so a user active twice
+    in a day counts once. Exact BIGINTs to one rounded division. Scale
+    shape: first-day is one user-keyed partial agg; the tag join is
+    users-sized (broadcast or AQE's choice); the dedup and rollup are
+    two-phase on the days×users-bounded relation — never a window over
+    raw events. Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    tagged = ev.join(F.broadcast(fs), "user_id").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(
+            F.date_trunc("day", "ts") == F.col("first_day"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("is_new"),
+        "user_id",
+    )
+    du = tagged.dropDuplicates(["day", "user_id", "is_new"])
+    new_c = F.count(F.when(F.col("is_new") == 1, F.lit(1)))
+    ret_c = F.count(F.when(F.col("is_new") == 0, F.lit(1)))
+    return du.groupBy("day").agg(
+        new_c.alias("new_users"),
+        ret_c.alias("returning_users"),
+        F.round(new_c.cast("double") / F.count("*"), 4).alias("new_share"),
+    )
+
+
+@register(
+    "docs_dedup_savings_bytes",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    {_SURVIVOR_RANKED_CTES},
+    removed AS (
+      SELECT r.doc_id, d.n_chars
+      FROM ranked r JOIN documents d USING (doc_id)
+      WHERE r.rn > 1),
+    tot AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS corpus_chars,
+             CAST(count(*) AS BIGINT) AS corpus_docs
+      FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS docs_removed,
+           CAST(coalesce(sum(removed.n_chars), 0) AS BIGINT) AS chars_removed,
+           corpus_docs, corpus_chars,
+           round(CAST(coalesce(sum(removed.n_chars), 0) AS DOUBLE)
+                 / corpus_chars, 4) AS chars_removed_share
+    FROM removed CROSS JOIN tot
+    GROUP BY corpus_docs, corpus_chars
+    """,
+)
+def docs_dedup_savings_bytes(spark, sf_dir):
+    """Keep-one dedup priced in BYTES, not documents: the characters the
+    survivor policy would delete and their share of the corpus — the
+    number a storage/compute budget meeting actually asks for (the
+    cluster-size histogram counts documents; heavy clusters of LONG
+    templates cost disproportionately more). Reuses the survivor-ranking
+    CTEs (rn > 1 = removed members), so the report can never disagree
+    with the policy that produces it. Exact BIGINT sums to one rounded
+    division. Scale shape: the removed set joins doc lengths on id
+    (AQE-broadcast at component scale), one-row totals cross-join in.
+    Reference analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b")
+    q = TXT.quality_score(F.col("text"))
+    members = d.select("doc_id", q.cast("double").alias("_q")).join(
+        comps.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_q"), "doc_id"
+    )
+    removed = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .join(d.select("doc_id", "n_chars"), "doc_id")
+    )
+    tot = d.agg(
+        F.sum("n_chars").cast("long").alias("corpus_chars"),
+        F.count("*").alias("corpus_docs"),
+    )
+    return (
+        removed.crossJoin(F.broadcast(tot))
+        .groupBy("corpus_docs", "corpus_chars")
+        .agg(
+            F.count("*").alias("docs_removed"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+            .alias("chars_removed"),
+        )
+        .select(
+            "docs_removed", "chars_removed", "corpus_docs", "corpus_chars",
+            F.round(
+                F.col("chars_removed").cast("double") / F.col("corpus_chars"),
+                4,
+            ).alias("chars_removed_share"),
+        )
+    )
