@@ -14415,6 +14415,9 @@ def events_holt_forecast(spark, sf_dir):
         F.element_at(F.col("arr"), 1),
         step,
     )
+    # degenerate <2-day series: the recursive-CTE twin emits no row (its
+    # seed needs days 1 AND 2) — match rather than emit a null-level row
+    ys = ys.filter(F.col("n_days") >= 2)
     return ys.select(
         "n_days",
         F.round(s["l"], 6).alias("level"),
