@@ -559,15 +559,18 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
         eq: dict[str, str] | None = None,
+        not_null: Iterable[str] | None = None,
         stats: dict | None = None,
     ) -> list[dict]:
         """The ONE file-selection path behind read() and plan_scan() —
         bucket prune, manifest ts-bounds prune, dirty-gated eq-bounds prune
-        (see read()'s docstring for the soundness rules). ``stats`` (when
-        given) is filled with per-stage skip counters."""
+        and dirty-gated null-count prune (see read()'s docstring for the
+        soundness rules). ``stats`` (when given) is filled with per-stage
+        skip counters."""
         bucket_set = set(buckets) if buckets is not None else None
         lo, hi = ts_between if ts_between is not None else (None, None)
-        eq_dirty = self.dirty_buckets() if eq else set()
+        nn_cols = tuple(not_null or ())
+        eq_dirty = self.dirty_buckets() if (eq or nn_cols) else set()
         eq_ids: dict[int, str] = {}
         if eq:
             cur_by_name = {f["name"]: f for f in self.current_schema()}
@@ -575,12 +578,19 @@ class LakeTable:
                 f = cur_by_name.get(col)
                 if f is not None:
                     eq_ids[f["id"]] = val
+        nn_ids: list[int] = []
+        if nn_cols:
+            cur_by_name = {f["name"]: f for f in self.current_schema()}
+            nn_ids = [
+                cur_by_name[c]["id"] for c in nn_cols if c in cur_by_name
+            ]
         ver_names: dict[int, dict[int, str]] = {}
         if stats is not None:
             stats.update(
                 files_total=len(self.snap["files"]),
                 skipped_bucket=0, skipped_ts=0, skipped_eq=0,
-                skipped_bloom=0, files_selected=0, rows_selected=0,
+                skipped_bloom=0, skipped_null=0,
+                files_selected=0, rows_selected=0,
             )
         out: list[dict] = []
         for fe in self.snap["files"]:
@@ -634,6 +644,32 @@ class LakeTable:
                     if stats is not None:
                         stats["skipped_" + skip] += 1
                     continue
+            if nn_ids and fe["bucket"] not in eq_dirty:
+                # IS-NOT-NULL prune (manifest null_counts, Iceberg
+                # null_value_counts analogue): skip a clean-bucket file when
+                # a required-non-null column is ENTIRELY null in it — either
+                # every row group reports null_count == rows, or the column
+                # did not exist at the file's schema version (the read
+                # projects NULL for every row, so the prune is exact). Same
+                # dirty-bucket gate as eq: on a merge-on-read bucket a
+                # pruned file could hold the LWW winner of a key whose
+                # superseded version would then resurrect.
+                ver = fe["schema_ver"]
+                if ver not in ver_names:
+                    ver_names[ver] = {
+                        f["id"]: f["name"] for f in self.schema_at(ver)
+                    }
+                nulls = fe.get("null_counts") or {}
+                skip_nn = False
+                for fid in nn_ids:
+                    phys = ver_names[ver].get(fid)
+                    if phys is None or nulls.get(phys) == fe["rows"]:
+                        skip_nn = True
+                        break
+                if skip_nn:
+                    if stats is not None:
+                        stats["skipped_null"] += 1
+                    continue
             if stats is not None:
                 stats["files_selected"] += 1
                 stats["rows_selected"] += fe["rows"]
@@ -645,15 +681,17 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
         eq: dict[str, str] | None = None,
+        not_null: Iterable[str] | None = None,
     ) -> dict:
         """Metadata-only prune-effectiveness report for a prospective
-        read(): per-stage skip counters (bucket / ts-bounds / eq-bounds)
-        plus selected file and row totals — the EXPLAIN for file skipping,
-        answered from the snapshot alone (no Spark job, no data I/O). The
-        selection logic IS read()'s (one shared code path), so the report
-        can never drift from what the scan would actually open."""
+        read(): per-stage skip counters (bucket / ts-bounds / eq-bounds /
+        null-counts) plus selected file and row totals — the EXPLAIN for
+        file skipping, answered from the snapshot alone (no Spark job, no
+        data I/O). The selection logic IS read()'s (one shared code path),
+        so the report can never drift from what the scan would actually
+        open."""
         stats: dict = {}
-        self._select_files(buckets, ts_between, eq, stats=stats)
+        self._select_files(buckets, ts_between, eq, not_null, stats=stats)
         return stats
 
     def plan_compaction(
@@ -685,9 +723,18 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         ts_between: tuple[int | None, int | None] | None = None,
         eq: dict[str, str] | None = None,
+        not_null: Iterable[str] | None = None,
         with_file: bool = False,
     ) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.
+
+        ``not_null=("col", ...)`` skips every clean-bucket file in which a
+        listed column is ENTIRELY null — manifest ``null_counts`` (Iceberg
+        null_value_counts analogue) say so, or the column did not exist at
+        the file's schema version so the read would project NULL for every
+        row. Only sound for queries that filter the same columns IS NOT
+        NULL; dirty buckets are never pruned (same LWW-resurrection hazard
+        as ``eq``).
 
         ``with_file=True`` appends a ``_file`` column carrying each row's
         physical file basename (Spark's ``_metadata.file_path``, the Iceberg
@@ -721,7 +768,7 @@ class LakeTable:
         FIELD ID across schema versions (a renamed column's old files carry
         bounds under the old physical name)."""
         by_ver: dict[int, list[str]] = {}
-        for fe in self._select_files(buckets, ts_between, eq):
+        for fe in self._select_files(buckets, ts_between, eq, not_null):
             by_ver.setdefault(fe["schema_ver"], []).append(
                 os.path.join(self.path, fe["path"])
             )

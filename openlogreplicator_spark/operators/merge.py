@@ -125,6 +125,33 @@ def _file_col_bounds(md) -> dict[str, list[str]]:
     return bounds or {}
 
 
+def _file_null_counts(md) -> dict[str, int]:
+    """Per-file total null count for every column whose statistics report
+    it in EVERY row group (Iceberg null_value_counts analogue). Absent
+    stats drop the column — a missing count means 'never prune'. Unlike
+    col_bounds this applies to any type (parquet null counts are
+    type-agnostic), so IS-NOT-NULL pruning works on int columns too."""
+    counts: dict[str, int] | None = None
+    for rg in range(md.num_row_groups):
+        rgm = md.row_group(rg)
+        rg_counts: dict[str, int] = {}
+        for ci in range(rgm.num_columns):
+            c = rgm.column(ci)
+            st = c.statistics
+            if st is None or st.null_count is None:
+                continue
+            rg_counts[c.path_in_schema] = st.null_count
+        if counts is None:
+            counts = rg_counts
+        else:
+            counts = {
+                col: n + rg_counts[col]
+                for col, n in counts.items()
+                if col in rg_counts
+            }
+    return counts or {}
+
+
 def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], int]:
     """Manifest entries for every parquet file a commit's write produced.
 
@@ -162,13 +189,14 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
                     blooms[c] = bloom_build(
                         (v.as_py() for v in cols.column(c)), md.num_rows
                     )
-        return ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms
+        return (ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms,
+                _file_null_counts(md))
 
     entries, rows = [], 0
     if not paths:
         return entries, rows
     with concurrent.futures.ThreadPoolExecutor(min(16, len(paths))) as ex:
-        for ap, n, lo, hi, cb, blooms in ex.map(meta, paths):
+        for ap, n, lo, hi, cb, blooms, nulls in ex.map(meta, paths):
             rows += n
             e = {
                 "path": os.path.relpath(ap, table.path),
@@ -182,6 +210,8 @@ def _collect_written_files(absdir: str, table: LakeTable) -> tuple[list[dict], i
                 e["col_bounds"] = cb
             if blooms:
                 e["bloom"] = blooms
+            if nulls:
+                e["null_counts"] = nulls
             entries.append(e)
     return entries, rows
 
@@ -1464,11 +1494,12 @@ def import_files(
                 blooms[c] = bloom_build(
                     (v.as_py() for v in cols.column(c)), md.num_rows
                 )
-        return ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms
+        return (ap, md.num_rows, lo, hi, _file_col_bounds(md), blooms,
+                _file_null_counts(md))
 
     entries, rows = [], 0
     with concurrent.futures.ThreadPoolExecutor(min(16, len(aps))) as ex:
-        for ap, n, lo, hi, cb, blooms in ex.map(meta, aps):
+        for ap, n, lo, hi, cb, blooms, nulls in ex.map(meta, aps):
             rows += n
             e = {
                 "path": ap,  # absolute: external, never GC-swept
@@ -1482,6 +1513,8 @@ def import_files(
                 e["col_bounds"] = cb
             if blooms:
                 e["bloom"] = blooms
+            if nulls:
+                e["null_counts"] = nulls
             entries.append(e)
     dirty = sorted(table.dirty_buckets() | {int(bucket)})
     table.commit_files(
