@@ -1364,8 +1364,10 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"))
 
 
-_PQ_SQL = """
-    WITH ranked AS (
+# PQ encode chain (codebook pin → per-subspace L2 → argmin codes) — ONE
+# spelling shared by ann_pq_topk and emb_pq_code_balance, so the health
+# audit can never disagree with the quantizer it audits.
+_PQ_CODE_CTES = """ranked AS (
       SELECT embedding AS v,
              row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                - 1 AS j
@@ -1390,7 +1392,10 @@ _PQ_SQL = """
       SELECT vec_id, s, j AS code FROM (
         SELECT vec_id, s, j,
                row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
-        FROM dists) WHERE rn = 1),
+        FROM dists) WHERE rn = 1)"""
+
+_PQ_SQL = f"""
+    WITH {_PQ_CODE_CTES},
     terms AS (
       SELECT q.vec_id AS query_id, c.vec_id AS vec_id, q.s, q.d
       FROM dists q JOIN codes c ON q.s = c.s AND q.j = c.code
@@ -12407,8 +12412,10 @@ def events_user_gini(spark, sf_dir):
     )
 
 
-_CONTAINMENT_SQL = """
-    WITH arr AS (
+# DF-capped 3-token-shingle candidate generation — ONE spelling shared by
+# docs_containment_dups and docs_weighted_jaccard_dups (the [2, 64] DF cap
+# is the quadratic hot-shingle guard from docs_ngram_jaccard_near_dup).
+_SHINGLE_CAND_CTES = """arr AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a
       FROM documents WHERE doc_id < 2000),
     sh AS (
@@ -12422,7 +12429,10 @@ _CONTAINMENT_SQL = """
     cs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
     cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM cs l JOIN cs r ON l.shingle = r.shingle AND l.doc_id < r.doc_id),
+      FROM cs l JOIN cs r ON l.shingle = r.shingle AND l.doc_id < r.doc_id)"""
+
+_CONTAINMENT_SQL = f"""
+    WITH {_SHINGLE_CAND_CTES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS n_inter
@@ -15969,4 +15979,598 @@ def docs_dedup_savings_bytes(spark, sf_dir):
                 4,
             ).alias("chars_removed_share"),
         )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): the supplier(s) whose one-quarter shipped
+    revenue equals the maximum — the revenue-view + scalar-max-subquery
+    shape. Determinism: per-supplier revenue rounds 2 dp POST-agg, and the
+    max is taken over the rounded values, so the equality join compares
+    doubles that are bit-identical on both engines; genuine ties all
+    surface (set semantics, like the classic query). Scale shape: the
+    month filter prunes the fact scan, the rollup is a suppliers-keyed
+    partial+final agg, the max is a one-row broadcast joined back, and
+    supplier is a broadcast dim. Reference analogue: none — relational
+    coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+    pa AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS qty_sum,
+             CAST(count(*) AS BIGINT) AS qty_cnt
+      FROM lineitem JOIN pb ON p_partkey = l_partkey
+      GROUP BY l_partkey)
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN pa ON pk = l_partkey
+    WHERE 5.0 * l_quantity * qty_cnt < qty_sum
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): revenue lost to orders
+    below 20% of a part's average order quantity, for one brand — the
+    correlated per-group scalar aggregate rejoined to the fact. The
+    threshold compare is spelled ``5·qty·cnt < sum`` so it runs entirely
+    on EXACT integral doubles (quantities are integral, sums < 2^53):
+    no division, no FP-order risk, no rounding dial on the predicate.
+    Only the final revenue rounds (2 dp, post-sum). Scale shape: the
+    brand filter shrinks the part side to a broadcast semi-join, the
+    per-part average is a partial+final agg on the brand's lineitems
+    only, and the rejoin broadcasts the parts-sized aggregate — the
+    fact table is scanned twice but never shuffled wide. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    pb = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = T(spark, sf_dir, "lineitem")
+    li_b = li.join(
+        F.broadcast(pb), li["l_partkey"] == pb["p_partkey"], "left_semi"
+    )
+    pa = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("qty_sum"),
+        F.count("*").alias("qty_cnt"),
+    )
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["pk"])
+        .filter(
+            F.lit(5.0) * F.col("l_quantity") * F.col("qty_cnt")
+            < F.col("qty_sum")
+        )
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    """
+    SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS supplier_cnt
+    FROM (
+      SELECT DISTINCT p_brand, p_type, l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_size BETWEEN 10 AND 40
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000))
+    GROUP BY p_brand, p_type
+    """,
+)
+def tpch_q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 (part/supplier relationship): how many distinct suppliers
+    ship each (brand, type) of mid-size parts, excluding suppliers on a
+    blocklist — the NOT-IN anti-join + count-distinct shape. Variant:
+    the supply relation is lineitem (the driver has no partsupp) and the
+    blocklist is low-balance suppliers (s_acctbal < 2000 — probed to be
+    non-empty at sf0.01; the complaint-LIKE analogue). Scale shape: the
+    blocklist is a broadcast anti-join (keys never null, so NOT IN is a
+    plain anti), part broadcasts with the size filter pushed down, and
+    the distinct is two-phase — dropDuplicates on (brand, type, supplier)
+    then a plain count, never a countDistinct holding per-group hash
+    sets. Reference analogue: none — relational coverage (SURVEY §2.6)."""
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 2000).select(
+        "s_suppkey"
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_size").between(10, 40))
+    li = T(spark, sf_dir, "lineitem")
+    triples = (
+        li.join(
+            F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("p_brand", "p_type", "l_suppkey")
+        .dropDuplicates()
+    )
+    return triples.groupBy("p_brand", "p_type").agg(
+        F.count("*").alias("supplier_cnt")
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH eu AS (
+      SELECT s_suppkey, s_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    ps AS (
+      SELECT l_partkey AS partkey, s_suppkey, s_name,
+             CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 20000
+                   + CAST(100 * sum(l_quantity) AS BIGINT))
+                  // (2 * CAST(100 * sum(l_quantity) AS BIGINT)) AS DOUBLE)
+               / 10000.0 AS unit_cost
+      FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+      GROUP BY l_partkey, s_suppkey, s_name),
+    mc AS (SELECT partkey, min(unit_cost) AS min_cost
+           FROM ps GROUP BY partkey)
+    SELECT p_partkey, p_name, s_suppkey, s_name, unit_cost
+    FROM ps
+    JOIN mc ON ps.partkey = mc.partkey AND ps.unit_cost = mc.min_cost
+    JOIN part ON p_partkey = ps.partkey
+    WHERE p_size >= 25
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for each large part, the
+    EUROPE supplier offering the lowest observed unit price — the
+    correlated-min-subquery shape, spelled as the classic min-join (the
+    per-part minimum rejoined on equality, so genuine ties all surface).
+    Variant: the supply relation is lineitem (no partsupp in the driver
+    tables); unit cost is the QUANTITY-WEIGHTED average shipped
+    price-per-unit. Determinism: prices are 2-decimal valued (probed), so
+    the numerator sums EXACT integer cents (per-row round·cast, identical
+    on both engines; BIGINT summation is order-independent — a plain
+    avg() of per-row ratios straddled a 4 dp midpoint at sf0.01), the
+    denominator sums integral quantities exactly, and the HALF-UP round
+    to 4 dp runs in EXACT BIGINT arithmetic ((n·2·10^4 + d) // 2d — a
+    float round() straddled a true decimal midpoint at sf0.01, the
+    cdc_value_drift gotcha) before ONE identical IEEE division by 10^4;
+    the min and the equality join then compare bit-identical doubles.
+    Scale shape: the region-filtered supplier dim broadcasts
+    into the fact scan; both aggregates are partial+final on bounded
+    (part×supplier / part) keyspaces; part is a broadcast dim with the
+    size filter pushed down. Reference analogue: none — relational
+    coverage (SURVEY §2.6)."""
+    nr = (
+        T(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(T(spark, sf_dir, "region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey")
+    )
+    eu = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), "s_suppkey", "s_name"
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("_cents"),
+            F.sum("l_quantity").alias("_qty"),
+        )
+        .withColumn("_d", (F.col("_qty") * 100).cast("long"))
+        .select(
+            "partkey", "s_suppkey", "s_name",
+            (
+                F.expr("(_cents * 20000 + _d) div (2 * _d)").cast("double")
+                / 10000.0
+            ).alias("unit_cost"),
+        )
+    )
+    mc = (
+        ps.groupBy("partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("partkey", "mc_partkey")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    return (
+        ps.join(
+            mc,
+            (F.col("partkey") == F.col("mc_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .drop("mc_partkey")
+        .join(F.broadcast(p), F.col("partkey") == p["p_partkey"])
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "unit_cost")
+    )
+
+
+@register(
+    "events_value_ohlc",
+    """
+    WITH t AS (
+      SELECT date_trunc('day', ts) AS day, event_type, value,
+             row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts, event_id) AS rn_open,
+             row_number() OVER (PARTITION BY date_trunc('day', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM events)
+    SELECT day, event_type,
+           max(CASE WHEN rn_open = 1 THEN value END) AS open_value,
+           max(value) AS high_value,
+           min(value) AS low_value,
+           max(CASE WHEN rn_close = 1 THEN value END) AS close_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM t GROUP BY day, event_type
+    """,
+)
+def events_value_ohlc(spark, sf_dir):
+    """Daily OHLC candles per event type — open/high/low/close of the
+    value stream, the time-series downsampling shape every metrics store
+    (and every financial rollup) runs. Spark side is ONE groupBy with
+    min_by/max_by over a (ts, event_id) struct — no window, single
+    shuffle; the DuckDB twin spells the endpoints as row_number windows
+    because arg_min/arg_max refuse composite sort keys (the
+    events_markov_predictability gotcha). (ts, event_id) is a total
+    order, so open/close are single exact values — no rounding dial
+    anywhere (high/low/open/close are picked, never summed). Scale
+    shape: partial min_by/max_by fold map-side; state per (day, type)
+    group is O(1). Reference analogue: none — training-data pipeline
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.min_by("value", key).alias("open_value"),
+            F.max("value").alias("high_value"),
+            F.min("value").alias("low_value"),
+            F.max_by("value", key).alias("close_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "docs_weighted_jaccard_dups",
+    f"""
+    WITH {_SHINGLE_CAND_CTES},
+    tf AS (
+      SELECT doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM arr, unnest(a) AS t(token)
+      WHERE length(t.token) > 0
+      GROUP BY doc_id, t.token),
+    sizes AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n
+              FROM tf GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS n_min
+      FROM cand c
+      JOIN tf ta ON ta.doc_id = c.a
+      JOIN tf tb ON tb.doc_id = c.b AND tb.token = ta.token
+      GROUP BY c.a, c.b)
+    SELECT a, b, n_min,
+           round(CAST(n_min AS DOUBLE) / (sa.n + sb.n - n_min), 4)
+             AS weighted_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_min AS DOUBLE) / (sa.n + sb.n - n_min) >= 0.6
+    """,
+)
+def docs_weighted_jaccard_dups(spark, sf_dir):
+    """WEIGHTED (multiset / Ruzicka) Jaccard near-dups over token
+    frequency vectors — Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) — the
+    repetition-aware twin of set Jaccard: a page that repeats one
+    boilerplate block 50× shares most of its token MASS with another copy
+    even when their distinct-token sets diverge (set Jaccard under-scores
+    exactly the template spam dedup most wants to kill). The denominator
+    uses |A| + |B| − Σmin, so only the INNER token join is ever computed.
+    Candidates reuse the DF-capped shingle equi-join spelling (ONE
+    constant shared with docs_containment_dups); tf/sizes/overlap are all
+    EXACT BIGINTs down to one final division — the ≥ 0.6 threshold
+    compares the identical IEEE quotient on both engines (CAST ... AS
+    DOUBLE on the SQL side: bare ``*1.0`` division is DECIMAL in DuckDB,
+    the s-curve gotcha). Shape at 100 TB: tf is one (doc, token) partial
+    agg off the shared tokenizer, the pair overlap aggregates only
+    candidate×token rows, and sizes join back docs-sized. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    tf = (
+        S.tokens(d, "doc_id", "text", distinct=False)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    sizes = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
+    sh = S.token_ngrams(d, "doc_id", "text", n=3)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= 64))
+        .select("shingle")
+    )
+    cs = sh.join(rare, "shingle")
+    cand = (
+        cs.select(F.col("doc_id").alias("a"), "shingle")
+        .join(cs.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ta = tf.select(F.col("doc_id").alias("_a"), "token",
+                   F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("_b"),
+                   F.col("token").alias("_tkb"), F.col("tf").alias("tfb"))
+    inter = (
+        cand.join(ta, cand["a"] == ta["_a"])
+        .join(tb, (cand["b"] == tb["_b"]) & (ta["token"] == tb["_tkb"]))
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("n_min"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("_sa"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("_sb"), F.col("n").alias("nb"))
+    wj = F.col("n_min").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_min")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("a") == F.col("_sa"))
+        .join(F.broadcast(sb), F.col("b") == F.col("_sb"))
+        .filter(wj >= 0.6)
+        .select("a", "b", "n_min", F.round(wj, 4).alias("weighted_jaccard"))
+    )
+
+
+@register(
+    "emb_hard_negatives",
+    f"""
+    WITH {_KNN_RANKED_CTES},
+    lab AS (
+      SELECT s.vec_id, s.neighbor_id, s.cosine,
+             la.label AS a_label, lb.label AS b_label
+      FROM scored s
+      JOIN embeddings la ON s.vec_id = la.vec_id
+      JOIN embeddings lb ON s.neighbor_id = lb.vec_id),
+    pos AS (
+      SELECT vec_id, a_label, neighbor_id AS pos_id, cosine AS pos_cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM lab WHERE a_label = b_label),
+    neg AS (
+      SELECT vec_id, neighbor_id AS neg_id, cosine AS neg_cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM lab WHERE a_label <> b_label)
+    SELECT p.vec_id AS anchor_id, p.a_label AS label, p.pos_id, p.pos_cos,
+           n.neg_id, n.neg_cos,
+           round(p.pos_cos - n.neg_cos, 4) AS margin
+    FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+    WHERE p.rn = 1 AND n.rn = 1
+    """,
+)
+def emb_hard_negatives(spark, sf_dir):
+    """Triplet mining for contrastive training — per anchor, the nearest
+    SAME-label candidate (positive) and the nearest DIFFERENT-label
+    candidate (hard negative) among its LSH neighbors, with the margin
+    between them (the quantity a triplet loss optimizes; near-zero or
+    negative margins are exactly the batch-building currency of hard-
+    negative mining). Complements docs_contrastive_pairs (which mines
+    positives from duplicate clusters): here both sides come from the
+    embedding space itself via the SAME LSH candidate generation the
+    kNN/dedup family uses, so mined triplets price what retrieval
+    actually confuses. Determinism: cosines round 4 dp before both ranks
+    (neighbor id tiebreak); the margin subtracts two identical doubles
+    then rounds. Anchors missing either a same-label or cross-label
+    candidate drop (inner join) — a constraint the fixture meets for
+    most anchors. Shape at 100 TB: candidate-bounded scoring, two
+    per-key window ranks on the candidate-sized relation — never a
+    corpus×corpus similarity. Reference analogue: none — training-data
+    pipeline extension."""
+    from .functions.similarity import cosine, lsh_candidate_pairs
+
+    emb = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding", "label")
+    )
+    cand = lsh_candidate_pairs(
+        emb, n_bits=_LSH_BITS, n_tables=_LSH_TABLES, dim=_EMB_DIM
+    )
+    sym = cand.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("neighbor_id")
+    ).unionAll(
+        cand.select(
+            F.col("b").alias("vec_id"), F.col("a").alias("neighbor_id")
+        )
+    )
+    ea = emb.select(F.col("vec_id").alias("_i"),
+                    F.col("embedding").alias("ea"),
+                    F.col("label").alias("a_label"))
+    eb = emb.select(F.col("vec_id").alias("_j"),
+                    F.col("embedding").alias("eb"),
+                    F.col("label").alias("b_label"))
+    lab = (
+        sym.join(ea, sym.vec_id == ea._i)
+        .join(eb, sym.neighbor_id == eb._j)
+        .select(
+            "vec_id", "neighbor_id", "a_label", "b_label",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "neighbor_id")
+    pos = (
+        lab.filter(F.col("a_label") == F.col("b_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("a_label").alias("label"),
+                F.col("neighbor_id").alias("pos_id"),
+                F.col("cosine").alias("pos_cos"))
+    )
+    neg = (
+        lab.filter(F.col("a_label") != F.col("b_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("_v"),
+                F.col("neighbor_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cos"))
+    )
+    return (
+        pos.join(neg, pos["vec_id"] == neg["_v"])
+        .select(
+            F.col("vec_id").alias("anchor_id"), "label",
+            "pos_id", "pos_cos", "neg_id", "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 4).alias("margin"),
+        )
+    )
+
+
+@register(
+    "emb_pq_code_balance",
+    f"""
+    WITH {_PQ_CODE_CTES},
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+    SELECT CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(CAST(count(*) AS DOUBLE) / max(n), 4) AS share
+    FROM codes CROSS JOIN tot
+    GROUP BY s, code
+    """,
+)
+def emb_pq_code_balance(spark, sf_dir):
+    """PQ codebook utilization histogram — how many corpus vectors land on
+    each (subspace, code) cell. The quantizer-health audit for the PQ/ANN
+    family (the docs_simhash_bit_balance analogue for product
+    quantization): a dead code wastes a row of the ADC table, and a cell
+    absorbing most of a subspace collapses ADC distances to a constant —
+    either way recall decays silently, and THIS query is the regression
+    alarm (re-train or re-pin the codebook when shares skew). Reuses the
+    PQ encode CTE chain (ONE spelling shared with ann_pq_topk) so the
+    audit can never disagree with the quantizer it audits; on the Spark
+    side the corpus encodes through the same Arrow argmin kernel the ANN
+    path scans (argmin ties fall to the smaller code id on both engines).
+    Exact BIGINT counts to one rounded division; posexplode's int32
+    ordinals CAST to long (the emb_dim_stats gotcha). Shape at 100 TB:
+    encode is map-side, the rollup keyspace is m×n_codes = 128 cells.
+    Reference analogue: none — training-data pipeline extension."""
+    from .functions.similarity import pq_codebooks, pq_encode_udf
+
+    emb = T(spark, sf_dir, "embeddings")
+    enc = pq_encode_udf(pq_codebooks(emb, m=8, n_codes=16))
+    codes = emb.select(
+        F.posexplode(enc(F.col("embedding"))).alias("subspace", "code")
+    )
+    tot = emb.agg(F.count("*").alias("_n"))
+    return (
+        codes.groupBy(
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("code").cast("long").alias("code"),
+        )
+        .agg(F.count("*").alias("n_vectors"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "subspace", "code", "n_vectors",
+            F.round(F.col("n_vectors").cast("double") / F.col("_n"), 4)
+            .alias("share"),
+        )
+    )
+
+
+# null-skip gate: replay, cluster with http_status leading so the NULL
+# winners co-locate into all-null files, then serve an IS-NOT-NULL read
+# through the PRUNED scan — the value hash proves the skipped files held
+# nothing but NULLs for the column.
+_NULL_PRUNE_REPLAY: dict[str, str] = {}
+
+_NULL_PRUNE_SQL = f"""
+    WITH base AS ({_REPLAY_SQL})
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM base WHERE http_status IS NOT NULL
+    """
+
+
+@register("engine_null_prune", _NULL_PRUNE_SQL)
+def engine_null_prune(spark, sf_dir):
+    """Null-count file skipping (manifest ``null_counts``, the Iceberg
+    null_value_counts analogue — and the one stat family that prunes
+    NON-string columns, where col_bounds' 64-char string rule never
+    applies): after a cluster rewrite sorted (http_status, warc_ts), the
+    22 NULL-status winners co-locate into leading files, and
+    read(not_null=('http_status',)) skips every file that is entirely
+    null — asserted in-flight via plan_scan's skipped_null counter AND
+    strictly fewer opened files. The DuckDB oracle replays the log and
+    keeps winners with a non-null status, so the value hash proves the
+    skipped files contained nothing the filter would keep. Soundness
+    (enforced in read(), pinned by tests/test_null_skip.py): dirty
+    merge-on-read buckets are never pruned (a pruned winner's superseded
+    version would resurrect via read-time LWW); files written BEFORE
+    add_column prune on the schema-version check alone (every row
+    projects NULL); stats are matched by field id across renames.
+    Reference analogue: the reference skips whole redo files via
+    checkpoint scn ranges (Metadata.cpp) — generalized here to
+    nullability, the lakehouse scan dimension."""
+    from .lake.table import LakeTable
+    from .operators.merge import cluster_buckets
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    hit = _NULL_PRUNE_REPLAY.get(ev)
+    if hit is None or not os.path.isdir(hit):
+        d = tempfile.mkdtemp(prefix="olr_nullprune_")
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+            n_buckets=2,
+        )
+        p.run_batch_replay()
+        t = LakeTable.load(spark, p.table_path)
+        cluster_buckets(t, target_rows_per_file=8,
+                        sort_cols=("http_status", "warc_ts"))
+        _NULL_PRUNE_REPLAY[ev] = p.table_path
+        hit = p.table_path
+    t = LakeTable.load(spark, hit)
+    st = t.plan_scan(not_null=("http_status",))
+    assert st["skipped_null"] > 0, \
+        "null_counts must skip all-null files after the status-led rewrite"
+    pruned = t.read(not_null=("http_status",))
+    assert len(pruned.inputFiles()) < len(t.read().inputFiles())
+    return (
+        pruned.filter((F.col("_op") != "d") & F.col("http_status").isNotNull())
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
     )
