@@ -87,6 +87,15 @@ _WIDENINGS = {
 }
 
 
+def data_suffix(path: str) -> str:
+    """Table-unique file key: the path suffix after the last ``data/``
+    segment. A bare basename is NOT unique — Spark's partitionBy writer
+    reuses one task filename across bucket dirs — so the ``_file`` column,
+    ``file_commits`` keys and position-delete addresses all use this."""
+    i = path.rfind("data/")
+    return path[i + 5:] if i >= 0 else path
+
+
 def _norm_type(t: str) -> str:
     t = t.lower().strip()
     return {"bigint": "long", "integer": "int"}.get(t, t)
@@ -448,9 +457,11 @@ class LakeTable:
         return int(s.get("epoch_id", -1)), bool(s.get("final", True))
 
     def file_commits(self) -> dict[str, dict]:
-        """Row-provenance map: live file basename → the commit that ADDED it
+        """Row-provenance map: live file key → the commit that ADDED it
         ({"version": v, "epoch_id": e|None}) — the metadata half of the
         Iceberg ``_file`` column (pair with ``read(with_file=True)``).
+        Keys are data-root-relative path suffixes (``data_suffix`` — bare
+        basenames collide across a partitioned write's bucket dirs).
         Derived from the manifest chain: a manifest's filename carries the
         version that wrote it, and that snapshot's summary carries the epoch.
         O(chain) snapshot-JSON reads, no data scan. Caveat (same as
@@ -476,7 +487,7 @@ class LakeTable:
             with open(os.path.join(self.path, m["path"])) as fh:
                 for fe in json.load(fh)["files"]:
                     if fe["path"] in live:
-                        out[os.path.basename(fe["path"])] = {
+                        out[data_suffix(fe["path"])] = {
                             "version": mver,
                             "epoch_id": None if epoch is None else int(epoch),
                         }
@@ -725,8 +736,22 @@ class LakeTable:
         eq: dict[str, str] | None = None,
         not_null: Iterable[str] | None = None,
         with_file: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Scan the table at the current schema, optionally bucket-pruned.
+
+        POSITION DELETES (Iceberg v2 delete-file analogue): when the
+        snapshot carries ``delete_files`` — (file basename, row position)
+        pairs written by ``operators.merge.delete_positions`` — every read
+        anti-joins them away here, the one scan choke point, so state
+        reads, maintenance rewrites, diffs and exports all observe the
+        deletes. A rewrite that replaces a bucket folds its deletes into
+        the rewritten files and ``commit_files`` drops the now-applied
+        entries.
+
+        ``with_pos=True`` appends a ``_pos`` column carrying each row's
+        position within its physical file (``_metadata.row_index``) — with
+        ``with_file`` this is the address ``delete_positions`` consumes.
 
         ``not_null=("col", ...)`` skips every clean-bucket file in which a
         listed column is ENTIRELY null — manifest ``null_counts`` (Iceberg
@@ -737,7 +762,7 @@ class LakeTable:
         as ``eq``).
 
         ``with_file=True`` appends a ``_file`` column carrying each row's
-        physical file basename (Spark's ``_metadata.file_path``, the Iceberg
+        physical file key (``data_suffix`` of ``_metadata.file_path``, the Iceberg
         ``_file`` metadata-column analogue) — the hook row-level provenance
         (which commit wrote this row) builds on via the manifest chain.
 
@@ -773,11 +798,18 @@ class LakeTable:
                 os.path.join(self.path, fe["path"])
             )
         cur = self.current_schema()
+        dels = self.snap.get("delete_files") or []
         if not by_ver:
             ddl = ", ".join(f"`{f['name']}` {f['type']}" for f in cur)
             if with_file:
                 ddl += ", `_file` string"
+            if with_pos:
+                ddl += ", `_pos` bigint"
             return self.spark.createDataFrame([], ddl)
+        # table-unique file key: bare basenames COLLIDE across bucket dirs
+        # (Spark's partitionBy writer reuses one task filename per dir), so
+        # every file address is the path suffix after the last "data/"
+        basename = F.element_at(F.split(F.col("_metadata.file_path"), "data/"), -1)
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
             old = {f["id"]: f for f in self.schema_at(ver)}
@@ -790,15 +822,28 @@ class LakeTable:
                 else:
                     cols.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
             if with_file:
-                cols.append(
-                    F.element_at(
-                        F.split(F.col("_metadata.file_path"), "/"), -1
-                    ).alias("_file")
-                )
+                cols.append(basename.alias("_file"))
+            if with_pos:
+                cols.append(F.col("_metadata.row_index").alias("_pos"))
+            if dels:
+                cols.append(basename.alias("__dfile"))
+                cols.append(F.col("_metadata.row_index").alias("__dpos"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if dels:
+            dpaths = [
+                p if os.path.isabs(p) else os.path.join(self.path, p)
+                for p in (d["path"] for d in dels)
+            ]
+            dd = self.spark.read.parquet(*dpaths).select(
+                F.col("file").alias("__dfile"),
+                F.col("pos").cast("long").alias("__dpos"),
+            )
+            out = out.join(
+                F.broadcast(dd), ["__dfile", "__dpos"], "left_anti"
+            ).drop("__dfile", "__dpos")
         return out
 
     def write_symlink_manifest(self, out_dir: str | None = None) -> str:
@@ -956,6 +1001,7 @@ class LakeTable:
         summary: dict[str, Any],
         schema_ver: int | None = None,
         extra: dict[str, Any] | None = None,
+        new_delete_files: list[dict] | None = None,
         rebase_on_conflict: bool = True,
         _attempts: int = 5,
     ) -> None:
@@ -1002,6 +1048,19 @@ class LakeTable:
         snap["files"] = [
             f for f in self.snap["files"] if f["bucket"] not in set(replaced)
         ] + list(new_files)
+        # position-delete bookkeeping: a rewrite of a bucket FOLDS that
+        # bucket's deletes into its new files (read() applies them at the
+        # one scan choke point), so the applied entries drop here; appends
+        # carry every entry forward via the snapshot deep copy.
+        if snap.get("delete_files") and replaced:
+            rep = set(replaced)
+            snap["delete_files"] = [
+                d for d in snap["delete_files"] if d["bucket"] not in rep
+            ]
+        if new_delete_files:
+            snap["delete_files"] = (
+                snap.get("delete_files") or []
+            ) + list(new_delete_files)
         # amortized chain compaction: a long manifest chain makes loads and
         # GC walk O(commits) files — collapse to one base manifest once the
         # chain passes the threshold (Iceberg's manifest-merge analogue).
@@ -1025,6 +1084,7 @@ class LakeTable:
             return self.commit_files(
                 new_files, replaced_buckets, summary,
                 schema_ver=schema_ver, extra=extra,
+                new_delete_files=new_delete_files,
                 rebase_on_conflict=rebase_on_conflict,
                 _attempts=_attempts - 1,
             )
@@ -1136,12 +1196,15 @@ class LakeTable:
             else:
                 mrefs = set()
                 files = s["files"]
+            dfl = s.get("delete_files") or []
             if v in keep:
                 retained_manifests.update(mrefs)
                 retained_paths.update(e["path"] for e in files)
+                retained_paths.update(e["path"] for e in dfl)
             else:
                 dead_manifests.update(mrefs)
                 dead_paths.update(e["path"] for e in files)
+                dead_paths.update(e["path"] for e in dfl)
         for v in vers:
             if v not in keep:
                 try:
@@ -1232,6 +1295,14 @@ class LakeTable:
             if not os.path.isabs(e["path"]):
                 e["path"] = os.path.join(src_root, e["path"])
             files.append(e)
+        # position-delete files carry like data files: absolute source
+        # paths, so the clone applies them and its GC can never sweep them
+        dels = []
+        for de in self.snap.get("delete_files") or []:
+            e = json.loads(json.dumps(de))
+            if not os.path.isabs(e["path"]):
+                e["path"] = os.path.join(src_root, e["path"])
+            dels.append(e)
         drop = {"version", "parent", "manifests", "files", "summary"}
         snap = {
             k: json.loads(json.dumps(v))
@@ -1243,6 +1314,7 @@ class LakeTable:
             parent=None,
             manifests=[],
             files=[],
+            delete_files=dels,
             summary={
                 "op": "clone",
                 "src": src_root,

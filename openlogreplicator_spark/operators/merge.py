@@ -1185,6 +1185,85 @@ def delete_where(
     )
 
 
+def delete_positions(table: LakeTable, victims: DataFrame) -> dict:
+    """Iceberg-v2-style POSITION deletes: erase specific physical rows by
+    (file basename, row position) WITHOUT rewriting a single data file —
+    one small delete-file parquet per touched bucket plus a metadata
+    commit, against a 100 TB table in seconds. ``victims`` carries
+    ``_file``/``_pos`` exactly as ``read(with_file=True, with_pos=True)``
+    produces them (``_file`` is the data_suffix key, unique table-wide);
+    every read then applies the deletes at read()'s single
+    scan choke point, and the first rewrite of a bucket folds them into
+    its new files (commit_files drops the applied entries).
+
+    Semantics are PHYSICAL, complementing the two logical erasers: a
+    deleted row is a VERSION that vanishes, so on a merge-on-read bucket
+    position-deleting a key's winner resurrects its newest surviving older
+    version (exactly Iceberg's behavior on a multi-version key — the use
+    case is surgical erasure of specific bad records, e.g. a corrupt
+    ingest slice identified by provenance). For key-level logical deletion
+    that stays dead under late arrivals use ``delete_where`` (LWW
+    tombstones); for tombstone retention use ``purge_tombstones``.
+
+    Soundness guards: refuses partial-image tables (erasing one partial
+    image would silently change the column fold of every newer version);
+    refuses victims naming files OUTSIDE the current snapshot (stale
+    addresses from a previous version — the Iceberg validation); delete
+    files are GC-tracked like data files and carry absolutized through
+    ``clone_to``. Watermark-neutral (no epoch_id): an engine-originated
+    commit, not delivery progress."""
+    _refuse_partial(table, "delete_positions (physical row erasure)")
+    from ..lake.table import data_suffix
+
+    spark = table.spark
+    current = [
+        (data_suffix(fe["path"]), int(fe["bucket"]))
+        for fe in table.snap["files"]
+    ]
+    sel = victims.select(
+        F.col("_file").alias("file"), F.col("_pos").cast("long").alias("pos")
+    ).dropDuplicates()
+    mdf = spark.createDataFrame(current or [("", -1)], "file string, _bucket int")
+    tagged = sel.join(F.broadcast(mdf), "file", "left").cache()
+    try:
+        n_unknown = tagged.filter(F.col("_bucket").isNull()).count()
+        if n_unknown:
+            raise ValueError(
+                f"{n_unknown} victim rows address files not in the current "
+                "snapshot (stale _file from an older version?) — re-derive "
+                "victims from a fresh read(with_file=True, with_pos=True)"
+            )
+        n_rows = tagged.count()
+        if n_rows == 0:
+            return {"delete_files": 0, "rows": 0, "buckets": []}
+        absd, rel = table.new_data_dir()
+        tagged.select("file", "pos", "_bucket").write.partitionBy(
+            "_bucket"
+        ).parquet(absd)
+    finally:
+        tagged.unpersist()
+    entries: list[dict] = []
+    for root, _dirs, files in os.walk(absd):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            ap = os.path.join(root, fn)
+            entries.append({
+                "path": os.path.relpath(ap, table.path),
+                "bucket": int(os.path.basename(root).split("=")[1]),
+                "rows": pq.ParquetFile(ap).metadata.num_rows,
+            })
+    table.commit_files(
+        [], replaced_buckets=[],
+        summary={"op": "posdelete", "rows": n_rows,
+                 "n_delete_files": len(entries)},
+        new_delete_files=entries,
+        rebase_on_conflict=False,
+    )
+    return {"delete_files": len(entries), "rows": n_rows,
+            "buckets": sorted({e["bucket"] for e in entries})}
+
+
 def zorder_buckets(
     table: LakeTable,
     cat_col: str = "lang",

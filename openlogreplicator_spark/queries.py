@@ -16574,3 +16574,116 @@ def engine_null_prune(spark, sf_dir):
         pruned.filter((F.col("_op") != "d") & F.col("http_status").isNotNull())
         .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
     )
+
+
+# Position-delete gate: replay merge-on-read (every version physically
+# present), position-delete exactly the final winners whose lang is 'de',
+# and let read-time LWW resolve what remains — the oracle re-ranks the log
+# WITHOUT those versions, so both the erasure and the version-level
+# RESURRECTION semantics (an older 'en' version of a deleted 'de' winner
+# wins again) are value-hashed, not just documented.
+_POSDELETE_SQL = f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet',
+                                 filename = true)
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    raw AS (
+      SELECT url, warc_ts, seq AS _seq, op AS _op, text, lang,
+             CASE WHEN schema_ver >= 4
+                    THEN CAST(extras['http_status'][1] AS BIGINT)
+                  WHEN schema_ver >= 2
+                    THEN CAST(extras['fetch_status'][1] AS BIGINT)
+                  ELSE NULL END AS http_status,
+             filename AS src
+      FROM ev),
+    projected AS (
+      -- what the engine physically STORES: each 1-file epoch appends its
+      -- per-key net effect, so only per-(url, epoch) LWW winners exist on
+      -- disk and only those are position-addressable / resurrectable
+      SELECT url, warc_ts, _seq, _op, text, lang, http_status FROM (
+        SELECT *, row_number() OVER (PARTITION BY url, src
+                                     ORDER BY warc_ts DESC, _seq DESC)
+                  AS ern
+        FROM raw) WHERE ern = 1),
+    w AS (
+      SELECT url, _seq, _op, lang FROM (
+        SELECT url, _seq, _op, lang,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY warc_ts DESC, _seq DESC) AS rn
+        FROM projected) WHERE rn = 1),
+    victims AS (
+      SELECT url, _seq FROM w WHERE _op <> 'd' AND lang = 'de'),
+    kept AS (
+      SELECT p.* FROM projected p
+      LEFT JOIN victims v ON p.url = v.url AND p._seq = v._seq
+      WHERE v.url IS NULL),
+    w2 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY url
+                                     ORDER BY warc_ts DESC, _seq DESC) AS rn
+        FROM kept) WHERE rn = 1)
+    SELECT url, warc_ts, _seq, text, lang, http_status
+    FROM w2 WHERE _op <> 'd'
+    """
+
+
+@register("engine_posdelete_replay", _POSDELETE_SQL)
+def engine_posdelete_replay(spark, sf_dir):
+    """Iceberg-v2-style POSITION DELETES through the value gate: the
+    merge-on-read replay keeps every version physically on disk; the final
+    winners with lang='de' are erased by (file, position) address —
+    ``operators.merge.delete_positions``, one delete-file parquet per
+    bucket plus a metadata commit, ZERO data files rewritten (asserted
+    in-flight) — and read-time LWW then resolves the remaining versions.
+    The DuckDB twin re-ranks the raw log WITHOUT exactly those versions,
+    so BOTH halves of the physical semantics are value-hashed: the 'de'
+    winners are gone, and any key holding an older non-'de' version
+    RESURRECTS it (version-level erasure, the documented contrast with
+    delete_where's stay-dead LWW tombstones). Deletes apply at read()'s
+    single scan choke point, so every downstream reader — state, diff,
+    export, maintenance — observes them; the first bucket rewrite folds
+    them into new files and drops the entries (tests/test_posdelete.py).
+    Reference analogue: none in the log protocol — this is the
+    lake-maintenance surface (Iceberg delete files / Delta deletion
+    vectors) the Spark re-expression adds."""
+    from .lake.table import LakeTable
+    from .operators.merge import delete_positions, read_state
+    from .streaming.pipeline import CdcPipeline
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    d = tempfile.mkdtemp(prefix="olr_posdel_")
+    p = CdcPipeline(
+        spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"),
+        merge_mode="mor",
+    )
+    # one epoch per source file: per-epoch net-effect collapse leaves each
+    # key's per-epoch winners physically on disk — the version set the
+    # oracle's `projected` CTE models and resurrection draws from
+    p.run_available_now(max_files_per_trigger=1)
+    t = LakeTable.load(spark, p.table_path)
+    raw = t.read(with_file=True, with_pos=True)
+    winners = (
+        raw.groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("_op", "lang", "_file", "_pos"),
+                F.struct("warc_ts", "_seq"),
+            ).alias("w")
+        )
+        .select("w._op", "w.lang", "w._file", "w._pos")
+    )
+    victims = winners.filter(
+        (F.col("_op") != "d") & (F.col("lang") == "de")
+    ).select("_file", "_pos")
+    files_before = sorted(fe["path"] for fe in t.snap["files"])
+    out = delete_positions(t, victims)
+    assert out["rows"] > 0, "fixture must contain lang='de' winners"
+    t = LakeTable.load(spark, t.path)
+    assert sorted(fe["path"] for fe in t.snap["files"]) == files_before, \
+        "position deletes must not rewrite any data file"
+    assert t.snap.get("delete_files"), "delete files must be committed"
+    return read_state(t).select(
+        "url", "warc_ts", "_seq", "text", "lang", "http_status"
+    )
