@@ -16687,3 +16687,248 @@ def engine_posdelete_replay(spark, sf_dir):
     return read_state(t).select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
+
+
+@register(
+    "events_ab_bayes",
+    """
+    WITH conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    per_var AS (
+      SELECT CAST(u.user_id % 2 AS BIGINT) AS variant,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(count(c.user_id) AS BIGINT) AS n_converted
+      FROM (SELECT DISTINCT user_id FROM events) u
+      LEFT JOIN conv c ON u.user_id = c.user_id
+      GROUP BY u.user_id % 2)
+    SELECT variant, n_users, n_converted,
+           n_converted + 1 AS post_a,
+           n_users - n_converted + 1 AS post_b,
+           round(CAST(n_converted + 1 AS DOUBLE) / (n_users + 2), 6)
+             AS post_mean,
+           round(sqrt(
+             CAST(n_converted + 1 AS DOUBLE) * (n_users - n_converted + 1)
+             / (CAST(n_users + 2 AS DOUBLE) * (n_users + 2) * (n_users + 3))
+           ), 6) AS post_sd
+    FROM per_var
+    """,
+)
+def events_ab_bayes(spark, sf_dir):
+    """Bayesian A/B conversion readout — per variant, the Beta(1+c, 1+n−c)
+    posterior over user-level purchase conversion (uniform prior): the
+    posterior mean and sd every Bayesian experimentation dashboard plots
+    next to the frequentist Welch t (events_ab_lift) — small-sample-honest
+    where the t approximation is not, and the posterior parameters ARE the
+    sequential-monitoring state (no fixed horizon needed). Same
+    deterministic parity split as the rest of the A/B family. Determinism:
+    n and c are exact BIGINTs; mean and variance are closed-form rationals
+    spelled with IDENTICAL association on both engines — one division for
+    the mean, one for the variance (numerator and denominator products
+    each fold left-to-right in double) — and sqrt is IEEE-exact, so the
+    6 dp rounds see bit-identical values. Shape at 100 TB: distinct users
+    and distinct converters are two user-keyed partial aggs; everything
+    after runs on a 2-row relation. Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+        .withColumn("_c", F.lit(1))
+    )
+    per_var = (
+        users.join(conv, "user_id", "left")
+        .groupBy((F.col("user_id") % 2).cast("long").alias("variant"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.count("_c").alias("n_converted"),
+        )
+    )
+    n, c = F.col("n_users"), F.col("n_converted")
+    var_expr = (
+        (c + 1).cast("double") * (n - c + 1)
+        / ((n + 2).cast("double") * (n + 2) * (n + 3))
+    )
+    return per_var.select(
+        "variant", "n_users", "n_converted",
+        (c + 1).alias("post_a"),
+        (n - c + 1).alias("post_b"),
+        F.round((c + 1).cast("double") / (n + 2), 6).alias("post_mean"),
+        F.round(F.sqrt(var_expr), 6).alias("post_sd"),
+    )
+
+
+@register(
+    "events_retention_decay_fit",
+    f"""
+    WITH ret AS ({_RETENTION_SQL}),
+    mx AS (SELECT max(cohort_week) AS maxw FROM ret),
+    pts AS (
+      SELECT week_offset AS w, CAST(sum(n_active_users) AS BIGINT) AS active
+      FROM ret CROSS JOIN mx
+      WHERE week_offset BETWEEN 1 AND 4
+        AND cohort_week <= maxw - INTERVAL 28 DAY
+      GROUP BY week_offset),
+    base AS (
+      SELECT CAST(sum(n_active_users) AS BIGINT) AS n0
+      FROM ret CROSS JOIN mx
+      WHERE week_offset = 0 AND cohort_week <= maxw - INTERVAL 28 DAY)
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(CAST(active AS DOUBLE) / n0), w), 4)
+             AS decay_slope,
+           round(regr_intercept(ln(CAST(active AS DOUBLE) / n0), w), 4)
+             AS ln_rate_intercept,
+           round(regr_r2(ln(CAST(active AS DOUBLE) / n0), w), 4) AS r2,
+           round(ln(2) / (-regr_slope(ln(CAST(active AS DOUBLE) / n0), w)), 4)
+             AS half_life_weeks
+    FROM pts CROSS JOIN base WHERE active > 0
+    """,
+)
+def events_retention_decay_fit(spark, sf_dir):
+    """Exponential retention-decay fit — OLS of ln(pooled retention rate)
+    on week offset over offsets 1-4, restricted to cohorts old enough to
+    have reached offset 4 (the right-censoring guard: younger cohorts
+    would drag late offsets down mechanically, the classic retention-curve
+    mistake), plus the implied half-life in weeks — the one-number
+    summary growth teams track release-over-release, and the analytic
+    twin of customer_survival_km's nonparametric curve. Determinism:
+    active counts and the base are exact BIGINTs; each rate is ONE
+    identical division, ln/regr follow the docs_heaps_fit contract (4 dp
+    post-rounding absorbs ulp skew). Shape at 100 TB: everything reduces
+    off the cohort×offset relation events_retention already builds; the
+    regression is one reduce over ≤4 points. Reference analogue: none —
+    training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.date_trunc("week", F.col("first_ts")).cast("date"),
+                )
+                / 7.0
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    ret = act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active_users")
+    )
+    mx = ret.agg(F.max("cohort_week").alias("maxw"))
+    eligible = ret.crossJoin(F.broadcast(mx)).filter(
+        F.col("cohort_week") <= F.col("maxw") - F.expr("INTERVAL 28 DAYS")
+    )
+    pts = (
+        eligible.filter(F.col("week_offset").between(1, 4))
+        .groupBy(F.col("week_offset").alias("w"))
+        .agg(F.sum("n_active_users").cast("long").alias("active"))
+    )
+    base = eligible.filter(F.col("week_offset") == 0).agg(
+        F.sum("n_active_users").cast("long").alias("n0")
+    )
+    y = F.log(F.col("active").cast("double") / F.col("n0"))
+    x = F.col("w").cast("double")
+    return (
+        pts.crossJoin(F.broadcast(base))
+        .filter(F.col("active") > 0)
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.regr_slope(y, x), 4).alias("decay_slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("ln_rate_intercept"),
+            F.round(F.regr_r2(y, x), 4).alias("r2"),
+            F.round(F.log(F.lit(2.0)) / (-F.regr_slope(y, x)), 4)
+            .alias("half_life_weeks"),
+        )
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_sql() -> str:
+    """DuckDB twin of docs_host_communities_lpa: the synchronous label-
+    propagation trajectory replayed as unrolled CTEs over the SAME edge
+    extraction docs_link_graph pins (the pagerank replay recipe, with
+    EXACT integer neighbor counts instead of rounded mass — no rounding
+    dial is load-bearing anywhere)."""
+    iters = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        iters.append(f"""
+    cnt{i} AS (
+      SELECT und.a AS host, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM und JOIN {prev} l ON und.b = l.host
+      GROUP BY und.a, l.lab),
+    l{i} AS (
+      SELECT host, lab FROM (
+        SELECT host, lab,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY c DESC, lab) AS rn
+        FROM cnt{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return f"""
+    WITH e0 AS ({_LINK_GRAPH_SQL}),
+    d AS (SELECT DISTINCT src_host, dst_host FROM e0),
+    und AS (SELECT src_host AS a, dst_host AS b FROM d
+            UNION SELECT dst_host, src_host FROM d),
+    nodes AS (SELECT DISTINCT a AS host FROM und),
+    l0 AS (SELECT host, host AS lab FROM nodes),
+    {",".join(iters)}
+    SELECT host, lab AS community FROM {prev}
+    """
+
+
+@register("docs_host_communities_lpa", _lpa_sql())
+def docs_host_communities_lpa(spark, sf_dir):
+    """Host-community detection by synchronous label propagation ({n}
+    rounds, undirected link graph) — the near-linear community pass a
+    crawl pipeline runs between per-host stats and per-edge mirrors:
+    link-farm rings, mirror constellations and single-owner site families
+    converge onto one label, giving dedup/mixing a SITE-FAMILY key that
+    neither content similarity (docs_cross_source_dups) nor single edges
+    (docs_host_cocitation) expose. Each round recounts neighbor labels
+    (exact BIGINTs) and adopts the modal one, ties to the
+    lexicographically smallest label — fully deterministic, so the DuckDB
+    twin replays the identical trajectory as unrolled CTEs over the
+    shared edge spelling; there is NO floating point anywhere. Shape at
+    100 TB: per round, one equi-join of the edge relation against the
+    host-sized label relation, one partial-agg count, one per-host
+    window on the (host, neighbor-label)-bounded relation — iteration
+    cost is O(edges), the graph never materializes beyond its edge list.
+    Reference analogue: none — training-data pipeline extension."""
+    e = _link_edges(spark).select("src_host", "dst_host").distinct()
+    und = (
+        e.select(F.col("src_host").alias("a"), F.col("dst_host").alias("b"))
+        .union(
+            e.select(F.col("dst_host").alias("a"), F.col("src_host").alias("b"))
+        )
+        .distinct()
+    )
+    lab = (
+        und.select(F.col("a").alias("host"))
+        .distinct()
+        .withColumn("lab", F.col("host"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("c"), "lab")
+    for _ in range(_LPA_ITERS):
+        nbr = lab.select(F.col("host").alias("_nb"), "lab")
+        cnt = (
+            und.join(nbr, und.b == F.col("_nb"))
+            .groupBy(F.col("a").alias("host"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("host", "lab")
+        )
+    return lab.select("host", F.col("lab").alias("community"))
+
+
+docs_host_communities_lpa.__doc__ = docs_host_communities_lpa.__doc__.replace(
+    "{n}", str(_LPA_ITERS)
+)
