@@ -16932,3 +16932,224 @@ def docs_host_communities_lpa(spark, sf_dir):
 docs_host_communities_lpa.__doc__ = docs_host_communities_lpa.__doc__.replace(
     "{n}", str(_LPA_ITERS)
 )
+
+
+@register(
+    "events_funnel_stage_lags",
+    f"""
+    WITH f AS ({_FUNNEL_SQL}),
+    lags AS (
+      SELECT 'view_to_click' AS stage,
+             epoch_us(first_click) - epoch_us(first_view) AS lag_us
+      FROM f WHERE first_click IS NOT NULL
+      UNION ALL
+      SELECT 'click_to_purchase',
+             epoch_us(first_purchase) - epoch_us(first_click)
+      FROM f WHERE first_purchase IS NOT NULL)
+    SELECT stage, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)
+                      AS DOUBLE) / 3600000000.0, 4) AS p50_hours,
+           round(CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)
+                      AS DOUBLE) / 3600000000.0, 4) AS p90_hours
+    FROM lags GROUP BY stage
+    """,
+)
+def events_funnel_stage_lags(spark, sf_dir):
+    """Per-stage funnel velocity — median and p90 time spent between
+    consecutive funnel stages (first view → first qualifying click →
+    first qualifying purchase, the events_funnel ordering), the companion
+    number to the funnel's conversion COUNTS: two funnels with identical
+    drop-off can hide a 10× latency difference, and stage lag is what a
+    UX/checkout change actually moves. Reuses the funnel's stacked-window
+    spelling (ONE user_id exchange); lags ride as EXACT integer micros
+    into percentile_disc (an actual observed value, never midpoint
+    interpolation — the cdc_payload_size_profile contract) and convert
+    to hours only at the rounded output. Shape at 100 TB: the funnel
+    relation is users-sized; the percentile runs per 2-row group.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "first_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .select("user_id", "first_view", "first_click", "first_purchase")
+        .distinct()
+    )
+    vc = staged.filter(F.col("first_click").isNotNull()).select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros(F.col("first_click").cast("timestamp"))
+         - F.unix_micros(F.col("first_view").cast("timestamp")))
+        .alias("lag_us"),
+    )
+    cp = staged.filter(F.col("first_purchase").isNotNull()).select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros(F.col("first_purchase").cast("timestamp"))
+         - F.unix_micros(F.col("first_click").cast("timestamp")))
+        .alias("lag_us"),
+    )
+    hours = 3600000000.0
+    return vc.unionAll(cp).groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")
+            .cast("double") / hours, 4,
+        ).alias("p50_hours"),
+        F.round(
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_us)")
+            .cast("double") / hours, 4,
+        ).alias("p90_hours"),
+    )
+
+
+@register(
+    "docs_length_outliers_mad",
+    """
+    WITH med AS (
+      SELECT lang,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS med
+      FROM documents GROUP BY lang),
+    dev AS (
+      SELECT d.lang, d.n_chars, m.med, abs(d.n_chars - m.med) AS dev
+      FROM documents d JOIN med m ON d.lang = m.lang),
+    mad AS (
+      SELECT lang, percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+      FROM dev GROUP BY lang)
+    SELECT dev.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(dev.med) AS BIGINT) AS med_chars,
+           CAST(max(mad.mad) AS BIGINT) AS mad_chars,
+           CAST(count(*) FILTER (WHERE dev.dev > 5 * mad.mad) AS BIGINT)
+             AS n_outliers,
+           round(CAST(count(*) FILTER (WHERE dev.dev > 5 * mad.mad)
+                      AS DOUBLE) / count(*), 4) AS outlier_share
+    FROM dev JOIN mad ON dev.lang = mad.lang
+    GROUP BY dev.lang
+    """,
+)
+def docs_length_outliers_mad(spark, sf_dir):
+    """Robust per-language length-outlier screen — median/MAD instead of
+    mean/σ (a handful of giant concatenation pages inflates σ enough to
+    hide ITSELF; the median absolute deviation does not move), flagging
+    docs beyond 5 MAD as the truncation/concatenation-artifact candidates
+    a cleaning pass reviews. Entirely INTEGER arithmetic: median and MAD
+    are percentile_disc over exact BIGINT lengths (an observed value,
+    never interpolated), the 5·MAD threshold compares ints, and the one
+    division rounds last — no FP dial anywhere. Shape at 100 TB: two
+    langs-keyed percentile aggs with the langs-sized medians broadcast
+    back between them; never a window over documents. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    med = d.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .alias("med")
+    )
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", "n_chars", "med",
+        F.abs(F.col("n_chars") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("lang").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)")
+        .alias("mad")
+    )
+    out = F.count(F.when(F.col("dev") > 5 * F.col("mad"), 1))
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("med").cast("long").alias("med_chars"),
+            F.max("mad").cast("long").alias("mad_chars"),
+            out.alias("n_outliers"),
+            F.round(out.cast("double") / F.count("*"), 4)
+            .alias("outlier_share"),
+        )
+    )
+
+
+@register(
+    "docs_dup_rate_curve",
+    """
+    WITH h AS (
+      SELECT md5(text) AS h,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':curve'),
+                                 1, 8) AS BIGINT) % 100 AS b
+      FROM documents),
+    qs AS (SELECT unnest([25, 50, 75, 100]) AS q),
+    member AS (
+      SELECT CAST(q AS BIGINT) AS pct, h
+      FROM h JOIN qs ON h.b < qs.q),
+    uniq AS (SELECT DISTINCT pct, h FROM member)
+    SELECT m.pct,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(u.n_unique) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(max(u.n_unique) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+    FROM member m
+    JOIN (SELECT pct, count(*) AS n_unique FROM uniq GROUP BY pct) u
+      ON m.pct = u.pct
+    GROUP BY m.pct
+    """,
+)
+def docs_dup_rate_curve(spark, sf_dir):
+    """Dedup-rate scaling curve — exact-duplicate share measured on NESTED
+    deterministic 25/50/75/100% subsamples (md5-keyed, so the 25% sample
+    is contained in the 50% one): duplicate rate GROWS with corpus size
+    (every new shard collides with everything already crawled), and this
+    curve is how a pipeline extrapolates dedup cost and post-dedup yield
+    to the next 10× of crawl — the DataComp/RefinedWeb-style scaling
+    diagnostic, measured the cheap way before MinHash runs. Exact BIGINT
+    counts (two-phase distinct per the repo rule, never countDistinct on
+    the Spark side) to one rounded division; subset membership is a
+    bounded 4× fan-out join against a literal, never a resample. Shape at
+    100 TB: one (pct, hash) dedup + two partial-agg counts. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    h = d.select(
+        F.md5("text").alias("h"),
+        (
+            F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                              F.lit(":curve"))), 1, 8), 16, 10)
+            .cast("long") % 100
+        ).alias("b"),
+    )
+    qs = spark.createDataFrame([(25,), (50,), (75,), (100,)], "q int")
+    member = h.join(F.broadcast(qs), h.b < qs.q).select(
+        F.col("q").cast("long").alias("pct"), "h"
+    )
+    uniq = member.dropDuplicates(["pct", "h"]).groupBy("pct").agg(
+        F.count("*").alias("n_unique")
+    )
+    return (
+        member.groupBy("pct")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(uniq), "pct")
+        .select(
+            "pct", "n_docs", "n_unique",
+            F.round(
+                F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
