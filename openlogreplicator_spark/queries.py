@@ -16997,20 +16997,24 @@ def events_funnel_stage_lags(spark, sf_dir):
         .select("user_id", "first_view", "first_click", "first_purchase")
         .distinct()
     )
-    vc = staged.filter(F.col("first_click").isNotNull()).select(
-        F.lit("view_to_click").alias("stage"),
-        (F.unix_micros(F.col("first_click").cast("timestamp"))
-         - F.unix_micros(F.col("first_view").cast("timestamp")))
-        .alias("lag_us"),
-    )
-    cp = staged.filter(F.col("first_purchase").isNotNull()).select(
-        F.lit("click_to_purchase").alias("stage"),
-        (F.unix_micros(F.col("first_purchase").cast("timestamp"))
-         - F.unix_micros(F.col("first_click").cast("timestamp")))
-        .alias("lag_us"),
+    lag1 = F.unix_micros(F.col("first_click").cast("timestamp")) - \
+        F.unix_micros(F.col("first_view").cast("timestamp"))
+    lag2 = F.unix_micros(F.col("first_purchase").cast("timestamp")) - \
+        F.unix_micros(F.col("first_click").cast("timestamp"))
+    # stack (not a union of two filters): a union re-executes the whole
+    # stacked-window subtree once per branch — two scans, two exchanges
+    lags = (
+        staged.select(lag1.alias("_l1"), lag2.alias("_l2"))
+        .select(
+            F.expr(
+                "stack(2, 'view_to_click', _l1, 'click_to_purchase', _l2) "
+                "AS (stage, lag_us)"
+            )
+        )
+        .filter(F.col("lag_us").isNotNull())
     )
     hours = 3600000000.0
-    return vc.unionAll(cp).groupBy("stage").agg(
+    return lags.groupBy("stage").agg(
         F.count("*").alias("n_users"),
         F.round(
             F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_us)")

@@ -784,3 +784,49 @@ def test_tpch_q21_plans_semi_plus_anti(spark):
     p = plan_of(QUERIES["tpch_q21_waiting_orders"](spark, SF_DIR))
     assert "LeftSemi" in p and "LeftAnti" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_ohlc_single_groupby_no_window(spark):
+    """events_value_ohlc: open/close ride min_by/max_by in ONE groupBy —
+    no Window operator, one data exchange."""
+    p = plan_of(QUERIES["events_value_ohlc"](spark, SF_DIR))
+    assert "Window" not in p, p
+    assert "min_by" in p and "max_by" in p, p
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """q16: the supplier blocklist is a broadcast anti join; the distinct
+    is two-phase (partial+final aggregate), never a countDistinct."""
+    p = plan_of(QUERIES["tpch_q16_supplier_variety"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+
+
+def test_tpch_q17_rejoin_broadcasts_aggregate(spark):
+    """q17: the parts-sized per-part average broadcasts back onto the fact
+    scan — the correlated scalar agg never becomes a shuffle join."""
+    p = plan_of(QUERIES["tpch_q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_hard_negatives_ranks_are_group_limited(spark):
+    """emb_hard_negatives: both rn=1 cuts push down as per-partition group
+    limits BEFORE the window shuffle (the emb_knn_graph plan contract)."""
+    p = plan_of(QUERIES["emb_hard_negatives"](spark, SF_DIR))
+    assert "WindowGroupLimit" in p, p
+
+
+def test_lpa_iteration_is_join_agg_window_only(spark):
+    """docs_host_communities_lpa: no cartesian product and no global sort
+    anywhere in the 3-round trajectory — each round is equi-join +
+    partial agg + per-host window."""
+    p = plan_of(QUERIES["docs_host_communities_lpa"](spark, SF_DIR))
+    assert "CartesianProduct" not in p, p
+
+
+def test_funnel_stage_lags_single_user_exchange(spark):
+    """events_funnel_stage_lags: the three stacked stage windows share ONE
+    hash exchange on user_id (the events_funnel plan contract)."""
+    df = QUERIES["events_funnel_stage_lags"](spark, SF_DIR)
+    p = plan_of(df)
+    assert p.count("hashpartitioning(user_id") <= 1, p
