@@ -17157,3 +17157,235 @@ def docs_dup_rate_curve(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+_PQ_M_SWEEP = (4, 8, 16)
+_PQ_SWEEP_K = 5
+
+
+def _pq_m_sweep_sql() -> str:
+    """DuckDB twin of ann_recall_vs_m: the full PQ encode + ADC retrieval
+    replayed per m (the _PQ_CODE_CTES chain parameterized by subspace
+    count), scored against one exact squared-L2 top-k."""
+    blocks, unions = [], []
+    for m in _PQ_M_SWEEP:
+        sub = 64 // m
+        blocks.append(f"""
+    cb{m} AS (
+      SELECT s, j,
+             list_transform(list_slice(v, s*{sub} + 1, s*{sub} + {sub}),
+                            x -> CAST(x AS DOUBLE)) AS cvec
+      FROM ranked CROSS JOIN (SELECT unnest(range(0, {m})) AS s) subs
+      WHERE j < 16),
+    dists{m} AS (
+      SELECT e.vec_id, c.s, c.j,
+             list_reduce([0.0::DOUBLE] || list_transform(range(1, {sub + 1}),
+               i -> (CAST(e.embedding[CAST(c.s*{sub} + i AS INT)] AS DOUBLE)
+                      - c.cvec[CAST(i AS INT)])
+                  * (CAST(e.embedding[CAST(c.s*{sub} + i AS INT)] AS DOUBLE)
+                      - c.cvec[CAST(i AS INT)])),
+               (a, b) -> a + b) AS d
+      FROM embeddings e CROSS JOIN cb{m} c),
+    codes{m} AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+        FROM dists{m}) WHERE rn = 1),
+    terms{m} AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS vec_id, qd.s, qd.d
+      FROM dists{m} qd JOIN codes{m} c ON qd.s = c.s AND qd.j = c.code
+      WHERE qd.vec_id < 32 AND c.vec_id <> qd.vec_id),
+    approx{m} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY a, vec_id) AS rn
+        FROM (SELECT query_id, vec_id,
+                     list_reduce([0.0::DOUBLE] || list(d ORDER BY s),
+                                 (x, y) -> x + y) AS a
+              FROM terms{m} GROUP BY query_id, vec_id))
+      WHERE rn <= {_PQ_SWEEP_K})""")
+        unions.append(f"""
+        SELECT {m} AS m,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM exact e JOIN approx{m} a
+                  ON e.query_id = a.query_id AND e.vec_id = a.vec_id)
+                 AS n_hits""")
+    return f"""
+    WITH ranked AS (
+      SELECT embedding AS v,
+             row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               - 1 AS j
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 32),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_reduce([0.0::DOUBLE] || list_transform(range(1, 65),
+                   i -> (q.qv[CAST(i AS INT)]
+                          - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))
+                      * (q.qv[CAST(i AS INT)]
+                          - CAST(e.embedding[CAST(i AS INT)] AS DOUBLE))),
+                   (x, y) -> x + y), e.vec_id) AS rn
+        FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {_PQ_SWEEP_K}),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+    {",".join(blocks)},
+    sweep AS ({" UNION ALL ".join(unions)})
+    SELECT m, n_queries, n_hits,
+           round(CAST(n_hits AS DOUBLE) / (n_queries * {_PQ_SWEEP_K}), 4)
+             AS mean_recall
+    FROM sweep CROSS JOIN nq
+    """
+
+
+@register("ann_recall_vs_m", _pq_m_sweep_sql())
+def ann_recall_vs_m(spark, sf_dir):
+    """PQ recall@{k} as a FUNCTION of the subspace count m (4, 8, 16) —
+    the PQ family's dial CURVE, symmetric to ann_recall_vs_nprobe on the
+    IVF side: m fixes the code size (m bytes/vector — the at-rest storage
+    of a 10^10-vector index) and more subspaces buy finer quantization at
+    linearly more ADC adds, so THIS table prices bytes-vs-recall for the
+    production setting. Exact side is squared-L2 top-{k} (the metric ADC
+    approximates — a cosine exact side would mis-score the quantizer on
+    unnormalized vectors); both sides fold distances left-to-right over
+    identical index order, so doubles match bitwise and ranks break ties
+    on vec_id. Per m, the encode chain is the _PQ_CODE_CTES recipe
+    re-derived (md5-pinned codebook, argmin ties to the smaller code);
+    hits aggregate as exact BIGINTs to one rounded division. Shape at
+    100 TB: encode is map-side per m; ADC joins the 32-query broadcast
+    against the coded corpus — never vector×vector. Reference analogue:
+    none — training-data similarity-search scale path."""
+    from .functions.similarity import pq_codebooks, pq_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 32)
+    nq = q.agg(F.count("*").alias("n_queries"))
+    qd = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv"),
+    )
+    ev = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("evd"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "evd", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    exact = (
+        ev.join(F.broadcast(qd), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PQ_SWEEP_K)
+        .select("query_id", "vec_id")
+    )
+    per_m = []
+    for m in _PQ_M_SWEEP:
+        cbs = pq_codebooks(emb, m=m, n_codes=16)
+        approx = pq_topk(emb, q, cbs, k=_PQ_SWEEP_K).select(
+            "query_id", "vec_id"
+        )
+        per_m.append(
+            exact.join(approx, ["query_id", "vec_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(m).alias("m"), "n_hits")
+        )
+    sweep = per_m[0]
+    for x in per_m[1:]:
+        sweep = sweep.unionAll(x)
+    return sweep.crossJoin(F.broadcast(nq)).select(
+        "m", "n_queries", "n_hits",
+        F.round(
+            F.col("n_hits").cast("double")
+            / (F.col("n_queries") * F.lit(_PQ_SWEEP_K)),
+            4,
+        ).alias("mean_recall"),
+    )
+
+
+ann_recall_vs_m.__doc__ = ann_recall_vs_m.__doc__.replace(
+    "{k}", str(_PQ_SWEEP_K)
+)
+
+
+@register(
+    "orders_pareto_share",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, rev_cents,
+             row_number() OVER (ORDER BY rev_cents DESC, o_custkey) AS rn
+      FROM per_cust),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_customers,
+             CAST(sum(rev_cents) AS BIGINT) AS total_cents
+      FROM per_cust)
+    SELECT (n_customers + 4) // 5 AS top_n, n_customers,
+           round(CAST(total_cents AS DOUBLE) / 100.0, 2) AS total_revenue,
+           round(CAST(sum(CASE WHEN rn <= (n_customers + 4) // 5
+                               THEN rev_cents ELSE 0 END) AS DOUBLE)
+                 / 100.0, 2) AS top_revenue,
+           round(CAST(sum(CASE WHEN rn <= (n_customers + 4) // 5
+                               THEN rev_cents ELSE 0 END) AS DOUBLE)
+                 / total_cents, 4) AS top_share
+    FROM ranked CROSS JOIN tot
+    GROUP BY n_customers, total_cents
+    """,
+)
+def orders_pareto_share(spark, sf_dir):
+    """Pareto revenue concentration — the share of total order revenue
+    held by the top 20% of customers (the 80/20 health check; the orders
+    twin of cdc_hot_keys' key-concentration profile and events_user_gini's
+    inequality index). Determinism: revenue rides as EXACT integer cents
+    (2-decimal prices probed; per-row round·cast then BIGINT sums — order
+    independent), the 20% cutoff is pure integer arithmetic ((n+4)//5 —
+    never ceil of a float), and division happens once at the rounded
+    output. Shape at 100 TB: one customers-keyed partial agg; the rank
+    window and the rollup run on the customers-sized relation, never on
+    raw orders. Reference analogue: none — relational coverage (SURVEY
+    §2.6)."""
+    o = T(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("rev_cents")
+    )
+    ranked = per_cust.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.orderBy(F.desc("rev_cents"), "o_custkey")
+        ),
+    )
+    tot = per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev_cents").cast("long").alias("total_cents"),
+    )
+    top_n = F.expr("(n_customers + 4) div 5")
+    top_cents = F.sum(
+        F.when(F.col("rn") <= top_n, F.col("rev_cents")).otherwise(F.lit(0))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_customers", "total_cents")
+        .agg(top_cents.alias("_top_cents"))
+        .select(
+            F.expr("(n_customers + 4) div 5").alias("top_n"),
+            "n_customers",
+            F.round(F.col("total_cents").cast("double") / 100.0, 2)
+            .alias("total_revenue"),
+            F.round(F.col("_top_cents").cast("double") / 100.0, 2)
+            .alias("top_revenue"),
+            F.round(
+                F.col("_top_cents").cast("double") / F.col("total_cents"), 4
+            ).alias("top_share"),
+        )
+    )
