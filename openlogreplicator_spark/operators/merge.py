@@ -901,6 +901,15 @@ def maintain(
             # writers may have landed since this handle loaded
             plan = table.plan_compaction(max_files_per_bucket, small_file_bytes)
         todo = [b for b in plan["rewrite"] if b not in table.dirty_buckets()]
+        # fold outstanding position deletes: a bucket carrying delete files
+        # pays an anti-join on EVERY read until some rewrite replaces it —
+        # maintenance is that rewrite (the Iceberg rewrite_position_deletes
+        # analogue; commit_files drops the applied entries)
+        del_buckets = sorted(
+            {d["bucket"] for d in table.snap.get("delete_files") or []}
+            - set(todo) - table.dirty_buckets()
+        )
+        todo = sorted(set(todo) | set(del_buckets))
         if todo:
             report["rewrite"] = rewrite_buckets(table, todo)
         if tombstone_older_than is not None:

@@ -17389,3 +17389,73 @@ def orders_pareto_share(spark, sf_dir):
             ).alias("top_share"),
         )
     )
+
+
+@register(
+    "docs_filter_spearman",
+    f"""
+    WITH u AS ({_UNIGRAM_SQL}),
+    q AS ({_NBQ_SQL}),
+    j AS (
+      SELECT u.doc_id, u.cross_entropy, q.score
+      FROM u JOIN q ON u.doc_id = q.doc_id),
+    r AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cross_entropy, doc_id)
+                  AS BIGINT) AS r_ce,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS r_q
+      FROM j)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           round(1.0 - CAST(6 * sum((r_ce - r_q) * (r_ce - r_q)) AS DOUBLE)
+                       / (count(*) * (CAST(count(*) AS BIGINT)
+                                      * count(*) - 1)), 6) AS spearman_rho
+    FROM r
+    """,
+)
+def docs_filter_spearman(spark, sf_dir):
+    """Quality-filter agreement as a Spearman rank correlation — do the
+    unigram-LM perplexity proxy (low cross-entropy = good) and the
+    Naive-Bayes curated-vs-crawl classifier (high log-odds = good) ORDER
+    the corpus the same way? The calibration evidence for stacking or
+    substituting quality filters (docs_dedup_method_agreement's
+    counterpart on the quality axis): ρ near 1 means the cheap filter can
+    gate for the expensive one; ρ collapsing between crawls means the
+    filters disagree exactly where re-tuning is due. Determinism: both
+    scores are the catalog entries' own rounded outputs; ranks are
+    row_number with doc_id tiebreaks (a deterministic total order on BOTH
+    engines — with ties this is the fixed-tiebreak variant of Spearman,
+    identically defined on both sides); Σd² and n(n²−1) are exact BIGINTs
+    to ONE rounded division. Shape at 100 TB: the per-doc score relations
+    are the existing two-phase aggregations; the rank windows run on the
+    docs-sized joined relation. Reference analogue: none — training-data
+    pipeline extension."""
+    u = QUERIES["docs_unigram_logprob"](spark, sf_dir).select(
+        "doc_id", "cross_entropy"
+    )
+    q = QUERIES["docs_quality_classifier"](spark, sf_dir).select(
+        "doc_id", "score"
+    )
+    j = u.join(q, "doc_id")
+    r = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("cross_entropy", "doc_id"))
+        .cast("long")
+        .alias("r_ce"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("r_q"),
+    )
+    n = F.count("*")
+    d2 = F.sum((F.col("r_ce") - F.col("r_q")) * (F.col("r_ce") - F.col("r_q")))
+    return r.agg(
+        n.alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - (6 * d2).cast("double")
+            / (n * (n.cast("long") * n - 1)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -149,3 +149,22 @@ def test_clone_carries_delete_files_absolutized(spark, tmp_path):
     c.expire_snapshots(keep_last=1, orphan_grace_secs=0)
     t = LakeTable.load(spark, t.path)
     assert sorted(r["url"] for r in t.read().collect()) == want
+
+
+def test_maintain_folds_position_deletes(spark, tmp_path):
+    """maintain() rewrites clean buckets that carry delete files (the
+    rewrite_position_deletes analogue), so reads stop paying the
+    anti-join; state unchanged."""
+    t = _mk(spark, str(tmp_path / "t"))
+    delete_positions(t, t.read(with_file=True, with_pos=True).filter(
+        F.col("lang") == "de"))
+    t = LakeTable.load(spark, t.path)
+    assert t.snap.get("delete_files")
+    want = sorted(r["url"] for r in t.read().collect())
+    from openlogreplicator_spark.operators.merge import maintain
+
+    rep = maintain(t, max_files_per_bucket=1000)
+    assert "rewrite" in rep
+    t = LakeTable.load(spark, t.path)
+    assert not t.snap.get("delete_files")
+    assert sorted(r["url"] for r in t.read().collect()) == want
