@@ -17459,3 +17459,194 @@ def docs_filter_spearman(spark, sf_dir):
             6,
         ).alias("spearman_rho"),
     )
+
+
+_KEYKM_PERIOD_US = 21_600_000_000  # 6-hour periods over the ~3-day fixture
+
+
+@register(
+    "cdc_key_survival_km",
+    f"""
+    WITH ev AS (
+      SELECT * FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    pk AS (
+      SELECT url, min(epoch_us(warc_ts)) AS f,
+             min(CASE WHEN op = 'd' THEN epoch_us(warc_ts) END) AS death
+      FROM ev GROUP BY url),
+    tot AS (SELECT max(epoch_us(warc_ts)) AS horizon FROM ev),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM pk),
+    du AS (
+      SELECT (coalesce(death, horizon) - f) // {_KEYKM_PERIOD_US} AS period,
+             death IS NOT NULL AS died
+      FROM pk CROSS JOIN tot),
+    ex AS (
+      SELECT period, CAST(count(*) AS BIGINT) AS n_exits,
+             CAST(count(*) FILTER (WHERE died) AS BIGINT) AS n_deaths
+      FROM du GROUP BY period),
+    ar AS (
+      SELECT period, n_deaths,
+             n_keys - (CAST(sum(n_exits) OVER (ORDER BY period) AS BIGINT)
+                       - n_exits) AS at_risk
+      FROM ex CROSS JOIN nt),
+    d AS (
+      SELECT period, n_deaths, at_risk,
+             round(CAST(n_deaths AS DOUBLE) / at_risk, 6) AS hazard
+      FROM ar WHERE n_deaths > 0),
+    fs AS (
+      SELECT list(CAST(1 AS DOUBLE) - hazard ORDER BY period) AS fctrs
+      FROM d),
+    idx AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY period) AS INTEGER) AS i
+      FROM d)
+    SELECT period, at_risk, n_deaths, hazard,
+           round(list_reduce(list_prepend(CAST(1 AS DOUBLE), fctrs[1:i]),
+                             (a, b) -> a * b), 6) AS survival
+    FROM idx CROSS JOIN fs
+    """,
+)
+def cdc_key_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival of CDC KEYS — time from a url's first change
+    to its FIRST source delete, right-censored at the stream horizon for
+    keys never deleted: the page-lifetime curve that sizes tombstone
+    retention (purge_tombstones horizons), recrawl budgets and state-size
+    forecasts, and the CDC twin of customer_survival_km (same estimator,
+    the event is now a 'd' op in the change log). Naive "share of keys
+    deleted so far" understates lifetimes exactly like the naive churn
+    read — censored keys are not deaths, and KM is the correction.
+    Determinism: lifetimes are exact integer micros bucketed by integer
+    division into 6-hour periods; at-risk is a cumulative BIGINT window
+    on the periods-bounded exit relation; hazards round 6 dp; the
+    survival product folds a period-sorted factor array seeded 1.0
+    identically on both engines (multiplication only — no libm in the
+    fold). Shape at 100 TB: one url-keyed partial agg, then everything
+    runs on ~dozens of period rows. Reference analogue: none —
+    training-data pipeline extension over the committed change log."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    ev = raw.filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("warc_ts").cast("timestamp"))
+    pk = ev.groupBy("url").agg(
+        F.min(us).alias("f"),
+        F.min(F.when(F.col("op") == "d", us)).alias("death"),
+    )
+    tot = ev.agg(F.max(us).alias("horizon"))
+    nt = pk.agg(F.count("*").alias("n_keys"))
+    du = pk.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(nt)).select(
+        F.expr(
+            f"(coalesce(death, horizon) - f) div {_KEYKM_PERIOD_US}"
+        ).alias("period"),
+        F.col("death").isNotNull().alias("died"),
+        "n_keys",
+    )
+    ex = du.groupBy("period", "n_keys").agg(
+        F.count("*").alias("n_exits"),
+        F.count(F.when(F.col("died"), F.lit(1))).alias("n_deaths"),
+    )
+    cum = Window.orderBy("period").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ar = ex.select(
+        "period",
+        "n_deaths",
+        (
+            F.col("n_keys") - (F.sum("n_exits").over(cum) - F.col("n_exits"))
+        ).alias("at_risk"),
+    )
+    d = ar.filter(F.col("n_deaths") > 0).withColumn(
+        "hazard",
+        F.round(F.col("n_deaths").cast("double") / F.col("at_risk"), 6),
+    )
+    fs = d.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("period", "hazard"))),
+            lambda x: F.lit(1.0) - x["hazard"],
+        ).alias("fctrs")
+    )
+    return (
+        d.withColumn("i", F.row_number().over(Window.orderBy("period")))
+        .crossJoin(F.broadcast(fs))
+        .select(
+            "period", "at_risk", "n_deaths", "hazard",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("fctrs"), F.lit(1), F.col("i")),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+@register(
+    "events_session_gap_sweep",
+    """
+    WITH ts2 AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events),
+    gaps AS (SELECT unnest([15, 30, 60]) AS gap_min),
+    marks AS (
+      SELECT g.gap_min, user_id,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev)
+                          > CAST(g.gap_min AS BIGINT) * 60000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ts2 CROSS JOIN gaps g)
+    SELECT CAST(gap_min AS BIGINT) AS gap_min,
+           CAST(sum(is_start) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(count(*) AS DOUBLE) / sum(is_start), 4)
+             AS events_per_session
+    FROM marks GROUP BY gap_min
+    """,
+)
+def events_session_gap_sweep(spark, sf_dir):
+    """Sessionization-gap sensitivity — session counts and mean session
+    size as a FUNCTION of the inactivity gap (15/30/60 min): the dial
+    CURVE behind events_session_stats' single setting (the
+    nprobe/band-S-curve pattern applied to sessionization). The right
+    gap is where the curve stops moving — a knee at 30 min says the
+    15-min cut fragments real visits, a flat 30→60 says 30 is safe —
+    and this table is that evidence. ONE per-user lag window feeds all
+    three gap settings (the fan-out is a 3-row literal cross join over
+    the already-lagged relation — the window never re-runs per
+    setting); session starts are integer-micro gap compares summed as
+    exact BIGINTs to one rounded division. Shape at 100 TB: one user
+    exchange + a 3×-bounded fan-out into a 3-row rollup. Reference
+    analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts2 = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev")
+    )
+    gaps = spark.createDataFrame([(15,), (30,), (60,)], "gap_min int")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    marks = ts2.crossJoin(F.broadcast(gaps)).select(
+        F.col("gap_min").cast("long").alias("gap_min"),
+        F.when(
+            F.col("prev").isNull()
+            | (
+                (us("ts") - us("prev"))
+                > F.col("gap_min").cast("long") * 60000000
+            ),
+            1,
+        ).otherwise(0).alias("is_start"),
+    )
+    return marks.groupBy("gap_min").agg(
+        F.sum("is_start").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(
+            F.count("*").cast("double") / F.sum("is_start"), 4
+        ).alias("events_per_session"),
+    )
