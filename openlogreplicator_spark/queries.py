@@ -17650,3 +17650,141 @@ def events_session_gap_sweep(spark, sf_dir):
             F.count("*").cast("double") / F.sum("is_start"), 4
         ).alias("events_per_session"),
     )
+
+
+@register(
+    "docs_edit_distance_verify",
+    f"""
+    WITH pairs AS ({_simhash_sql(3)})
+    SELECT p.a, p.b, p.hamming,
+           CAST(levenshtein(substr(da.text, 1, 400),
+                            substr(db.text, 1, 400)) AS BIGINT)
+             AS edit_distance,
+           round(1.0 - CAST(levenshtein(substr(da.text, 1, 400),
+                                        substr(db.text, 1, 400)) AS DOUBLE)
+                 / greatest(length(substr(da.text, 1, 400)),
+                            length(substr(db.text, 1, 400))), 4)
+             AS edit_similarity
+    FROM pairs p
+    JOIN documents da ON p.a = da.doc_id
+    JOIN documents db ON p.b = db.doc_id
+    WHERE p.a < 1000 AND p.b < 1000
+    """,
+)
+def docs_edit_distance_verify(spark, sf_dir):
+    """CHARACTER-level verification of SimHash candidates — Levenshtein
+    distance and normalized edit similarity over each candidate pair's
+    400-char prefixes: the third verification family next to token-set
+    Jaccard and token-multiset (weighted) Jaccard, and the one that
+    catches what both miss — small in-word edits (OCR noise, template
+    variable substitutions, typo farms) barely move token sets but show
+    up directly in edit distance. Prefix-bounded because Levenshtein is
+    O(len²) per pair: 400 chars caps the cell count while covering the
+    head where templated pages differ; the candidate set is the blocked
+    SimHash join (never all-pairs) further bounded to the id range the
+    other pair queries use. Determinism: Levenshtein is an exact integer
+    on both engines (same unicode-codepoint definition), lengths are
+    exact ints, one division rounds last. Reference analogue: none —
+    training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    pairs = pairs.filter((F.col("a") < 1000) & (F.col("b") < 1000))
+    da = d.select(F.col("doc_id").alias("_a"),
+                  F.substring("text", 1, 400).alias("ta"))
+    db = d.select(F.col("doc_id").alias("_b"),
+                  F.substring("text", 1, 400).alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        pairs.join(da, pairs.a == da._a)
+        .join(db, pairs.b == db._b)
+        .select(
+            "a", "b", "hamming",
+            lev.cast("long").alias("edit_distance"),
+            F.round(
+                F.lit(1.0)
+                - lev.cast("double")
+                / F.greatest(F.length("ta"), F.length("tb")),
+                4,
+            ).alias("edit_similarity"),
+        )
+    )
+
+
+@register(
+    "nation_trade_balance",
+    """
+    WITH exp AS (
+      SELECT n_name AS nation,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS export_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name),
+    imp AS (
+      SELECT n_name AS nation,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS import_cents
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT coalesce(exp.nation, imp.nation) AS nation,
+           round(CAST(coalesce(export_cents, 0) AS DOUBLE) / 100.0, 2)
+             AS export_revenue,
+           round(CAST(coalesce(import_cents, 0) AS DOUBLE) / 100.0, 2)
+             AS import_revenue,
+           round(CAST(coalesce(export_cents, 0) - coalesce(import_cents, 0)
+                      AS DOUBLE) / 100.0, 2) AS trade_balance
+    FROM exp FULL OUTER JOIN imp ON exp.nation = imp.nation
+    """,
+)
+def nation_trade_balance(spark, sf_dir):
+    """Per-nation trade balance — discounted revenue SUPPLIED by each
+    nation's suppliers (exports) vs revenue CONSUMED by its customers
+    (imports), and the net: the two-role rollup that TPC-H Q7's
+    nation-pair flows aggregate away (a nation can be a net producer or
+    net consumer; the FULL OUTER join keeps nations playing only one
+    role). Determinism: per-item revenue is cent-rounded THEN summed as
+    BIGINTs (the defined metric — identical per-row IEEE product and
+    round on both engines; BIGINT summation is order-independent), so
+    the balance is an exact integer subtraction down to the output
+    rounds. Shape at 100 TB: exports join broadcast dims only; imports
+    pay the one l_orderkey shuffle; both rollups are nations-sized and
+    the outer join runs on 25 rows. Reference analogue: none —
+    relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    exp = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("export_cents"))
+    )
+    imp = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_i"))
+        .agg(F.sum(cents).alias("import_cents"))
+    )
+    j = exp.join(imp, exp["nation"] == imp["nation_i"], "full_outer")
+    to_d = lambda col: F.coalesce(F.col(col), F.lit(0)).cast("double")  # noqa: E731
+    return j.select(
+        F.coalesce(F.col("nation"), F.col("nation_i")).alias("nation"),
+        F.round(to_d("export_cents") / 100.0, 2).alias("export_revenue"),
+        F.round(to_d("import_cents") / 100.0, 2).alias("import_revenue"),
+        F.round(
+            (
+                F.coalesce(F.col("export_cents"), F.lit(0))
+                - F.coalesce(F.col("import_cents"), F.lit(0))
+            ).cast("double") / 100.0, 2,
+        ).alias("trade_balance"),
+    )
