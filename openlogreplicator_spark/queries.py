@@ -17788,3 +17788,67 @@ def nation_trade_balance(spark, sf_dir):
             ).cast("double") / 100.0, 2,
         ).alias("trade_balance"),
     )
+
+
+@register(
+    "supplier_return_rates",
+    """
+    WITH per_supp AS (
+      SELECT s_suppkey, s_name,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_suppkey, s_name)
+    SELECT s_suppkey, s_name, n_items, n_returned,
+           round(CAST(n_returned AS DOUBLE) / n_items, 4) AS return_rate,
+           round((CAST(n_returned AS DOUBLE) / n_items
+                  + 1.9208 / n_items
+                  - 1.96 * sqrt((CAST(n_returned AS DOUBLE) / n_items)
+                                * (1.0 - CAST(n_returned AS DOUBLE) / n_items)
+                                / n_items
+                                + 0.9604 / (CAST(n_items AS DOUBLE)
+                                            * n_items)))
+                 / (1.0 + 3.8416 / n_items), 4) AS wilson_lower
+    FROM per_supp
+    """,
+)
+def supplier_return_rates(spark, sf_dir):
+    """Supplier quality ranked the statistically honest way — per-supplier
+    return rate (l_returnflag = 'R') with the WILSON LOWER BOUND of the
+    rate (z = 1.96): ranking raw rates puts a 1-of-2 supplier above a
+    40-of-100 one; the Wilson interval's lower bound shrinks small
+    samples toward the prior and is the standard fix (the same reason
+    docs_source_quality_prior shrinks empirical-Bayes style). Counts are
+    exact BIGINTs; the Wilson formula is spelled with IDENTICAL
+    association on both engines over those ints (z² = 3.8416, z²/2 =
+    1.9208, z⁴/4 = 0.9604 as double literals; sqrt is IEEE-exact), so
+    the 4 dp rounds see bit-identical doubles. Shape at 100 TB: one
+    suppliers-keyed partial agg off the fact scan with the dim broadcast;
+    the formula runs on the suppliers-sized relation. Reference analogue:
+    none — relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1))
+            .alias("n_returned"),
+        )
+    )
+    n = F.col("n_items")
+    p = F.col("n_returned").cast("double") / n
+    wilson = (
+        p + F.lit(1.9208) / n
+        - F.lit(1.96) * F.sqrt(
+            p * (F.lit(1.0) - p) / n
+            + F.lit(0.9604) / (n.cast("double") * n)
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / n)
+    return per.select(
+        "s_suppkey", "s_name", "n_items", "n_returned",
+        F.round(p, 4).alias("return_rate"),
+        F.round(wilson, 4).alias("wilson_lower"),
+    )
