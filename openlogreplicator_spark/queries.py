@@ -17852,3 +17852,117 @@ def supplier_return_rates(spark, sf_dir):
         F.round(p, 4).alias("return_rate"),
         F.round(wilson, 4).alias("wilson_lower"),
     )
+
+
+@register(
+    "events_dow_hour_heatmap",
+    """
+    WITH t AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '2020-01-06 00:00:00',
+                            date_trunc('day', ts)) % 7 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour
+      FROM events),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
+    SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(count(*) AS DOUBLE) / n, 4) AS share
+    FROM t CROSS JOIN tot GROUP BY dow, hour, n
+    """,
+)
+def events_dow_hour_heatmap(spark, sf_dir):
+    """Weekday×hour activity heatmap — the capacity-planning / bot-window
+    grid behind events_hourly_seasonality's hour-only marginal (a pure
+    hour profile averages weekend and weekday shapes together; the 7×24
+    grid is what staffing, maintenance windows and anomaly baselines
+    actually key on). CROSS-ENGINE DOW GOTCHA handled by construction:
+    DuckDB's dayofweek is 0=Sunday while Spark's is 1=Sunday — instead of
+    either builtin, the weekday is integer day-arithmetic from a pinned
+    Monday epoch (2020-01-06), identical on both engines (0=Monday).
+    Exact BIGINT counts; one share division rounds last. Shape at
+    100 TB: one partial agg over a 168-cell grid plus a one-row total.
+    Reference analogue: none — training-data pipeline extension."""
+    ev = T(spark, sf_dir, "events")
+    t = ev.select(
+        (
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2020-01-06").cast("date"),
+            ) % 7
+        ).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    tot = t.agg(F.count("*").alias("n"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .groupBy("dow", "hour", "n")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "dow", "hour", "n_events",
+            F.round(F.col("n_events").cast("double") / F.col("n"), 4)
+            .alias("share"),
+        )
+    )
+
+
+@register(
+    "docs_vocab_coverage_curve",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok
+           WHERE length(token) > 0 GROUP BY token),
+    tot AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM tf),
+    head AS (SELECT token, freq FROM tf ORDER BY freq DESC, token LIMIT 20),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM head),
+    ks AS (SELECT unnest([5, 10, 20]) AS k)
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN rnk <= k THEN freq ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           n AS total_tokens,
+           round(CAST(sum(CASE WHEN rnk <= k THEN freq ELSE 0 END)
+                      AS DOUBLE) / n, 4) AS coverage
+    FROM ranked CROSS JOIN ks CROSS JOIN tot
+    GROUP BY k, n
+    """,
+)
+def docs_vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary coverage curve — the share of total token MASS the top-k
+    vocabulary head covers (k = 5/10/20 on this corpus's ~31-token
+    vocabulary; thousands in production): the vocab-sizing evidence a
+    tokenizer budget decision reads (docs_zipf_fit says how fast the tail
+    decays; THIS says what a cutoff actually costs in unknown-token
+    mass, and its drift between crawls flags vocabulary churn). Scale
+    shape: the head is a TakeOrderedAndProject of k_max rows off the
+    vocab-sized tf relation — the rank window then runs on ≤ k_max rows,
+    NEVER a global sort of the full vocabulary (the docs_zipf_fit rule).
+    Exact BIGINT masses to one rounded division per k. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    tf = (
+        S.tokens(d, None, "text", distinct=False)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    tot = tf.agg(F.sum("freq").cast("long").alias("n"))
+    head = tf.orderBy(F.desc("freq"), "token").limit(20)
+    ranked = head.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "token"))
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k int")
+    covered = F.sum(
+        F.when(F.col("rnk") <= F.col("k"), F.col("freq")).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("k").cast("long").alias("k"), "n")
+        .agg(covered.alias("covered_tokens"))
+        .select(
+            "k", "covered_tokens", F.col("n").alias("total_tokens"),
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n"), 4
+            ).alias("coverage"),
+        )
+    )
