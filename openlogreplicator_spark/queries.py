@@ -17687,8 +17687,12 @@ def docs_edit_distance_verify(spark, sf_dir):
     exact ints, one division rounds last. Reference analogue: none —
     training-data pipeline extension."""
     d = T(spark, sf_dir, "documents")
-    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
-    pairs = pairs.filter((F.col("a") < 1000) & (F.col("b") < 1000))
+    # both pair endpoints are < 1000, so restricting the corpus BEFORE
+    # signature/pair generation yields the identical pair set at a
+    # fraction of the blocked-join cost (the oracle filters post-join —
+    # same set either way)
+    d1k = d.filter(F.col("doc_id") < 1000)
+    pairs = S.simhash_near_dup_pairs(d1k, "doc_id", "text", max_hamming=3)
     da = d.select(F.col("doc_id").alias("_a"),
                   F.substring("text", 1, 400).alias("ta"))
     db = d.select(F.col("doc_id").alias("_b"),
