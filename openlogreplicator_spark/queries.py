@@ -17970,3 +17970,168 @@ def docs_vocab_coverage_curve(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "cdc_key_reactivation",
+    f"""
+    WITH ev AS (
+      SELECT url, op, warc_ts, seq
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    o AS (
+      SELECT url, op, warc_ts,
+             lag(op) OVER (PARTITION BY url
+                           ORDER BY warc_ts, seq) AS prev_op,
+             lag(warc_ts) OVER (PARTITION BY url
+                                ORDER BY warc_ts, seq) AS prev_ts
+      FROM ev),
+    re AS (
+      SELECT url, epoch_us(warc_ts) - epoch_us(prev_ts) AS gap_us
+      FROM o WHERE prev_op = 'd' AND op <> 'd'),
+    k AS (SELECT CAST(count(DISTINCT url) AS BIGINT) AS n_keys FROM ev),
+    rk AS (
+      SELECT CAST(count(DISTINCT url) AS BIGINT) AS n_keys_reactivated,
+             CAST(count(*) AS BIGINT) AS n_reactivations,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS p50_gap
+      FROM re)
+    SELECT n_keys, n_keys_reactivated, n_reactivations,
+           round(CAST(n_keys_reactivated AS DOUBLE) / n_keys, 4)
+             AS reactivation_share,
+           round(CAST(p50_gap AS DOUBLE) / 3600000000.0, 4) AS p50_gap_hours
+    FROM k CROSS JOIN rk
+    """,
+)
+def cdc_key_reactivation(spark, sf_dir):
+    """Delete→re-create (reactivation) profile over the committed change
+    log — how often a deleted key COMES BACK and how quickly: exactly the
+    lifecycle transition that makes tombstone retention hard (purge too
+    early and a late re-create's LWW context is gone; engine_delete_where
+    and the purge-resurrection fix exist because of this case), so its
+    empirical rate and median gap are the data behind the
+    purge_tombstones horizon next to cdc_key_survival_km's death curve.
+    Determinism: transitions are detected by ONE per-key lag window
+    ((warc_ts, seq) total order); gaps ride as exact integer micros into
+    percentile_disc; counts are exact BIGINTs (the Spark side counts
+    distinct keys two-phase per the repo rule). Shape at 100 TB: one url
+    exchange, then the reactivation relation is tiny. Reference
+    analogue: delete+insert handling in the transaction buffer
+    (SURVEY §2.2 P7) — this is its corpus-level statistics twin."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    ev = raw.filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    ).select("url", "op", "warc_ts", "seq")
+    w = Window.partitionBy("url").orderBy("warc_ts", "seq")
+    o = ev.select(
+        "url", "op", "warc_ts",
+        F.lag("op").over(w).alias("prev_op"),
+        F.lag("warc_ts").over(w).alias("prev_ts"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    re_ = o.filter(
+        (F.col("prev_op") == "d") & (F.col("op") != "d")
+    ).select("url", (us("warc_ts") - us("prev_ts")).alias("gap_us"))
+    k = ev.select("url").distinct().agg(F.count("*").alias("n_keys"))
+    rk = re_.agg(
+        F.count("*").alias("n_reactivations"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)")
+        .alias("p50_gap"),
+    )
+    rku = re_.select("url").distinct().agg(
+        F.count("*").alias("n_keys_reactivated")
+    )
+    return (
+        k.crossJoin(F.broadcast(rk))
+        .crossJoin(F.broadcast(rku))
+        .select(
+            "n_keys", "n_keys_reactivated", "n_reactivations",
+            F.round(
+                F.col("n_keys_reactivated").cast("double") / F.col("n_keys"),
+                4,
+            ).alias("reactivation_share"),
+            F.round(
+                F.col("p50_gap").cast("double") / 3600000000.0, 4
+            ).alias("p50_gap_hours"),
+        )
+    )
+
+
+@register(
+    "docs_dedup_quality_gain",
+    f"""
+    WITH RECURSIVE {_components_cte()},
+    {_SURVIVOR_RANKED_CTES},
+    removed AS (SELECT doc_id FROM ranked WHERE rn > 1),
+    b AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_before,
+             CAST(sum(_q * 2) AS BIGINT) AS q2_before
+      FROM quality),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_after,
+             CAST(sum(_q * 2) AS BIGINT) AS q2_after
+      FROM quality LEFT JOIN removed USING (doc_id)
+      WHERE removed.doc_id IS NULL)
+    SELECT n_before, n_after,
+           round(CAST(q2_before AS DOUBLE) / (2 * n_before), 6)
+             AS mean_q_before,
+           round(CAST(q2_after AS DOUBLE) / (2 * n_after), 6)
+             AS mean_q_after,
+           round(CAST(q2_after AS DOUBLE) / (2 * n_after)
+                 - CAST(q2_before AS DOUBLE) / (2 * n_before), 6)
+             AS quality_gain
+    FROM b CROSS JOIN a
+    """,
+)
+def docs_dedup_quality_gain(spark, sf_dir):
+    """The QUALITY payoff of keep-one dedup — corpus mean quality score
+    before vs after removing non-survivor cluster members: duplicates
+    are disproportionately templated/low-quality pages, so dedup should
+    RAISE mean quality, and this number (next to
+    docs_dedup_savings_bytes' storage payoff) is the evidence; a
+    near-zero gain says the near-dup clusters are duplicating GOOD pages
+    (syndication) rather than spam, which changes what keep-one should
+    keep. Reuses the survivor-ranking CTEs (one spelling with the policy
+    itself). Determinism: _q takes exact half-integer values, so 2·_q
+    sums as exact BIGINTs and each mean is ONE division rounded 6 dp.
+    Shape at 100 TB: component machinery aside, two counts over the
+    docs-sized quality relation with a broadcast anti-join. Reference
+    analogue: none — training-data pipeline extension."""
+    d = T(spark, sf_dir, "documents")
+    pairs = S.simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+    comps = S.connected_components(pairs, "a", "b")
+    q = TXT.quality_score(F.col("text"))
+    quality = d.select("doc_id", q.cast("double").alias("_q"))
+    members = quality.join(
+        comps.withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("_q"), "doc_id")
+    removed = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    b = quality.agg(
+        F.count("*").alias("n_before"),
+        F.sum(F.col("_q") * 2).cast("long").alias("q2_before"),
+    )
+    a = (
+        quality.join(F.broadcast(removed), "doc_id", "left_anti")
+        .agg(
+            F.count("*").alias("n_after"),
+            F.sum(F.col("_q") * 2).cast("long").alias("q2_after"),
+        )
+    )
+    mb = F.col("q2_before").cast("double") / (2 * F.col("n_before"))
+    ma = F.col("q2_after").cast("double") / (2 * F.col("n_after"))
+    return b.crossJoin(a).select(
+        "n_before", "n_after",
+        F.round(mb, 6).alias("mean_q_before"),
+        F.round(ma, 6).alias("mean_q_after"),
+        F.round(ma - mb, 6).alias("quality_gain"),
+    )
