@@ -234,6 +234,7 @@ def read_state(
     broadcast_budget_keys: int = DEFAULT_BROADCAST_BUDGET,
     buckets: Iterable[int] | None = None,
     eq: dict[str, str] | None = None,
+    not_null: Iterable[str] | None = None,
 ) -> DataFrame:
     """User-facing scan: live rows only (tombstones filtered, internal cols
     kept). On a merge-on-read table (uncompacted appended deltas), winners
@@ -250,6 +251,13 @@ def read_state(
     whose superseded version matched but whose winner doesn't is
     correctly absent.
 
+    ``not_null=("col", ...)`` returns only winners where every listed
+    column IS NOT NULL, served with the manifest null-count file skipping
+    under the same clean/dirty split (read()'s gate; a file entirely null
+    in the column, or predating its add_column, is skipped on clean
+    buckets only — a pruned winner's superseded version must never
+    resurrect).
+
     Scale shape (round-2 verdict tasks 4+5): read-time LWW runs ONLY over the
     dirty buckets (buckets partition keys, so per-bucket LWW is exact); clean
     buckets stream through untouched. The LWW strategy is auto-selected with
@@ -262,18 +270,24 @@ def read_state(
         present &= set(buckets)
     dirty = table.dirty_buckets() & present
     if not dirty:
-        df = table.read(present if buckets is not None else None, eq=eq)
+        df = table.read(
+            present if buckets is not None else None, eq=eq,
+            not_null=not_null,
+        )
     else:
         clean = present - dirty
         resolved = lww_compact_auto(
-            table.read(dirty),  # never eq-pruned: LWW needs every version
+            # never eq/null-pruned: LWW needs every version
+            table.read(dirty),
             key=table.key_col,
             order=("warc_ts", "_seq"),
             broadcast_budget_keys=broadcast_budget_keys,
             approx_rows=table.rows_in_buckets(dirty),
         )
         df = (
-            resolved.unionByName(table.read(clean, eq=eq))
+            resolved.unionByName(
+                table.read(clean, eq=eq, not_null=not_null)
+            )
             if clean else resolved
         )
     df = df.filter(F.col("_op") != "d")
@@ -283,6 +297,8 @@ def read_state(
                 df = df.filter(F.col(col).isin(list(val)))
             else:
                 df = df.filter(F.col(col) == F.lit(val))
+    for col in not_null or ():
+        df = df.filter(F.col(col).isNotNull())
     return df
 
 

@@ -107,3 +107,26 @@ def test_not_null_prunes_files_predating_the_column(spark, tmp_path):
     t = LakeTable.load(spark, t.path)
     pr2 = t.read(not_null=("rank_score",))
     assert len(pr2.inputFiles()) == len(pruned.inputFiles())
+
+
+def test_read_state_not_null_composition(spark, tmp_path):
+    """read_state(not_null=...) prunes clean buckets, resolves dirty ones
+    over the FULL version set, and filters post-LWW — a dirty key whose
+    superseded version had a value but whose winner is NULL is absent."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, key_col="url",
+                         n_buckets=2, schema_ver=1)
+    rows = [(f"u{i}", TS, i, "c", f"t{i}", None if i < 6 else "en")
+            for i in range(12)]
+    merge_into(t, spark.createDataFrame(rows, DDL), epoch_id=0)
+    t = LakeTable.load(spark, t.path)
+    cluster_buckets(t, target_rows_per_file=3, sort_cols=("lang",))
+    t = LakeTable.load(spark, t.path)
+    # now make ONE key dirty with a NULL-lang winner over a non-null old
+    merge_append(t, spark.createDataFrame(
+        [("u7", TS2, 100, "u", "newer", None)], DDL), epoch_id=1)
+    t = LakeTable.load(spark, t.path)
+    st = read_state(t, not_null=("lang",))
+    got = sorted(r["url"] for r in st.collect())
+    assert "u7" not in got, "NULL-lang winner must not resurface its old row"
+    assert got == sorted(f"u{i}" for i in range(6, 12) if i != 7)
+    assert st.count() == 5
