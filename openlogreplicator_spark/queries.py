@@ -18135,3 +18135,159 @@ def docs_dedup_quality_gain(spark, sf_dir):
         F.round(ma, 6).alias("mean_q_after"),
         F.round(ma - mb, 6).alias("quality_gain"),
     )
+
+
+@register(
+    "events_attribution_agreement",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts, event_type
+          FROM events WHERE event_type <> 'purchase'),
+    touched AS (
+      SELECT p.purchase_id, c.event_type,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts, c.event_id) AS rn_first,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.ts DESC, c.event_id DESC)
+               AS rn_last
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 72 HOUR),
+    ft AS (SELECT purchase_id, event_type AS first_touch
+           FROM touched WHERE rn_first = 1),
+    lt AS (SELECT purchase_id, event_type AS last_touch
+           FROM touched WHERE rn_last = 1),
+    m AS (SELECT f.purchase_id, first_touch, last_touch
+          FROM ft f JOIN lt l ON f.purchase_id = l.purchase_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m)
+    SELECT first_touch, last_touch,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(count(*) AS DOUBLE) / n, 4) AS share
+    FROM m CROSS JOIN tot GROUP BY first_touch, last_touch, n
+    """,
+)
+def events_attribution_agreement(spark, sf_dir):
+    """Attribution-model migration matrix — for every purchase with a 72 h
+    touch history, the (first-touch channel, last-touch channel) cell it
+    lands in: the diagonal is where first- and last-touch attribution
+    AGREE, and the off-diagonal mass is exactly the budget that would
+    move if the business switched models (the attribution twin of
+    docs_dedup_method_agreement — before arguing U-shaped vs last-touch,
+    measure how often it matters). Both endpoint picks ride the SAME
+    purchase-keyed exchange ((ts, event_id) total order, one window pair
+    like the funnel's); counts are exact BIGINTs to one rounded share.
+    Shape at 100 TB: the candidate join is the user-equi-keyed bounded
+    time-range join (per-user state lookback-bounded), the matrix is
+    event-types²-sized. Reference analogue: none — training-data/events
+    extension."""
+    ev = T(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"), "event_type",
+    )
+    touched = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 72 HOURS")),
+    ).select("purchase_id", "event_type", "c_ts", "c_id")
+    wf = Window.partitionBy("purchase_id").orderBy("c_ts", "c_id")
+    wl = Window.partitionBy("purchase_id").orderBy(
+        F.desc("c_ts"), F.desc("c_id")
+    )
+    marked = touched.select(
+        "purchase_id", "event_type",
+        F.row_number().over(wf).alias("rn_first"),
+        F.row_number().over(wl).alias("rn_last"),
+    )
+    ft = marked.filter(F.col("rn_first") == 1).select(
+        "purchase_id", F.col("event_type").alias("first_touch")
+    )
+    lt = marked.filter(F.col("rn_last") == 1).select(
+        F.col("purchase_id").alias("_p"),
+        F.col("event_type").alias("last_touch"),
+    )
+    m = ft.join(lt, F.col("purchase_id") == F.col("_p"))
+    tot = m.agg(F.count("*").alias("n"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .groupBy("first_touch", "last_touch", "n")
+        .agg(F.count("*").alias("n_purchases"))
+        .select(
+            "first_touch", "last_touch", "n_purchases",
+            F.round(F.col("n_purchases").cast("double") / F.col("n"), 4)
+            .alias("share"),
+        )
+    )
+
+
+@register(
+    "cdc_url_depth_profile",
+    f"""
+    WITH ev AS (
+      SELECT url, op FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    per_url AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS n_changes FROM ev
+      GROUP BY url),
+    d AS (
+      SELECT CAST(length(regexp_replace(url, '^https?://[^/]*', ''))
+                  - length(replace(regexp_replace(url, '^https?://[^/]*', ''),
+                                   '/', '')) AS BIGINT) AS depth,
+             n_changes
+      FROM per_url),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_urls FROM per_url)
+    SELECT depth, CAST(count(*) AS BIGINT) AS n_urls_at_depth,
+           CAST(sum(n_changes) AS BIGINT) AS n_changes,
+           round(CAST(count(*) AS DOUBLE) / n_urls, 4) AS url_share
+    FROM d CROSS JOIN tot GROUP BY depth, n_urls
+    """,
+)
+def cdc_url_depth_profile(spark, sf_dir):
+    """URL path-depth profile of the change log — how deep in the site
+    tree the churning pages live, with change volume per depth: crawl
+    schedulers budget by depth (shallow pages = hubs worth frequent
+    recrawl; deep pages = long tail), and a depth-mix shift between
+    crawls flags a scope change before volume alarms fire. Depth is the
+    '/'-count of the post-host path spelled as length minus
+    slash-stripped length (identical on both engines — Spark's
+    regexp_replace is global by default while DuckDB's needs a flag, so
+    the counting uses plain replace instead). Exact BIGINT counts to one
+    rounded share. Shape at 100 TB: one url-keyed partial agg, then a
+    depths-sized rollup. Reference analogue: none — training-data
+    pipeline extension over the committed change log."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    ev = raw.filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    )
+    per_url = ev.groupBy("url").agg(F.count("*").alias("n_changes"))
+    path = F.regexp_replace("url", "^https?://[^/]*", "")
+    depth = (
+        F.length(path) - F.length(F.regexp_replace(path, "/", ""))
+    ).cast("long")
+    d = per_url.select(depth.alias("depth"), "n_changes")
+    tot = per_url.agg(F.count("*").alias("n_urls"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("depth", "n_urls")
+        .agg(
+            F.count("*").alias("n_urls_at_depth"),
+            F.sum("n_changes").cast("long").alias("n_changes"),
+        )
+        .select(
+            "depth", "n_urls_at_depth", "n_changes",
+            F.round(
+                F.col("n_urls_at_depth").cast("double") / F.col("n_urls"), 4
+            ).alias("url_share"),
+        )
+    )
