@@ -576,6 +576,11 @@ def snapshot_diff(
         out: dict[int, set] = {}
         for fe in t.snap["files"]:
             out.setdefault(fe["bucket"], set()).add(fe["path"])
+        # position-delete files are part of a bucket's content identity: a
+        # posdelete commit changes user-visible state WITHOUT touching any
+        # data file, and pruning on data files alone would diff it as empty
+        for de in t.snap.get("delete_files") or []:
+            out.setdefault(de["bucket"], set()).add("del:" + de["path"])
         return {b: frozenset(s) for b, s in out.items()}
     fs_old, fs_new = file_sets(old), file_sets(new)
     changed = sorted(

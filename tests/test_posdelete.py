@@ -168,3 +168,22 @@ def test_maintain_folds_position_deletes(spark, tmp_path):
     t = LakeTable.load(spark, t.path)
     assert not t.snap.get("delete_files")
     assert sorted(r["url"] for r in t.read().collect()) == want
+
+
+def test_snapshot_diff_sees_position_deletes(spark, tmp_path):
+    """A posdelete commit changes user-visible state without touching any
+    data file — the CDF/changelog path must still report it (bucket
+    identity includes delete files, not just data files)."""
+    from openlogreplicator_spark.operators.merge import snapshot_diff
+
+    t = _mk(spark, str(tmp_path / "t"))
+    v0 = t.snap["version"]
+    delete_positions(t, t.read(with_file=True, with_pos=True).filter(
+        F.col("lang") == "de"))
+    t = LakeTable.load(spark, t.path)
+    diff = snapshot_diff(spark, t.path, from_version=v0)
+    rows = diff.collect()
+    assert len(rows) == 4
+    assert {r["_change"] for r in rows} == {"delete"}
+    assert {r["url"] for r in rows} == {f"u{i}" for i in range(12)
+                                        if i % 3 == 0}
