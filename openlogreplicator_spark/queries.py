@@ -18291,3 +18291,67 @@ def cdc_url_depth_profile(spark, sf_dir):
             ).alias("url_share"),
         )
     )
+
+
+@register(
+    "cdc_schema_adoption",
+    f"""
+    WITH ev AS (
+      SELECT url, op, warc_ts, seq, schema_ver
+      FROM read_parquet('{_REPLAY_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
+    w AS (
+      SELECT url, schema_ver FROM (
+        SELECT url, schema_ver, op,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY warc_ts DESC, seq DESC) AS rn
+        FROM ev) WHERE rn = 1 AND op <> 'd'),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w)
+    SELECT CAST(schema_ver AS BIGINT) AS schema_ver,
+           CAST(count(*) AS BIGINT) AS n_live_rows,
+           round(CAST(count(*) AS DOUBLE) / n, 4) AS live_share
+    FROM w CROSS JOIN tot GROUP BY schema_ver, n
+    """,
+)
+def cdc_schema_adoption(spark, sf_dir):
+    """Schema-version adoption across LIVE state — what share of current
+    winners was last written under each dictionary version: the migration
+    progress monitor after a DDL (cdc_ddl_timeline profiles the LOG's
+    volume per era; this profiles what SURVIVES — a column added three
+    versions ago that still covers only 40% of live rows tells every
+    consumer how much NULL back-fill to expect, the practical question
+    behind the per-version CASE in the replay projection). Winners
+    resolve by the standard (warc_ts, seq) LWW rank; counts are exact
+    BIGINTs to one rounded share. Shape at 100 TB: one url-keyed rank
+    (the LWW exchange) into a versions-sized rollup. Reference analogue:
+    schema_ver stamping per record (SystemTransaction dictionary replay,
+    SURVEY §2.9) — this is its state-side statistics twin."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.schema(EVENTS_DDL).parquet(_ensure_replay_events())
+    ev = raw.filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back")
+        & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("seq")
+    )
+    winners = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "d"))
+        .select("url", "schema_ver")
+    )
+    tot = winners.agg(F.count("*").alias("n"))
+    return (
+        winners.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("schema_ver").cast("long").alias("schema_ver"), "n")
+        .agg(F.count("*").alias("n_live_rows"))
+        .select(
+            "schema_ver", "n_live_rows",
+            F.round(F.col("n_live_rows").cast("double") / F.col("n"), 4)
+            .alias("live_share"),
+        )
+    )
