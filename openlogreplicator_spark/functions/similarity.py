@@ -89,9 +89,21 @@ def minhash_bands(sig: DataFrame, id_col: str, n_hashes: int = 4, band_size: int
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4, band_size: int = 2
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4,
+    band_size: int = 2, max_bucket: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidate pairs (a < b) sharing at least one LSH band."""
+    """Near-dup candidate pairs (a < b) sharing at least one LSH band.
+
+    ``max_bucket`` is the hot-bucket guard (the band-side twin of the
+    DF-capped shingle join): a band bucket holding B docs emits B²/2
+    pairs, so on a duplicate-saturated corpus an uncapped LOOSE band spec
+    degenerates to Θ(n²·dup-share) output (round-3 verdict "What's wrong
+    #2"). With the cap, buckets with more than ``max_bucket`` members are
+    dropped whole — the signal they carry ("this band hash is
+    boilerplate-saturated") belongs to cluster-level dedup, not pair
+    emission — bounding output at buckets·cap²/2. None = uncapped
+    (back-compat for the tight production specs, whose buckets are small
+    by construction)."""
     b = minhash_bands(
         minhash_signature(
             tokens(df, id_col, text_col, distinct=False), id_col,
@@ -99,6 +111,14 @@ def minhash_candidate_pairs(
         ),
         id_col, n_hashes, band_size,
     )
+    if max_bucket is not None:
+        keep = (
+            b.groupBy("band_id", "band_hash")
+            .agg(F.count("*").alias("_n"))
+            .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+            .select("band_id", "band_hash")
+        )
+        b = b.join(keep, ["band_id", "band_hash"])
     left = b.select(F.col(id_col).alias("a"), "band_id", "band_hash")
     right = b.select(F.col(id_col).alias("b"), "band_id", "band_hash")
     return (
@@ -1178,8 +1198,11 @@ def pca_power_top(
     the kmeans_fit determinism recipe — so a DuckDB twin of unrolled CTEs
     replays the identical trajectory. v0 = round(1/sqrt(dim)) uniform
     (deterministic, no RNG). Cost is iters tiny jobs over dim² rows; the
-    corpus itself is never touched here."""
-    v, lam = _power_once(_cov_mirror(cov_upper), dim, iters, round_dp)
+    corpus itself is never touched here. The mirrored covariance is
+    localCheckpoint'ed (dim² rows) so the per-iteration matvec joins never
+    re-run the corpus-sized Gram reduction (round-3 verdict)."""
+    full = _cov_mirror(cov_upper).localCheckpoint(eager=True)
+    v, lam = _power_once(full, dim, iters, round_dp)
     return v.crossJoin(F.broadcast(lam)).select(
         F.col("i").alias("pos"), F.col("x").alias("loading"), "eigval"
     )
@@ -1244,7 +1267,10 @@ def pca_power_components(
     trajectory component by component. Returns
     ``(component, pos, loading, eigval)``."""
     spark = cov_upper.sparkSession
-    full = _cov_mirror(cov_upper)
+    # dim²-row checkpoint: the corpus-sized Gram reduction runs exactly ONCE
+    # for the whole multi-component fit — every matvec of every component
+    # joins against materialized blocks, never the corpus lineage
+    full = _cov_mirror(cov_upper).localCheckpoint(eager=True)
     rows: list[tuple[int, int, float, float]] = []
     for comp in range(1, n_components + 1):
         v, lam = _power_once(full, dim, iters, round_dp)
@@ -1274,6 +1300,7 @@ def pca_power_components(
                         round_dp,
                     ).alias("cov"),
                 )
+                .localCheckpoint(eager=True)
             )
     return spark.createDataFrame(
         rows, "component int, pos long, loading double, eigval double"

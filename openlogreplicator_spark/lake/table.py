@@ -45,6 +45,7 @@ from __future__ import annotations
 import fcntl
 import json
 import os
+import re
 import shutil
 import uuid
 from contextlib import contextmanager
@@ -87,13 +88,35 @@ _WIDENINGS = {
 }
 
 
+#: URI-scheme prefix (``file:///``, ``hdfs://host/`` …) — stripped before
+#: keying so ``_metadata.file_path`` (always a URI) and manifest entries
+#: (plain paths) agree. Kept identical between the Python and Spark sides.
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+
+
 def data_suffix(path: str) -> str:
     """Table-unique file key: the path suffix after the last ``data/``
     segment. A bare basename is NOT unique — Spark's partitionBy writer
     reuses one task filename across bucket dirs — so the ``_file`` column,
-    ``file_commits`` keys and position-delete addresses all use this."""
+    ``file_commits`` keys and position-delete addresses all use this.
+    The URI scheme is stripped FIRST so an ``import_files``-registered
+    external file whose absolute path contains no ``data/`` segment keys
+    identically whether derived from ``_metadata.file_path`` (a
+    ``file://`` URI) or from a manifest entry (a plain absolute path)."""
+    path = re.sub(_URI_SCHEME_RE, "/", path)
     i = path.rfind("data/")
     return path[i + 5:] if i >= 0 else path
+
+
+def file_key_expr(col=None):
+    """Spark-expression twin of :func:`data_suffix` over
+    ``_metadata.file_path``. The two MUST stay in lockstep: read() stamps
+    ``_file`` with this, while ``file_commits()`` / ``delete_positions``
+    key manifests with ``data_suffix`` — a divergence silently breaks row
+    provenance and raises false stale-victim errors (round-3 ADVICE)."""
+    c = F.col("_metadata.file_path") if col is None else col
+    c = F.regexp_replace(c, _URI_SCHEME_RE, "/")
+    return F.element_at(F.split(c, "data/"), -1)
 
 
 def _norm_type(t: str) -> str:
@@ -808,8 +831,9 @@ class LakeTable:
             return self.spark.createDataFrame([], ddl)
         # table-unique file key: bare basenames COLLIDE across bucket dirs
         # (Spark's partitionBy writer reuses one task filename per dir), so
-        # every file address is the path suffix after the last "data/"
-        basename = F.element_at(F.split(F.col("_metadata.file_path"), "data/"), -1)
+        # every file address is the path suffix after the last "data/",
+        # scheme-stripped to match data_suffix on the manifest side
+        basename = file_key_expr()
         parts: list[DataFrame] = []
         for ver, paths in sorted(by_ver.items()):
             old = {f["id"]: f for f in self.schema_at(ver)}
@@ -1078,7 +1102,7 @@ class LakeTable:
         except CommitConflict:
             if not rebase_on_conflict or _attempts <= 1:
                 raise
-            self._rebase_for_retry()
+            self._rebase_for_retry(replaced)
             # re-apply the SAME physical outcome on the new head; each
             # level re-checks the new winner, bounded by _attempts
             return self.commit_files(
@@ -1090,24 +1114,66 @@ class LakeTable:
             )
         self.snap = snap
 
-    def _rebase_for_retry(self) -> None:
-        """Reload the ref head after a CommitConflict and verify the winner
-        was a content-preserving maintenance commit at the same schema and
-        bucket layout — the only case where re-applying already-written
-        data files is sound (see commit_files docstring). Re-raises the
-        conflict otherwise."""
+    def _rebase_for_retry(self, replaced: Iterable[int] = ()) -> None:
+        """Reload the ref head after a CommitConflict and verify that EVERY
+        commit between this writer's base snapshot and the new head was a
+        content-preserving maintenance commit at the same schema and bucket
+        layout — the only case where re-applying already-written data files
+        is sound (see commit_files docstring). Re-raises the conflict
+        otherwise.
+
+        The WHOLE parent chain is validated, not just the head (round-3
+        ADVICE): if two commits landed during the window — a non-rebaseable
+        posdelete on bucket B followed by a rebaseable compact — a
+        head-only check would rebase B's rewrite onto head and
+        commit_files would then drop B's delete_files entries even though
+        the rewritten files were produced from a pre-posdelete read,
+        resurrecting position-deleted rows. Belt-and-braces on top of the
+        op whitelist: any delete-file entry for a bucket this commit
+        REPLACES that exists at head but not at the loser's base refuses
+        the rebase regardless of which op added it."""
         head = LakeTable.load(self.spark, self.path, branch=self.branch)
-        win_op = str((head.snap.get("summary") or {}).get("op"))
-        if (
-            win_op not in self._REBASEABLE_OPS
-            or head.current_schema_ver != self.current_schema_ver
-            or head.snap.get("n_buckets") != self.snap.get("n_buckets")
-        ):
+        base_ver = int(self.snap["version"])
+        chain = self._chain_versions(head.snap["version"], base_ver)
+        if not chain or chain[-1] != base_ver:
             raise CommitConflict(
-                f"ref moved by non-rebaseable commit (op={win_op!r}, "
-                f"schema v{head.current_schema_ver}, "
-                f"{head.snap.get('n_buckets')} buckets) — reload and re-apply"
+                f"ref moved and the parent chain from v{head.snap['version']}"
+                f" does not reach this writer's base v{base_ver} (expired or"
+                " cross-branch) — reload and re-apply"
             )
+        sdir = os.path.join(self.path, "_snapshots")
+        for v in chain[:-1]:  # every commit the winner(s) added, newest first
+            with open(os.path.join(sdir, f"v{v:08d}.json")) as f:
+                s = json.load(f)
+            win_op = str((s.get("summary") or {}).get("op"))
+            if (
+                win_op not in self._REBASEABLE_OPS
+                or int(s.get("current_schema_ver", -1))
+                != self.current_schema_ver
+                or s.get("n_buckets") != self.snap.get("n_buckets")
+            ):
+                raise CommitConflict(
+                    f"ref moved by non-rebaseable commit v{v} (op={win_op!r},"
+                    f" schema v{s.get('current_schema_ver')},"
+                    f" {s.get('n_buckets')} buckets) — reload and re-apply"
+                )
+        rep = set(replaced)
+        if rep:
+            base_dels = {
+                (d["path"]) for d in (self.snap.get("delete_files") or [])
+                if d["bucket"] in rep
+            }
+            new_dels = [
+                d for d in (head.snap.get("delete_files") or [])
+                if d["bucket"] in rep and d["path"] not in base_dels
+            ]
+            if new_dels:
+                raise CommitConflict(
+                    "ref moved by a commit that added position deletes to "
+                    f"buckets {sorted({d['bucket'] for d in new_dels})} this "
+                    "commit replaces — rewritten files predate those deletes;"
+                    " reload and re-apply"
+                )
         self.snap = head.snap
 
     def _write_manifest(self, files: list[dict], version: int, kind: str) -> str:

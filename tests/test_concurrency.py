@@ -354,3 +354,66 @@ def test_streaming_ingest_with_concurrent_maintenance_soak(
     assert got["http_status"].astype("Int64").equals(
         golden["http_status"].astype("Int64")
     )
+
+
+def test_rebase_validates_whole_chain_not_just_head(spark, table):
+    """Round-3 ADVICE: if TWO commits land during a maintenance writer's
+    window — a non-rebaseable posdelete followed by a rebaseable compact —
+    a head-only check would rebase the losing bucket rewrite onto head and
+    silently drop the posdelete's delete_files for the replaced buckets
+    (resurrecting erased rows). The rebase must walk the parent chain and
+    refuse."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators.merge import (
+        compact_table, delete_positions,
+    )
+
+    # loser: loads the table, will try to commit a bucket rewrite later
+    stale = LakeTable.load(spark, table)
+
+    # winner 1 (non-rebaseable): position-delete a few physical rows
+    t1 = LakeTable.load(spark, table)
+    victims = t1.read(with_file=True, with_pos=True).limit(3)
+    out = delete_positions(t1, victims)
+    assert out["rows"] == 3
+    erased_before = read_state(LakeTable.load(spark, table)).count()
+
+    # winner 2 (rebaseable): compact — head's op is now in _REBASEABLE_OPS
+    compact_table(LakeTable.load(spark, table))
+    head_op = LakeTable.load(spark, table).snap["summary"]["op"]
+    assert head_op in LakeTable._REBASEABLE_OPS
+
+    # loser's rewrite of every bucket was computed from a PRE-posdelete
+    # read — rebasing it would resurrect the erased rows
+    with pytest.raises(CommitConflict):
+        compact_table(stale)
+
+    # and nothing was resurrected
+    assert read_state(LakeTable.load(spark, table)).count() == erased_before
+
+
+def test_rebase_still_composes_over_rebaseable_chain(spark, table):
+    """Two rebaseable maintenance commits landing in the window must still
+    rebase cleanly (the chain walk must not over-refuse)."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.operators.merge import (
+        compact_table, merge_append, purge_tombstones,
+    )
+
+    stale = LakeTable.load(spark, table)
+    compact_table(LakeTable.load(spark, table))
+    purge_tombstones(LakeTable.load(spark, table),
+                     older_than=_dt.datetime(1990, 1, 1))
+    assert LakeTable.current_version(table) >= stale.snap["version"] + 2
+
+    # append an epoch from the stale handle: must rebase over BOTH commits
+    df = stale.read().limit(5).select(
+        "url", "warc_ts", F.lit(10_000_000).alias("_seq"),
+        F.lit("u").alias("_op"), "text", "lang",
+    )
+    merge_append(stale, df, epoch_id=99)
+    assert LakeTable.load(spark, table).last_epoch() == (99, True)

@@ -187,3 +187,47 @@ def test_snapshot_diff_sees_position_deletes(spark, tmp_path):
     assert {r["_change"] for r in rows} == {"delete"}
     assert {r["url"] for r in rows} == {f"u{i}" for i in range(12)
                                         if i % 3 == 0}
+
+
+def test_posdelete_and_provenance_on_imported_external_files(spark, tmp_path):
+    """Round-3 ADVICE: files registered by import_files from a path with NO
+    'data/' segment must key identically on the read side (_file derived
+    from the file:// URI in _metadata.file_path) and the manifest side
+    (data_suffix of the stored absolute path) — otherwise file_commits()
+    pairing silently misses and delete_positions raises a false
+    'stale victims' error for rows read from imported files."""
+    import glob
+
+    from openlogreplicator_spark.operators.merge import import_files
+
+    # external dump in a directory whose path contains no 'data/' segment
+    ext = str(tmp_path / "ext")
+    assert "data/" not in ext + "/"
+    src = _mk(spark, str(tmp_path / "src"))
+    src.read().write.parquet(ext)
+    ext_files = sorted(glob.glob(ext + "/*.parquet"))
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), FIELDS, key_col="url",
+                         n_buckets=2, schema_ver=1)
+    import_files(t, ext_files)
+    t = LakeTable.load(spark, t.path)
+
+    # read-side keys and manifest-side keys must be the same key space
+    read_keys = {
+        r["_file"] for r in t.read(with_file=True).select("_file").collect()
+    }
+    commit_keys = set(t.file_commits())
+    assert read_keys <= commit_keys, (read_keys, commit_keys)
+    for k in read_keys:
+        assert not k.startswith("file:"), k  # scheme must be stripped
+
+    # position delete on rows living in imported files must not be
+    # refused as stale
+    victims = t.read(with_file=True, with_pos=True).filter(
+        F.col("lang") == "de"
+    )
+    out = delete_positions(t, victims)
+    assert out["rows"] == 4
+    t = LakeTable.load(spark, t.path)
+    got = {r["url"] for r in read_state(t).collect()}
+    assert got == {f"u{i}" for i in range(12) if i % 3 != 0}
