@@ -162,6 +162,7 @@ import sys, time, tempfile, json, shutil, glob, os
 sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
 from openlogreplicator_spark.session import build_session
 from openlogreplicator_spark.streaming.pipeline import CdcPipeline
+from openlogreplicator_spark.operators import merge as _merge
 spark = build_session(app_name="olr-bench-{cores}", cores={cores},
                       shuffle_partitions={4 * cores})
 # JIT warmup on a 1/8 subset: compiles the identical code paths at a
@@ -173,11 +174,15 @@ for f in warm_src:
     os.link(f, os.path.join(warm_ev, os.path.basename(f)))
 times = []
 rows = 0
+stages = {{}}
 for rep in range({warmup + n_repeats}):
     warm_rep = rep < {warmup}
     work = tempfile.mkdtemp(dir={scratch_base()!r}, prefix="olr_bench_run_")
     p = CdcPipeline(spark, warm_ev if warm_rep else {events_dir!r},
                     work + "/t", work + "/c", n_buckets=64)
+    # per-stage apply breakdown (bucket_discovery/write/footer_walk/commit/
+    # ddl_gate) — resets each repeat, the fastest repeat's split is reported
+    _merge.STAGE_PROFILE = {{}} if not warm_rep else None
     t0 = time.time()
     if {streaming!r}:
         p.run_available_now(max_files_per_trigger=32)
@@ -185,8 +190,11 @@ for rep in range({warmup + n_repeats}):
         p.run_batch_replay()
     secs = time.time() - t0
     if not warm_rep:
+        if not times or secs < min(times):
+            stages = dict(_merge.STAGE_PROFILE or {{}})
         times.append(secs)
         rows = p.target_state().count() if not rows else rows
+    _merge.STAGE_PROFILE = None
     shutil.rmtree(work, ignore_errors=True)
 shutil.rmtree(warm_dir, ignore_errors=True)
 spark.stop()
@@ -194,7 +202,7 @@ print(json.dumps({{"cores": {cores}, "streaming": {streaming!r},
                    "secs_min": round(min(times), 3),
                    "secs_all": [round(t, 2) for t in times],
                    "events_per_sec": round({N_EVENTS} / min(times), 1),
-                   "final_rows": rows}}))
+                   "final_rows": rows, "stages": stages}}))
 """
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
@@ -381,6 +389,10 @@ def main() -> None:
                           "eff": head["eff"], "pairs": head["records"],
                           "retries": head["retries"]},
             "scaling_efficiency_2_8": side["eff"],
+            # per-stage split of the fastest 8-core batch apply (round-3
+            # verdict: separates driver bookkeeping from the distributed job
+            # so a per-event regression can be attributed)
+            "apply_stages": hi.get("stages"),
             "probe_gate": gate,
             "scaling_pairs": side["records"],
             "eff_retries": side["retries"],
