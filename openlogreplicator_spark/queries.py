@@ -15685,6 +15685,94 @@ def engine_network_replay(spark, sf_dir):
     )
 
 
+@register("engine_kafka_replay", _REPLAY_SQL)
+def engine_kafka_replay(spark, sf_dir):
+    """The Kafka delivery-confirm transport through the VALUE gate —
+    mirror of engine_network_replay over the hand-built Kafka wire
+    protocol (sinks/kafka_wire.py: ApiVersions/Metadata/Produce v0
+    against an in-process broker peer). Per epoch, committed DML becomes
+    JSON change messages produced per-Spark-partition to the topic with
+    acks=1; the broker ack is the delivery report, and only a fully
+    acked epoch advances the watermark (reference WriterKafka.cpp:97-125
+    — dr_msg_cb success → confirmMessage, error → unconfirmed,
+    re-delivered). The state REASSEMBLED FROM THE BROKER'S TOPIC LOG
+    (parse → LWW → tombstone exclusion) must hash against the full
+    DuckDB replay. In-flight asserts pin the two delivery-semantics
+    edges: epoch 0 is first REFUSED by the broker (watermark must stay,
+    log must stay empty) then re-delivered, and a re-send of a confirmed
+    epoch adds no messages. LWW reassembly is duplicate-immune by
+    construction, which is exactly Kafka's at-least-once contract: the
+    consumer, not the producer, dedupes."""
+    from .operators.decode import EVENTS_DDL
+    from .sinks.builders import build_json_messages
+    from .sinks.kafka_wire import KafkaBrokerStub, KafkaConfirmSink
+
+    import glob as _glob
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _ensure_replay_events()
+    files = sorted(_glob.glob(os.path.join(ev, "*.parquet")))
+    committed_of = lambda f: (
+        spark.read.schema(EVENTS_DDL).parquet(f)
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back")
+            & F.col("url").isNotNull() & F.col("warc_ts").isNotNull()
+        )
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    )
+    srv = KafkaBrokerStub({"olr-changes": 4}, refuse_produces=10_000)
+    try:
+        d = tempfile.mkdtemp(prefix="olr_kafka_")
+        sink = KafkaConfirmSink(
+            "127.0.0.1", srv.port, confirmed_path=os.path.join(d, "wm")
+        )
+        # delivery-failed path: refused produce ⇒ unconfirmed + no append
+        assert not sink.send_epoch(build_json_messages(committed_of(files[0])), 0)
+        assert sink.last_confirmed_epoch() == -1
+        assert srv.values("olr-changes") == []
+        srv.refuse_produces = 0
+        for i, f in enumerate(files):
+            assert sink.send_epoch(build_json_messages(committed_of(f)), i)
+        n0 = len(srv.values("olr-changes"))
+        # idempotent re-delivery of a confirmed epoch: no new messages
+        assert sink.send_epoch(build_json_messages(committed_of(files[0])), 0)
+        assert len(srv.values("olr-changes")) == n0
+        payloads = [m.decode("utf-8") for m in srv.values("olr-changes")]
+    finally:
+        srv.close()
+    raw = spark.createDataFrame([(s,) for s in payloads], "message string")
+    schema = (
+        "scn long, seq long, payload array<struct<op string, rid string, "
+        "after struct<url string, text string, lang string, "
+        "http_status string, fetch_status string>>>"
+    )
+    p = raw.select(F.from_json("message", schema).alias("m")).select(
+        F.element_at(F.col("m.payload"), 1).alias("p"),
+        F.col("m.scn").alias("scn"),
+        F.col("m.seq").alias("_seq"),
+    )
+    rows = p.select(
+        F.col("p.rid").alias("url"),
+        F.timestamp_micros(F.col("scn")).alias("warc_ts"),
+        "_seq",
+        F.col("p.op").alias("_op"),
+        F.col("p.after.text").alias("text"),
+        F.col("p.after.lang").alias("lang"),
+        F.coalesce(
+            F.col("p.after.http_status"), F.col("p.after.fetch_status")
+        ).cast("long").alias("http_status"),
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("_seq")
+    )
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("_op") != "d"))
+        .select("url", "warc_ts", "_seq", "text", "lang", "http_status")
+    )
+
+
 @register("engine_stream_suppressed_replay", _REPLAY_SQL)
 def engine_stream_suppressed_replay(spark, sf_dir):
     """The T5 stateful stale-suppression path through the value gate:
