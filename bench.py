@@ -265,6 +265,84 @@ print(json.dumps({{"cores": {cores}, "merge_mode": {merge_mode!r},
             "error": (r.stderr or "no output")[-400:]}
 
 
+def sf1_spot(timings: dict[str, float]) -> dict | None:
+    """Scale-evidence rung: re-run the most expensive sf-table-backed
+    catalog entries at 10× the bench scale (deterministically scaled facts,
+    sf_scale.ensure_scaled_dir), each through the SAME strict DuckDB value
+    gate, and record per-entry Spark seconds + gate verdict. Any entry
+    whose sf0.1→sf1 scaling is super-linear is the round's plan-note
+    candidate. Budget-bounded (SPARK_GRAFT_SF1_BUDGET seconds, default
+    900); entries skipped for budget are LISTED, never silently dropped.
+    Disable with SPARK_GRAFT_SF1_SPOT=0."""
+    if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") == "0":
+        return None
+    import inspect
+
+    from openlogreplicator_spark.oracle_check import (
+        check_query,
+        duckdb_connection,
+    )
+    from openlogreplicator_spark.queries import QUERIES
+    from openlogreplicator_spark.session import build_session
+    from openlogreplicator_spark.sf_scale import ensure_scaled_dir
+
+    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
+    n_top = int(os.environ.get("SPARK_GRAFT_SF1_TOP", "25"))
+    # sf-table-backed entries only: fixture-backed engine_*/replay entries
+    # are sf-independent and would waste sweep slots
+    cand = [
+        n
+        for n, secs in sorted(timings.items(), key=lambda kv: -kv[1])
+        if secs > 0
+        and n in QUERIES
+        and "T(spark, sf_dir" in inspect.getsource(QUERIES[n])
+    ][:n_top]
+    scaled = ensure_scaled_dir(SF_DIR, 10)
+    spark = build_session(
+        app_name="olr-sf1-spot", cores=CPUS, shuffle_partitions=4 * CPUS
+    )
+    con = duckdb_connection(scaled)
+    entries: dict[str, dict] = {}
+    skipped: list[str] = []
+    t_start = time.time()
+    for name in cand:
+        if time.time() - t_start > budget:
+            skipped.append(name)
+            continue
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, scaled).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            spark_secs = round(time.time() - t0, 3)
+            t1 = time.time()
+            ok, msg = check_query(spark, con, name, scaled)
+            gate_secs = round(time.time() - t1, 3)
+        except Exception as e:  # noqa: BLE001 — recorded, not raised
+            entries[name] = {
+                "secs": round(time.time() - t0, 3), "ok": False,
+                "err": str(e)[:200],
+            }
+            continue
+        entries[name] = {
+            "secs": spark_secs, "gate_secs": gate_secs, "ok": bool(ok),
+            "sf01_secs": timings.get(name),
+            "scale_ratio": (
+                round(spark_secs / timings[name], 2)
+                if timings.get(name, 0) > 0 else None
+            ),
+        }
+    spark.stop()
+    con.close()
+    return {
+        "factor": 10,
+        "src": SF_DIR,
+        "n_fail": sum(1 for v in entries.values() if not v["ok"]),
+        "entries": entries,
+        "skipped_for_budget": skipped,
+    }
+
+
 def main() -> None:
     from openlogreplicator_spark.queries import QUERIES
     from openlogreplicator_spark.session import build_session
@@ -366,6 +444,7 @@ def main() -> None:
     tail_cow = cdc_tail_subprocess(min(CPUS, 8), events_dir, "cow")
 
     eff = head["eff"] if head["eff"] is not None else side["eff"]
+    spot = sf1_spot(timings)
     timings["cdc_apply_batch"] = hi.get("secs_min", -1.0)
     timings["cdc_apply_streaming"] = stream.get("secs_min", -1.0)
 
@@ -398,6 +477,7 @@ def main() -> None:
             "eff_retries": side["retries"],
             "peak_events_per_sec": peak.get("events_per_sec"),
             "membw_ceiling": membw_probe(),
+            "sf1_spot": spot,
         },
     }
     print(json.dumps(out))

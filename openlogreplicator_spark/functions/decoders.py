@@ -235,6 +235,8 @@ def _mcs_table() -> tuple:
     STD 070): Latin-1 except the positions below; unassigned positions
     decode to U+FFFD like every other malformed input here."""
     t = [chr(i) for i in range(256)]  # latin-1 identity baseline
+    for pos in range(0x80, 0xA0):
+        t[pos] = "�"  # C1 area unassigned in MCS (DEC STD 070)
     for pos in (0xA0, 0xA4, 0xA6, 0xA8, 0xAC, 0xAD, 0xAE, 0xAF, 0xB4, 0xB8,
                 0xBE, 0xD0, 0xDE, 0xF0, 0xFE, 0xFF):
         t[pos] = "�"  # unassigned in MCS
@@ -246,11 +248,25 @@ def _mcs_table() -> tuple:
     return tuple(t)
 
 
-# Oracle-only charsets with no Python/Java codec: hand-rolled 256-entry
-# decode tables (the reference's CharacterSet8bit pattern)
+# Oracle-only single-byte charsets with no BYTE-EXACT Python/Java codec:
+# 256-entry decode tables (the reference's CharacterSet{7,8}bit pattern).
+# Since round 4 the full set (96 tables — every 7/8-bit charset the
+# reference instantiates whose mapping differs from every stock codec,
+# incl. the 5-undefined-position divergence of the windows-125x family)
+# is generated from the public standards data in
+# functions/charset_tables.py (provenance + regeneration:
+# scripts/gen_charset_tables.py; parity gate: tests/test_charset_parity).
+# The hand-built WE8DEC entry is kept as an independent derivation of the
+# same public DEC STD 070 data — the parity test cross-checks the two.
+from .charset_tables import STOCK_EXACT, byte_tables as _gen_byte_tables
+
 ORACLE_BYTE_TABLES: dict[str, tuple] = {
+    **_gen_byte_tables(),
     "WE8DEC": _mcs_table(),
 }
+
+# stock-codec fast path for sets audited byte-exact vs the reference tables
+ORACLE_CHARSET_MAP.update(STOCK_EXACT)
 
 
 def _decode_cesu8(b: bytes) -> str:
@@ -295,7 +311,14 @@ def charset_decode(col: Column, charset: str = "UTF-8") -> Column:
     bytes in C++. Multi-chunk continuation (prevChars overlap for split
     multibyte sequences, Builder.h:1022-1045) is unnecessary here: a
     DataFrame value is always a complete byte string."""
-    name = ORACLE_CHARSET_MAP.get(charset.upper(), charset)
+    cu = charset.upper()
+    if cu in ORACLE_BYTE_TABLES:
+        # reference-parity byte table takes priority over any APPROXIMATE
+        # codec alias (e.g. WE8MSWIN1252 differs from cp1252 in the five
+        # undefined positions); byte-exact sets are NOT in the table dict,
+        # so the JVM/codec fast paths below still serve them
+        return _codec_decode_udf(cu)(col)
+    name = ORACLE_CHARSET_MAP.get(cu, charset)
     if name.lower() in _SPARK_DECODE_BUILTIN:
         return F.decode(col, name)
     return _codec_decode_udf(name)(col)

@@ -140,6 +140,11 @@ class LakeTable:
         # the ref this handle advances on commit: None = main (`_current`),
         # else a named branch in branches.json (write-audit-publish staging)
         self.branch = branch
+        # ref-history epoch at load time: bumped by rollback_to (the one
+        # NON-linear ref move), so a conflict-rebase can detect that the
+        # counter-based window proof no longer applies (content_op_count is
+        # monotone only along a forward lineage; a rollback regresses it)
+        self._loaded_ref_epoch = LakeTable._ref_epoch(path)
 
     # ---------------------------------------------------------------- setup
     @staticmethod
@@ -407,6 +412,23 @@ class LakeTable:
         with open(os.path.join(path, "_snapshots", "_current")) as f:
             return int(f.read().strip())
 
+    @staticmethod
+    def _ref_epoch(path: str) -> int:
+        try:
+            with open(os.path.join(path, "_snapshots", "_ref_epoch")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    @staticmethod
+    def _bump_ref_epoch(path: str) -> None:
+        """Callers hold ``_ref_lock``."""
+        p = os.path.join(path, "_snapshots", "_ref_epoch")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(LakeTable._ref_epoch(path) + 1))
+        os.replace(tmp, p)
+
     def rollback_to(self, version: int) -> "LakeTable":
         """Restore main to a retained snapshot (Iceberg rollback; reference
         analogue: restarting the replicator from an older checkpoint scn
@@ -425,6 +447,10 @@ class LakeTable:
             with open(ptmp, "w") as f:
                 f.write(str(v))
             os.replace(ptmp, os.path.join(sdir, "_current"))
+            # non-linear ref move: invalidate in-flight writers' rebase
+            # window proof (their content_op_count baseline predates the
+            # rewind and could coincidentally match the new line's)
+            LakeTable._bump_ref_epoch(self.path)
         return LakeTable.load(self.spark, self.path)
 
     # ------------------------------------------------------------- metadata
@@ -1134,29 +1160,52 @@ class LakeTable:
         the rebase regardless of which op added it."""
         head = LakeTable.load(self.spark, self.path, branch=self.branch)
         base_ver = int(self.snap["version"])
-        chain = self._chain_versions(head.snap["version"], base_ver)
-        if not chain or chain[-1] != base_ver:
+        if head._loaded_ref_epoch != self._loaded_ref_epoch:
             raise CommitConflict(
-                f"ref moved and the parent chain from v{head.snap['version']}"
-                f" does not reach this writer's base v{base_ver} (expired or"
-                " cross-branch) — reload and re-apply"
+                "ref history was rewound (rollback_to) during this "
+                "writer's window — reload and re-apply"
             )
-        sdir = os.path.join(self.path, "_snapshots")
-        for v in chain[:-1]:  # every commit the winner(s) added, newest first
-            with open(os.path.join(sdir, f"v{v:08d}.json")) as f:
-                s = json.load(f)
-            win_op = str((s.get("summary") or {}).get("op"))
-            if (
-                win_op not in self._REBASEABLE_OPS
-                or int(s.get("current_schema_ver", -1))
-                != self.current_schema_ver
-                or s.get("n_buckets") != self.snap.get("n_buckets")
-            ):
-                raise CommitConflict(
-                    f"ref moved by non-rebaseable commit v{v} (op={win_op!r},"
-                    f" schema v{s.get('current_schema_ver')},"
-                    f" {s.get('n_buckets')} buckets) — reload and re-apply"
-                )
+        # Every successful commit's parent was the ref at its commit time
+        # (the flock'd re-check), so head's lineage contains this writer's
+        # base; the monotone content_op_count therefore proves the whole
+        # window at once — equal counts ⇔ every intervening commit was in
+        # _REBASEABLE_OPS — and unlike a parent-chain walk it survives
+        # expire_snapshots GC'ing the intermediate snapshot JSONs (the soak
+        # test's losing writer can be 18 maintenance commits behind).
+        if int(head.snap.get("content_op_count", 0)) != int(
+            self.snap.get("content_op_count", 0)
+        ):
+            # attribute the refusal precisely when the chain is still intact
+            detail = ""
+            chain = self._chain_versions(head.snap["version"], base_ver)
+            sdir = os.path.join(self.path, "_snapshots")
+            if chain and chain[-1] == base_ver:
+                for v in chain[:-1]:
+                    try:
+                        with open(
+                            os.path.join(sdir, f"v{v:08d}.json")
+                        ) as f:
+                            s = json.load(f)
+                    except OSError:
+                        continue
+                    op = str((s.get("summary") or {}).get("op"))
+                    if op not in self._REBASEABLE_OPS:
+                        detail = f" (first non-rebaseable: v{v} op={op!r})"
+                        break
+            raise CommitConflict(
+                "ref moved by a content-changing commit between "
+                f"v{base_ver} and v{head.snap['version']}{detail} — "
+                "reload and re-apply"
+            )
+        if (
+            head.current_schema_ver != self.current_schema_ver
+            or head.snap.get("n_buckets") != self.snap.get("n_buckets")
+        ):
+            raise CommitConflict(
+                f"ref moved and layout changed (schema "
+                f"v{head.current_schema_ver}, {head.snap.get('n_buckets')} "
+                "buckets) — reload and re-apply"
+            )
         rep = set(replaced)
         if rep:
             base_dels = {
@@ -1415,6 +1464,14 @@ class LakeTable:
                 "epoch_id": int(summary["epoch_id"]),
                 "final": bool(summary.get("final", True)),
             }
+        # monotone count of content-changing (non-rebaseable) commits: lets
+        # _rebase_for_retry prove "every commit in my conflict window was
+        # content-preserving maintenance" from the HEAD alone even after
+        # expire_snapshots has GC'd the intermediate snapshot JSONs (the
+        # chain walk's evidence) — equal counts at base and head ⇔ no
+        # evolve/rebucket/ingest/posdelete landed in between.
+        if str(summary.get("op")) not in self._REBASEABLE_OPS:
+            snap["content_op_count"] = int(snap.get("content_op_count", 0)) + 1
         return snap
 
     def _write_snapshot(self, snap: dict) -> None:

@@ -2804,9 +2804,11 @@ def engine_replay_state_streaming(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _ensure_replay_events()
-    d = tempfile.mkdtemp(prefix="olr_stream_replay_")
-    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
-    p.run_available_now(max_files_per_trigger=1)
+    with _stream_harness(spark) as d:
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt")
+        )
+        p.run_available_now(max_files_per_trigger=1)
     return p.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
@@ -9861,8 +9863,6 @@ def engine_stream_first_seen(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _ensure_replay_events()
-    d = tempfile.mkdtemp(prefix="olr_fseen_")
-    out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
     stream = (
         spark.readStream.schema(EVENTS_DDL)
         .option("maxFilesPerTrigger", 1)
@@ -9876,14 +9876,16 @@ def engine_stream_first_seen(spark, sf_dir):
         & F.col("warc_ts").isNotNull()
     ).select("url", "warc_ts", "seq", "text")
     admitted = first_seen_only(dml, "url", ["warc_ts", "seq"])
-    q = (
-        admitted.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_harness(spark) as d:
+        out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+        q = (
+            admitted.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     res = spark.read.schema(
         "url string, warc_ts timestamp, seq long, text string"
     ).parquet(out)
@@ -10616,18 +10618,53 @@ def _replay_stream(spark, files_per_trigger: int = 1) -> DataFrame:
     )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _stream_harness(spark, n_partitions: int = 8):
+    """Shared harness dial for the streaming gates (round-3 verdict
+    "amortize the streaming harness cost"): stateful queries commit one
+    state store PER shuffle partition PER micro-batch, so the session
+    default (4×cores) multiplies fixture-scale runs by ~16× of empty-store
+    overhead. Yields a /dev/shm scratch dir for the checkpoint/sink and
+    pins shuffle partitions low for the duration; values are unaffected
+    (partitioning never changes an emitted set), the session default is
+    restored on exit."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="olr_stream_gate_", dir=base)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        yield d
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
     """Append-mode availableNow run into a memory sink; returns the sink
     table (the final no-data batch has advanced the watermark, so append
-    output is complete)."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    output is complete).
+
+    Harness-cost control (round-3 verdict "amortize the streaming harness"):
+    a stateful streaming query creates ONE state-store instance PER shuffle
+    partition PER stateful operator and commits every one of them each
+    micro-batch — at the session default (4×cores = 128) over a 2 000-row
+    fixture with 1-file triggers that is ~640 state commits of almost-empty
+    stores, which IS the 11-27 s these gates were paying. The stream runs
+    at 8 shuffle partitions (result-identical — partitioning never changes
+    the emitted set) with its checkpoint on /dev/shm; the session default
+    is restored afterwards."""
+    with _stream_harness(df.sparkSession) as d:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return df.sparkSession.table(name)
 
 
@@ -12701,8 +12738,6 @@ def engine_stream_dedup_watermark(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _ensure_retransmit_replay_events()
-    d = tempfile.mkdtemp(prefix="olr_dedupwm_")
-    out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
     dml_filter = (
         F.col("op").isNotNull()
         & (F.col("op") != "ddl")
@@ -12723,14 +12758,16 @@ def engine_stream_dedup_watermark(spark, sf_dir):
         .withWatermark("warc_ts", "48 hours")
         .dropDuplicatesWithinWatermark(["url", "seq"])
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_harness(spark) as d:
+        out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     res = spark.read.schema(
         "url string, warc_ts timestamp, seq long, op string, text string"
     ).parquet(out)
@@ -15792,9 +15829,11 @@ def engine_stream_suppressed_replay(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _ensure_replay_events()
-    d = tempfile.mkdtemp(prefix="olr_stream_sup_")
-    p = CdcPipeline(spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt"))
-    p.run_available_now(max_files_per_trigger=2, suppress_stale=True)
+    with _stream_harness(spark) as d:
+        p = CdcPipeline(
+            spark, ev, os.path.join(d, "target"), os.path.join(d, "ckpt")
+        )
+        p.run_available_now(max_files_per_trigger=2, suppress_stale=True)
     return p.target_state().select(
         "url", "warc_ts", "_seq", "text", "lang", "http_status"
     )
@@ -18464,4 +18503,344 @@ def cdc_schema_adoption(spark, sf_dir):
             F.round(F.col("n_live_rows").cast("double") / F.col("n"), 4)
             .alias("live_share"),
         )
+    )
+
+
+# =========================================================================
+# TPC-H shape coverage round 4: q9 / q11 / q12 / q20 as _variant entries
+# (the testdata has no partsupp table and lineitem carries no
+# l_shipmode/l_commitdate/l_receiptdate, so each entry keeps the QUERY
+# SHAPE of its TPC-H original — the thing §2.6 coverage is about — with
+# the missing columns substituted from what the tables do carry; the
+# substitution is stated per entry)
+# =========================================================================
+
+
+@register(
+    "tpch_q9_variant_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey  = l_partkey
+    JOIN supplier ON s_suppkey  = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def tpch_q9_variant_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year) — the widest
+    aggregate join in the suite: the lineitem fact joined to FOUR dims
+    plus orders, grouped on (supplier nation, order year). Variant
+    substitution: no partsupp table, so supply cost is the proxy
+    ``p_retailprice * 0.1 * l_quantity`` (same arithmetic shape as
+    ps_supplycost * l_quantity). Plan shape at 100 TB: the p_name filter
+    prunes part FIRST, then part/supplier/nation broadcast (dims), so the
+    only shuffle is lineitem⋈orders on orderkey; profit is a single
+    partial-aggregated pass, rounded post-agg. Reference analogue: none —
+    relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_variant_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(l_quantity AS BIGINT)) AS v_cents
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey,
+           round(v_cents / 100.0, 2) AS part_value
+    FROM val, (SELECT sum(v_cents) AS total_cents FROM val) t
+    WHERE v_cents * 500 > total_cents
+    """,
+)
+def tpch_q11_variant_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-group value
+    compared against a FRACTION OF THE GLOBAL TOTAL — the
+    group-HAVING-vs-global-scalar pattern (a correlated scalar subquery in
+    the original). Variant substitution: no partsupp, so "stock value" is
+    the shipped value sum(l_extendedprice·l_quantity) of parts supplied
+    by two nations' suppliers; the fraction is 1/500. Determinism: value
+    rides as EXACT integer cents (round(price·100) per row, then integer
+    sums), so the threshold comparison cannot flip on FP summation order
+    — the float division to part_value happens only at output. Shape at
+    100 TB: one partial-agg groupBy, the one-row total crossJoin-broadcast
+    back (the repo's one-row totals idiom), integer predicate, no second
+    scan. Reference analogue: none — relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    cents = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    val = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).alias("v_cents"))
+    )
+    tot = val.agg(F.sum("v_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v_cents") * 500 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("v_cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_variant_priority_by_class",
+    """
+    SELECT l_returnflag AS line_class,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY line_class
+    """,
+)
+def tpch_q12_variant_priority_by_class(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority): per-category
+    TWO-CASE conditional counts splitting order priorities into
+    critical (1-URGENT/2-HIGH) vs the rest. Variant substitution: the
+    testdata lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+    the category is l_returnflag and the date predicate is a ship-year
+    window. Plan shape: the year filter prunes the fact scan, one
+    shuffle on orderkey, both CASEs ride the same partial agg — exact
+    integer counts, no FP anywhere. Reference analogue: none —
+    relational coverage (SURVEY §2.6)."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("line_class"))
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q20_variant_excess_shippers",
+    """
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    heavy AS (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 300)
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def tpch_q20_variant_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): the NESTED SEMI-JOIN
+    CHAIN — suppliers IN (shippers of parts IN (name-filtered parts)
+    above a quantity threshold), restricted to two nations. Variant
+    substitution: no partsupp, so "excess stock" is a shipped-quantity
+    HAVING over the 1997 window (l_quantity is integral — the threshold
+    is exact). Plan shape at 100 TB: part filter → broadcast semi-join
+    into lineitem (date-pruned scan), partial-agg HAVING to a
+    supplier-key set, then TWO stacked left-semi joins into the supplier
+    dim — no row ever widens, each stage only shrinks. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(
+            F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+            "l_partkey", "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_suppkey")
+    )
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    return (
+        s.join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"))),
+            "s_nationkey", "left_semi",
+        )
+        .join(
+            F.broadcast(heavy.select(F.col("l_suppkey").alias("s_suppkey"))),
+            "s_suppkey", "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
+# =========================================================================
+# Incarnation / source-rewind monitoring (round 4; reference
+# OracleIncarnation.cpp + Parser.cpp:1239-1244 resetlogs guard)
+# =========================================================================
+
+# Rewound-log fixture: the four replay files PLUS a "restored source" file
+# that re-covers the first file's seq range with DIFFERENT bindings (urls
+# suffixed, timestamps shifted) — the merged-two-histories corruption the
+# engine-side incarnation guard refuses at ingest and this monitor
+# surfaces after the fact.
+_REWOUND_SPEC = dict(base=_REPLAY_SPEC, marker="rewound_v1")
+_REWOUND_EVENTS = fixture_path(_REPLAY_BASE, "replay_rewound", _REWOUND_SPEC)
+
+
+def _gen_rewound(d: str) -> None:
+    import shutil as _shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    src = _ensure_replay_events()
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            _shutil.copy(os.path.join(src, f), os.path.join(d, f))
+    first = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[0]
+    t = _pq.read_table(os.path.join(src, first))
+    # same seqs, conflicting bindings: url gets a branch suffix, warc_ts
+    # shifts forward one hour — a restored source re-writing history
+    ui = t.schema.get_field_index("url")
+    t = t.set_column(
+        ui, t.schema.field(ui),
+        _pc.binary_join_element_wise(t["url"].cast(pa.string()),
+                                     "?branch=2", ""),
+    )
+    wi = t.schema.get_field_index("warc_ts")
+    t = t.set_column(
+        wi, t.schema.field(wi),
+        _pc.add(t["warc_ts"], pa.scalar(3_600_000_000, pa.duration("us"))),
+    )
+    _pq.write_table(t, os.path.join(d, "events-rewind.parquet"),
+                    compression="snappy")
+
+
+def _ensure_rewound_events() -> str:
+    return ensure_fixture(_REWOUND_EVENTS, _gen_rewound)
+
+
+_ensure_rewound_events()
+
+
+@register(
+    "cdc_incarnation_conflicts",
+    f"""
+    WITH ev AS (
+      SELECT seq, url, warc_ts
+      FROM read_parquet('{_REWOUND_EVENTS}/*.parquet')
+      WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
+        AND url IS NOT NULL),
+    conf AS (
+      SELECT seq,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+             CAST(count(DISTINCT warc_ts) AS BIGINT) AS n_versions
+      FROM ev GROUP BY seq
+      HAVING count(DISTINCT url || '|' || CAST(epoch_us(warc_ts) AS VARCHAR)) > 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_conflicting_seqs,
+           CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_rows_involved,
+           CAST(coalesce(min(seq), -1) AS BIGINT) AS first_seq,
+           CAST(coalesce(max(seq), -1) AS BIGINT) AS last_seq
+    FROM conf
+    """,
+)
+def cdc_incarnation_conflicts(spark, sf_dir):
+    """Post-hoc source-rewind monitor — the audit twin of the engine's
+    ingest-time incarnation guard (streaming/pipeline._incarnation_guard;
+    reference resetlogs check, Parser.cpp:1239-1244): a seq value (the LSN)
+    must bind to exactly ONE event; a seq carrying two different
+    (url, warc_ts) bindings is two histories occupying one log position —
+    the restored-source signature. Runs over the deliberately REWOUND
+    fixture (replay files + a branch file re-covering file 0's seqs with
+    shifted bindings) so the monitor provably fires: n_conflicting_seqs
+    equals the rewound file's committed rows. Shape at 100 TB: one
+    partial-agg groupBy(seq) + a HAVING on distinct binding count, then a
+    4-column roll-up — the cdc_seq_gaps family shape. Reference analogue:
+    OracleIncarnation.cpp incarnation scan (SURVEY §2.1 S3)."""
+    from .operators.decode import EVENTS_DDL
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = (
+        spark.read.schema(EVENTS_DDL).parquet(_ensure_rewound_events())
+        .filter(
+            F.col("op").isNotNull() & (F.col("op") != "ddl")
+            & ~F.col("rolled_back") & F.col("url").isNotNull()
+        )
+        .select("seq", "url", "warc_ts")
+    )
+    conf = (
+        ev.groupBy("seq")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("warc_ts").alias("n_versions"),
+            F.countDistinct(
+                F.concat_ws(
+                    "|", F.col("url"),
+                    F.unix_micros(F.col("warc_ts")).cast("string"),
+                )
+            ).alias("_nb"),
+        )
+        .filter(F.col("_nb") > 1)
+    )
+    return conf.agg(
+        F.count("*").alias("n_conflicting_seqs"),
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("long")
+        .alias("n_rows_involved"),
+        F.coalesce(F.min("seq"), F.lit(-1)).cast("long").alias("first_seq"),
+        F.coalesce(F.max("seq"), F.lit(-1)).cast("long").alias("last_seq"),
     )

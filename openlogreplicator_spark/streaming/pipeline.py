@@ -65,6 +65,12 @@ TARGET_BASE_FIELDS = [
 ]
 
 
+class IncarnationError(RuntimeError):
+    """A source log rewind / stale-branch delivery was detected (reference
+    resetlogs mismatch, Parser.cpp:1239-1244): merging would interleave two
+    histories. Restore the source's incarnation metadata or re-bootstrap."""
+
+
 class CdcPipeline:
     def __init__(
         self,
@@ -88,6 +94,7 @@ class CdcPipeline:
         source_format: str = "parquet",
         partial_updates: bool = False,
         bloom_cols: Iterable[str] = (),
+        incarnation_guard: bool = True,
     ):
         self.spark = spark
         self.events_path = events_path
@@ -111,6 +118,8 @@ class CdcPipeline:
         # answered — "footer" (zero-job driver walk) vs "agg" (one Spark
         # aggregate). Tests pin that file-backed epochs never pay the agg.
         self._schema_gate_stats = {"footer": 0, "agg": 0}
+        # source-side resetlogs/incarnation guard (see _incarnation_guard)
+        self.incarnation_guard = incarnation_guard
         self.recompute_text = recompute_text
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
@@ -347,7 +356,17 @@ class CdcPipeline:
         from ..operators.merge import _stage
 
         ts = time.time()
-        max_ver = self._max_schema_ver(batch_df, epoch_id=int(epoch_id))
+        footer_stats = self._epoch_footer_stats(batch_df, int(epoch_id))
+        if footer_stats is not None:
+            self._schema_gate_stats["footer"] += 1
+            max_ver = footer_stats.get("schema_ver")
+        else:
+            self._schema_gate_stats["agg"] += 1
+            max_ver = batch_df.agg(F.max("schema_ver")).collect()[0][0]
+        # S5/resetlogs incarnation guard: a rewound source log (same seq
+        # range again) must refuse-or-branch, never silently LWW-merge two
+        # histories — see _incarnation_guard
+        inc_pending = self._incarnation_guard(footer_stats, int(epoch_id))
         ts = _stage("ddl_gate", ts)
         if max_ver is None or max_ver <= table.current_schema_ver:
             ddl_rows = []
@@ -413,10 +432,15 @@ class CdcPipeline:
             mode = self._runtime_merge_mode or "cow"
         if self.partial_updates:
             mode = "mor"
+        extra_summary = {"schema_ver": table.current_schema_ver}
+        if inc_pending is not None and inc_pending.get("branched"):
+            # the reference's "new resetlogs detected" record: the commit
+            # that adopts the new incarnation says so durably
+            extra_summary["incarnation"] = inc_pending["incarnation"]
         merge_kwargs = dict(
             epoch_id=int(epoch_id),
             final=True,
-            extra_summary={"schema_ver": table.current_schema_ver},
+            extra_summary=extra_summary,
         )
         if mode == "mor":
             stats = [merge_append(table, compacted, **merge_kwargs)]
@@ -443,6 +467,11 @@ class CdcPipeline:
             ts2 = time.time()
             compact_table(table, broadcast_budget_keys=self.lww_broadcast_budget)
             _stage("compact", ts2)
+        if inc_pending is not None:
+            # advance the incarnation/seq watermark only AFTER the epoch
+            # commit (a crash in between re-delivers the epoch; a stale-LOW
+            # hwm is permissive, never a false refusal)
+            self._write_incarnation_state(inc_pending)
         if self.metrics_path:
             self._write_metrics(batch_df, int(epoch_id), time.time() - t0, stats)
 
@@ -463,43 +492,194 @@ class CdcPipeline:
         missing stats falls back to a one-column Spark aggregate for
         exactness. ``_schema_gate_stats`` records which path answered
         (plan-test hook: no-evolution epochs must issue zero Spark jobs)."""
+        stats = self._epoch_footer_stats(batch_df, epoch_id)
+        if stats is not None:
+            self._schema_gate_stats["footer"] += 1
+            return stats.get("schema_ver")
+        self._schema_gate_stats["agg"] += 1
+        return batch_df.agg(F.max("schema_ver")).collect()[0][0]
+
+    def _epoch_footer_stats(
+        self, batch_df: DataFrame, epoch_id: int | None = None
+    ) -> dict | None:
+        """Zero-job epoch header read: max(schema_ver), [min,max](seq) and
+        the source incarnation id, all from parquet FOOTERS of the epoch's
+        file set (inputFiles() or the checkpoint offset log). The
+        incarnation rides as file-level key-value metadata
+        (``olr:incarnation`` — the analogue of the resetlogs id in every
+        redo-log HEADER, reference Reader::getResetlogs /
+        Parser.cpp:1239-1244); absent means incarnation 0. Returns None
+        when no file set is known or any footer lacks the needed stats
+        (callers fall back to exact aggregates / skip the guard)."""
         files = batch_df.inputFiles()
         if not files and epoch_id is not None and self.source_format != "jsonl":
             # streaming-derived plan: the epoch's file set is still pinned in
             # the checkpoint offset log (written BEFORE the epoch runs)
             files = self._epoch_source_files(epoch_id)
-        if files:
-            import concurrent.futures
+        if not files:
+            return None
+        import concurrent.futures
 
-            import pyarrow.parquet as pq
+        import pyarrow.parquet as pq
 
-            def file_max(uri: str) -> int | None:
-                path = uri[7:] if uri.startswith("file://") else uri
-                md = pq.ParquetFile(path).metadata
-                idx = md.schema.names.index("schema_ver")
-                best: int | None = None
+        def file_stats(uri: str) -> dict:
+            path = uri[7:] if uri.startswith("file://") else uri
+            md = pq.ParquetFile(path).metadata
+            out: dict = {"incarnation": 0}
+            kv = md.metadata or {}
+            if b"olr:incarnation" in kv:
+                out["incarnation"] = int(kv[b"olr:incarnation"])
+            for name, lo_key, hi_key in (
+                ("schema_ver", None, "schema_ver"),
+                ("seq", "seq_min", "seq_max"),
+            ):
+                try:
+                    idx = md.schema.names.index(name)
+                except ValueError:
+                    raise ValueError(f"missing column {name}")
+                lo = hi = None
                 for rg in range(md.num_row_groups):
                     col = md.row_group(rg).column(idx)
                     st = col.statistics
                     if st is None or not st.has_min_max:
                         raise ValueError("missing stats")
-                    if st.null_count != col.num_values and (
-                        best is None or st.max > best
-                    ):
-                        best = st.max
-                return best
+                    if st.null_count != col.num_values:
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                if lo_key:
+                    out[lo_key] = lo
+                out[hi_key] = hi
+            return out
 
-            try:
-                with concurrent.futures.ThreadPoolExecutor(
-                    min(16, len(files))
-                ) as ex:
-                    maxes = [m for m in ex.map(file_max, files) if m is not None]
-                self._schema_gate_stats["footer"] += 1
-                return max(maxes) if maxes else None
-            except (OSError, ValueError, KeyError):
-                pass  # unreadable footer / no stats → exact Spark aggregate
-        self._schema_gate_stats["agg"] += 1
-        return batch_df.agg(F.max("schema_ver")).collect()[0][0]
+        try:
+            with concurrent.futures.ThreadPoolExecutor(
+                min(16, len(files))
+            ) as ex:
+                per_file = list(ex.map(file_stats, files))
+        except (OSError, ValueError, KeyError):
+            return None  # unreadable footer / no stats
+        agg: dict = {"incarnation": 0, "schema_ver": None,
+                     "seq_min": None, "seq_max": None}
+        for fs in per_file:
+            agg["incarnation"] = max(agg["incarnation"], fs["incarnation"])
+            for k, pick in (("schema_ver", max), ("seq_max", max),
+                            ("seq_min", min)):
+                if fs.get(k) is not None:
+                    agg[k] = (
+                        fs[k] if agg[k] is None else pick(agg[k], fs[k])
+                    )
+        return agg
+
+    # -------------------------------------------------- incarnation guard
+    def _incarnation_state_path(self) -> str:
+        return os.path.join(self.checkpoint_path, "incarnation.json")
+
+    def _read_incarnation_state(self) -> dict:
+        import json
+
+        try:
+            with open(self._incarnation_state_path()) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"incarnation": 0, "intervals": [], "epoch_id": -1}
+
+    def _write_incarnation_state(self, state: dict) -> None:
+        import json
+
+        p = self._incarnation_state_path()
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {k: state[k] for k in ("incarnation", "intervals", "epoch_id")},
+                f,
+            )
+        os.replace(tmp, p)
+
+    def _incarnation_guard(
+        self, footer_stats: dict | None, epoch_id: int
+    ) -> dict | None:
+        """Source-side resetlogs/incarnation guard (reference
+        OracleIncarnation.cpp + Replicator::updateResetlogs + the
+        Parser.cpp:1239-1244 resetlogs throw): a restored/rewound SOURCE
+        re-emits an already-consumed seq range, and silently LWW-merging
+        the two histories corrupts the target. Per epoch (zero extra jobs —
+        the seq bounds and incarnation id come from the same footer walk as
+        the DDL pre-gate):
+
+        * same incarnation, seq range INTERSECTING an already-confirmed
+          epoch's range → REFUSE (``IncarnationError``) — an uncontrolled
+          rewind, the reference's "invalid resetlogs value" throw. The
+          guard tracks confirmed seq INTERVALS (merged when touching), not
+          a single high-water mark: Spark's file stream may deliver the
+          log's files out of seq ORDER, and the contract is that each log
+          file owns a DISJOINT seq slice (S3 ordered-archive discovery) —
+          disjoint-but-unordered delivery is healthy, re-covering a seen
+          slice is not;
+        * HIGHER incarnation → BRANCH: accept the rewind (the controlled
+          resetlogs switch — "new resetlogs detected", sequence restarts,
+          the interval set resets to the new branch's), record the new
+          incarnation in the commit summary and guard state;
+        * LOWER incarnation → REFUSE — a stale pre-restore branch's logs.
+
+        Guard state (incarnation, intervals) lives beside the checkpoint
+        (the reference stores resetlogs in its checkpoint metadata) and
+        advances only after the epoch commit. Epochs whose file set is
+        unknown (direct DataFrame applies, jsonl) skip the guard — like
+        the reference, the guard is log-HEADER-based. Disable with
+        ``incarnation_guard=False``."""
+        if not self.incarnation_guard or footer_stats is None:
+            return None
+        if footer_stats.get("seq_max") is None:
+            return None
+        st = self._read_incarnation_state()
+        if epoch_id <= int(st.get("epoch_id", -1)):
+            # RE-delivery of an epoch this guard has already recorded — the
+            # disaster-recovery flow (rollback_to regresses the TABLE
+            # watermark and the same epochs replay from the source, exactly
+            # as the reference re-reads redo from a restored checkpoint
+            # scn). Acceptance is the exactly-once table gate's call; a
+            # seq overlap here is the EXPECTED re-read, not a rewind. Only
+            # epochs ADVANCING past the recorded one can be rewinds.
+            return None
+        inc = int(footer_stats.get("incarnation") or 0)
+        cur = int(st.get("incarnation") or 0)
+        lo, hi = int(footer_stats["seq_min"]), int(footer_stats["seq_max"])
+        if inc < cur:
+            raise IncarnationError(
+                f"epoch {epoch_id} carries incarnation {inc} below the "
+                f"current {cur} — logs from a stale pre-restore branch; "
+                "refusing to merge two histories"
+            )
+        seen = [tuple(map(int, iv)) for iv in (st.get("intervals") or [])]
+        if inc == cur:
+            clash = next(
+                (iv for iv in seen if lo <= iv[1] and hi >= iv[0]), None
+            )
+            if clash is not None:
+                raise IncarnationError(
+                    f"source log rewind detected: epoch {epoch_id} re-covers"
+                    f" seq range [{lo}, {hi}] intersecting the confirmed"
+                    f" range [{clash[0]}, {clash[1]}] under the SAME"
+                    f" incarnation {inc} — a restored source must present a"
+                    " new incarnation id (olr:incarnation file metadata) to"
+                    " branch"
+                )
+            merged = sorted(seen + [(lo, hi)])
+        else:
+            merged = [(lo, hi)]  # new branch: its history starts here
+        out: list[tuple[int, int]] = []
+        for iv in merged:  # coalesce touching slices — O(epochs), stays tiny
+            if out and iv[0] <= out[-1][1] + 1:
+                out[-1] = (out[-1][0], max(out[-1][1], iv[1]))
+            else:
+                out.append(iv)
+        return {
+            "incarnation": inc,
+            "intervals": [list(iv) for iv in out],
+            "epoch_id": int(epoch_id),
+            "branched": inc > cur,
+        }
 
     def _write_metrics(
         self, batch_df: DataFrame, epoch_id: int, secs: float, stats: list[dict]

@@ -149,8 +149,11 @@ def test_mor_append_is_state_idempotent(spark, events_dir, tmp_path):
     commit) duplicates delta rows but not STATE — read-time LWW collapses."""
     from openlogreplicator_spark.operators.decode import EVENTS_DDL
 
+    # incarnation_guard off: this test SIMULATES the crash window by
+    # re-applying the same seq range under a bumped epoch id — precisely
+    # the signature the source-rewind guard exists to refuse
     p = CdcPipeline(spark, events_dir, str(tmp_path / "t"), str(tmp_path / "c"),
-                    merge_mode="mor")
+                    merge_mode="mor", incarnation_guard=False)
     p.run_batch_replay()
     before = p.target_state().toPandas().sort_values("url").reset_index(drop=True)
     df = spark.read.schema(EVENTS_DDL).parquet(events_dir)

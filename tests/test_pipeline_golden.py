@@ -151,7 +151,10 @@ def test_idempotent_merge_under_forced_replay(spark, events_dir, events_pdf, pip
     idempotent by construction (max-by)."""
     from openlogreplicator_spark.operators.decode import EVENTS_DDL
 
-    p = CdcPipeline(spark, events_dir, pipe_dirs["table"], pipe_dirs["ckpt"])
+    # incarnation_guard off: the forced replay re-covers the same seq range
+    # under a new epoch id — the exact signature the rewind guard refuses
+    p = CdcPipeline(spark, events_dir, pipe_dirs["table"], pipe_dirs["ckpt"],
+                    incarnation_guard=False)
     p.run_batch_replay()
     before = _spark_state(p)
     df = spark.read.schema(EVENTS_DDL).parquet(events_dir)
