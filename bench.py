@@ -287,6 +287,7 @@ def sf1_spot(timings: dict[str, float]) -> dict | None:
     from openlogreplicator_spark.sf_scale import ensure_scaled_dir
 
     budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
+    gate_budget = float(os.environ.get("SPARK_GRAFT_SF1_GATE_BUDGET", "420"))
     n_top = int(os.environ.get("SPARK_GRAFT_SF1_TOP", "25"))
     # sf-table-backed entries only: fixture-backed engine_*/replay entries
     # are sf-independent and would waste sweep slots
@@ -302,6 +303,12 @@ def sf1_spot(timings: dict[str, float]) -> dict | None:
         app_name="olr-sf1-spot", cores=CPUS, shuffle_partitions=4 * CPUS
     )
     con = duckdb_connection(scaled)
+    # phase 1 — Spark timing for EVERY candidate (the scale-ratio evidence;
+    # each runs in seconds). phase 2 — the strict DuckDB value gate under
+    # its own budget, heaviest-first (the unrolled-CTE oracles are the
+    # expensive side at 10×: round-4 finding — 4 gates ate a 900 s shared
+    # budget); ungated entries are listed, their sf0.01 gate (the driver's
+    # CORRECTNESS run) remains their correctness evidence.
     entries: dict[str, dict] = {}
     skipped: list[str] = []
     t_start = time.time()
@@ -314,31 +321,50 @@ def sf1_spot(timings: dict[str, float]) -> dict | None:
             QUERIES[name](spark, scaled).write.format("noop").mode(
                 "overwrite"
             ).save()
-            spark_secs = round(time.time() - t0, 3)
-            t1 = time.time()
-            ok, msg = check_query(spark, con, name, scaled)
-            gate_secs = round(time.time() - t1, 3)
         except Exception as e:  # noqa: BLE001 — recorded, not raised
             entries[name] = {
                 "secs": round(time.time() - t0, 3), "ok": False,
                 "err": str(e)[:200],
             }
             continue
+        spark_secs = round(time.time() - t0, 3)
         entries[name] = {
-            "secs": spark_secs, "gate_secs": gate_secs, "ok": bool(ok),
+            "secs": spark_secs,
             "sf01_secs": timings.get(name),
             "scale_ratio": (
                 round(spark_secs / timings[name], 2)
                 if timings.get(name, 0) > 0 else None
             ),
         }
+    gated: list[str] = []
+    t_gate = time.time()
+    for name in cand:
+        if name not in entries or "err" in entries[name]:
+            continue
+        if time.time() - t_gate > gate_budget:
+            break
+        t1 = time.time()
+        try:
+            ok, _msg = check_query(spark, con, name, scaled)
+        except Exception as e:  # noqa: BLE001
+            ok = False
+            entries[name]["err"] = str(e)[:200]
+        entries[name]["ok"] = bool(ok)
+        entries[name]["gate_secs"] = round(time.time() - t1, 3)
+        gated.append(name)
     spark.stop()
     con.close()
     return {
         "factor": 10,
         "src": SF_DIR,
-        "n_fail": sum(1 for v in entries.values() if not v["ok"]),
+        "n_fail": sum(
+            1 for v in entries.values() if v.get("ok") is False
+        ),
+        "n_gated": len(gated),
         "entries": entries,
+        "ungated_for_budget": [
+            n for n in entries if n not in gated and "err" not in entries[n]
+        ],
         "skipped_for_budget": skipped,
     }
 
