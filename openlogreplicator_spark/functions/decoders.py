@@ -211,9 +211,17 @@ ORACLE_CHARSET_MAP: dict[str, str] = {
     "TR8MSWIN1254": "windows-1254", "IW8MSWIN1255": "windows-1255",
     "AR8MSWIN1256": "windows-1256", "BLT8MSWIN1257": "windows-1257",
     "VN8MSWIN1258": "windows-1258",
+    # NOTE (round 4): the CJK names below are retained as documentation of
+    # the nearest stock codec, but charset_decode routes them through the
+    # generated reference-parity WIDE tables (charset_tables_2b) — the
+    # stock codecs diverge (shift_jis vs JA16SJIS: 10k+ fullwidth
+    # mappings; gbk vs ZHS16GBK: 2k PUA cells). Only GB18030 stays on the
+    # stock codec: the reference implements it algorithmically and the
+    # codec is pinned by the GB 18030 standard itself.
     "JA16SJIS": "shift_jis", "JA16EUC": "euc_jp",
     "KO16KSC5601": "euc_kr", "KO16MSWIN949": "cp949",
     "ZHS16GBK": "gbk", "ZHS16CGB231280": "gb2312", "ZHT16BIG5": "big5",
+    "ZHS32GB18030": "gb18030",
     "TH8TISASCII": "tis-620",
     "RU8PC866": "cp866", "US8PC437": "cp437", "WE8PC850": "cp850",
     "WE8EBCDIC37": "cp037", "WE8EBCDIC500": "cp500",
@@ -269,6 +277,96 @@ ORACLE_BYTE_TABLES: dict[str, tuple] = {
 ORACLE_CHARSET_MAP.update(STOCK_EXACT)
 
 
+# Multi-byte Oracle charsets (F2 tail, round 4): generated reference-parity
+# tables for the 19 JA16/KO16/ZHS16/ZHT16/ZHT32 sets (JIS/KSC/GB/Big5/CNS
+# standards data — provenance: scripts/gen_charset_tables_2b.py; parity:
+# tests/test_charset_parity.py). Expanded lazily — the 4-byte planes hold
+# ~230k entries and most sessions never decode CJK.
+from .charset_tables_2b import WIDE_ALIASES, WIDE_SPEC
+
+_WIDE_CACHE: dict | None = None
+
+
+def _wide_entry(name: str) -> dict:
+    global _WIDE_CACHE
+    if _WIDE_CACHE is None:
+        from .charset_tables_2b import wide_tables
+
+        _WIDE_CACHE = wide_tables()
+    return _WIDE_CACHE[name]
+
+
+def _decode_wide_one(ent: dict, b: bytes) -> str:
+    """Reference CharacterSet16bit/JA16EUC/ZHT32* decode semantics over the
+    generated tables: ASCII passthrough, optional single-byte rules
+    (SJIS half-width katakana, GBK euro), optional 3-/4-byte prefixed
+    planes, rectangular range checks, U+FFFD on any malformed/truncated
+    sequence (badChar — consuming exactly the bytes read, as the
+    reference does)."""
+    sp = ent["spec"]
+    r2, t2 = sp.get("2b"), ent.get("2b")
+    r3, t3 = sp.get("3b"), ent.get("3b")
+    r4, t4 = sp.get("4b"), ent.get("4b")
+    sb = sp.get("sb") or ()
+    out: list[str] = []
+    i, n = 0, len(b)
+    while i < n:
+        b1 = b[i]
+        i += 1
+        if b1 <= 0x7F:
+            out.append(chr(b1))
+            continue
+        matched_sb = False
+        for lo, hi, base in sb:
+            if lo <= b1 <= hi:
+                out.append(chr(base + b1 - lo))
+                matched_sb = True
+                break
+        if matched_sb:
+            continue
+        if r4 is not None and b1 == r4[0]:
+            if i + 3 > n:
+                out.append("�")
+                i = n
+                continue
+            b2, b3, b4 = b[i], b[i + 1], b[i + 2]
+            i += 3
+            if (r4[1] <= b2 <= r4[2] and r4[3] <= b3 <= r4[4]
+                    and r4[5] <= b4 <= r4[6]):
+                out.append(t4[
+                    (b2 - r4[1]) * (r4[4] - r4[3] + 1) * (r4[6] - r4[5] + 1)
+                    + (b3 - r4[3]) * (r4[6] - r4[5] + 1)
+                    + (b4 - r4[5])
+                ])
+            else:
+                out.append("�")
+            continue
+        if r3 is not None and b1 == r3[0]:
+            if i + 2 > n:
+                out.append("�")
+                i = n
+                continue
+            b2, b3 = b[i], b[i + 1]
+            i += 2
+            if r3[1] <= b2 <= r3[2] and r3[3] <= b3 <= r3[4]:
+                out.append(t3[
+                    (b2 - r3[1]) * (r3[4] - r3[3] + 1) + (b3 - r3[3])
+                ])
+            else:
+                out.append("�")
+            continue
+        if r2 is None or i >= n:
+            out.append("�")
+            continue
+        b2 = b[i]
+        i += 1
+        if r2[0] <= b1 <= r2[1] and r2[2] <= b2 <= r2[3]:
+            out.append(t2[(b1 - r2[0]) * (r2[3] - r2[2] + 1) + (b2 - r2[2])])
+        else:
+            out.append("�")
+    return "".join(out)
+
+
 def _decode_cesu8(b: bytes) -> str:
     """CESU-8 (Oracle's 'UTF8'): decode bytes allowing UTF-8-encoded UTF-16
     surrogates, then re-pair them into supplementary characters. Falls back
@@ -284,6 +382,11 @@ def _decode_cesu8(b: bytes) -> str:
 def _codec_decode_udf(codec: str):
     if codec.lower() == "cesu-8":
         decode_one = _decode_cesu8
+    elif codec.upper() in WIDE_SPEC or codec.upper() in WIDE_ALIASES:
+        ent = _wide_entry(codec.upper())
+
+        def decode_one(b: bytes) -> str:
+            return _decode_wide_one(ent, b)
     elif codec.upper() in ORACLE_BYTE_TABLES:
         table = ORACLE_BYTE_TABLES[codec.upper()]
 
@@ -312,10 +415,11 @@ def charset_decode(col: Column, charset: str = "UTF-8") -> Column:
     multibyte sequences, Builder.h:1022-1045) is unnecessary here: a
     DataFrame value is always a complete byte string."""
     cu = charset.upper()
-    if cu in ORACLE_BYTE_TABLES:
-        # reference-parity byte table takes priority over any APPROXIMATE
-        # codec alias (e.g. WE8MSWIN1252 differs from cp1252 in the five
-        # undefined positions); byte-exact sets are NOT in the table dict,
+    if cu in ORACLE_BYTE_TABLES or cu in WIDE_SPEC or cu in WIDE_ALIASES:
+        # reference-parity table takes priority over any APPROXIMATE codec
+        # alias (e.g. WE8MSWIN1252 differs from cp1252 in the five
+        # undefined positions; JA16SJIS differs from shift_jis in 10k+
+        # fullwidth mappings); byte-exact sets are NOT in the table dicts,
         # so the JVM/codec fast paths below still serve them
         return _codec_decode_udf(cu)(col)
     name = ORACLE_CHARSET_MAP.get(cu, charset)
