@@ -2,10 +2,28 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line.
 
+Timeout-proof by construction (round-5 verdict task 1 — BENCH_r04 was
+rc=124/parsed=null because the single JSON line printed only at the very end
+of a run that had outgrown the driver's wall clock):
+
+* **One JSON line, always.** The line is printed either at normal completion
+  or from a SIGTERM/SIGINT handler (exactly one of the two fires) — a driver
+  timeout now yields rc=0 and a parseable artifact carrying every section
+  that completed, with ``truncated`` recording the signal. The JSON-so-far is
+  additionally mirrored to BENCH_partial.json after every section.
+* **Total wall-clock budget** ($SPARK_GRAFT_BENCH_BUDGET, default 3000 s)
+  with sections in priority order: headline 1→4 scaling pair and the 8-core
+  apply (+stage split) FIRST, then streaming/peak/MoR-CoW tails and the 2→8
+  transparency pair, then the catalog sweep as a budget-bounded sample
+  (rotating start cursor; full sweep when budget remains), sf1 spot LAST.
+  Skipped sections are listed in ``skipped_sections``, never silent.
+* **Hard per-gate timeouts at sf1**: each DuckDB oracle runs in its own
+  subprocess (a 2,957 s runaway recursive-CTE oracle observed in round 4
+  cannot eat the run), and each Spark entry runs under a cancelAllJobs
+  watchdog.
+
 Sections
 --------
-* catalog queries — every driver-visible operator at the bench sf (seconds
-  each; correctness is the driver's DuckDB gate, this measures time only).
 * CDC end-to-end — the north-rule metric: change-events applied/sec for the
   full log-tail → decode → LWW → bucketed-MERGE pipeline over a deterministic
   synthesized change log (seed 42, vectorized generator), measured at:
@@ -14,28 +32,34 @@ Sections
     - N=2 and 4N=8 cores → transparency pair (rounds-1/2 continuity),
     - $SPARK_GRAFT_CPUS cores → peak throughput,
     - a multi-epoch Structured Streaming replay.
+* catalog queries — every driver-visible operator at the bench sf (seconds
+  each; correctness is the driver's DuckDB gate, this measures time only).
 
 Measurement protocol (BASELINE.md): each parallelism level runs in its OWN
 subprocess (fresh JVM — shared-JVM JIT warmup otherwise biases whichever
-config runs second), does one warmup apply then takes the min of N_REPEATS.
+config runs second), does one warmup apply then takes the min of the repeats.
 Why N=2 vs 8 and not 8 vs 32: this sandbox VM's aggregate memory bandwidth
 measures ~8-9 GB/s (probe included in the output); a columnar scan job is
 memory-bound past ~8 threads HERE, which says nothing about the engine — on a
 real cluster each executor node brings its own memory channels. The 2→8 pair
 keeps both runs below the ceiling so the efficiency number measures the
-engine. The 8→32 pair is also reported for transparency.
+engine.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import pickle
+import signal
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -43,9 +67,7 @@ SF_NAME = os.path.basename(SF_DIR.rstrip("/"))
 # sf0.1 = 64M events (round 3, was 32M in round 2, 16M in round 1): the
 # ~4-5 s/run serial share (driver planning + job barriers + broadcast build +
 # snapshot commit) is FIXED per run, so a longer parallel phase measures the
-# engine, not the constant. Round-3 data point for the doubling: with the
-# probe at 30+ GB/s (quiet host) the 32M pair still read eff 0.76 with
-# hi − lo/4 ≈ 5 s of flat cost — amortization, not contention, is the lever.
+# engine, not the constant.
 N_EVENTS = {"sf0.001": 100_000, "sf0.01": 1_000_000, "sf0.1": 64_000_000}.get(
     SF_NAME, 1_000_000
 )
@@ -55,21 +77,113 @@ SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 # Headline efficiency pair (round 3): N=1 → 4N=4. Both levels draw well under
 # even a CONTENDED bandwidth ceiling (1-core ≈ 1 GB/s, 4-core ≈ 3 GB/s), and
-# the 4×-longer parallel phase amortizes the fixed ~7-8 s serial share that
-# caps the 2→8 pair near 0.8 on a quiet host — so this number measures the
-# engine under ANY host condition (validated: a pair measured at probe
-# 2.9 GB/s read 0.864, matching the quiet-window prediction). The 2→8 pair
-# and the 32-core peak are still measured and reported alongside.
+# the 4×-longer parallel phase amortizes the fixed serial share that caps the
+# 2→8 pair near 0.8 on a quiet host — so this number measures the engine
+# under ANY host condition (validated at probes of 2-30 GB/s: 0.83-0.90).
 EFF_LO = int(os.environ.get("SPARK_GRAFT_EFF_LO", "1"))
 EFF_HI = int(os.environ.get("SPARK_GRAFT_EFF_HI", "4"))
-# Probe-gated scaling runs (round-2 verdict task 3): the recorded efficiency
-# tracks host contention, not the engine — only start the scaling pair when
-# the membw probe reads ≥ PROBE_MIN GB/s (bounded wait), and retry the pair
-# (bounded) when the measured efficiency lands under the target.
 PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "8.0"))
 PROBE_WAIT = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "240"))
 EFF_TARGET = float(os.environ.get("SPARK_GRAFT_EFF_TARGET", "0.8"))
 EFF_RETRIES = int(os.environ.get("SPARK_GRAFT_EFF_RETRIES", "2"))
+# Total wall-clock budget (seconds). The round-3 driver run completed in
+# ~55 min; round 4 (which added the sf1 spot sweep) hit the driver's
+# timeout — 3000 s forces the low-priority tail (catalog sample size, sf1
+# slice) to shrink instead.
+BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+SF1_SLICE = int(os.environ.get("SPARK_GRAFT_SF1_SLICE", "25"))
+SF1_ENTRY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_SF1_ENTRY_TIMEOUT", "180"))
+SF1_GATE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_SF1_GATE_TIMEOUT", "150"))
+CURSOR_PATH = os.path.join(REPO, ".bench_cursor.json")
+PARTIAL_PATH = os.path.join(REPO, "BENCH_partial.json")
+
+T_START = time.time()
+OUT: dict = {
+    "metric": "total_catalog_plus_cdc_sec",
+    "value": 0.0,
+    "unit": "sec",
+    "queries": {},
+    "sf": SF_NAME,
+    "cdc": {"n_events": N_EVENTS},
+    "budget": {"total_secs": BUDGET},
+    "skipped_sections": [],
+}
+_CHILDREN: set[subprocess.Popen] = set()
+_PRINTED = False
+_MAIN_PID = os.getpid()
+
+
+def remaining() -> float:
+    return BUDGET - (time.time() - T_START)
+
+
+def emit_partial() -> None:
+    """Mirror the JSON-so-far to BENCH_partial.json (debug artifact; the
+    driver-facing line is printed exactly once, at exit or on signal)."""
+    OUT["budget"]["used_secs"] = round(time.time() - T_START, 1)
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(OUT))
+    os.replace(tmp, PARTIAL_PATH)
+
+
+def print_final() -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    OUT["budget"]["used_secs"] = round(time.time() - T_START, 1)
+    vals = [v for v in OUT["queries"].values() if v > 0]
+    OUT["value"] = round(sum(vals), 3)
+    sys.stdout.write(json.dumps(OUT) + "\n")
+    sys.stdout.flush()
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    """Driver timeout (SIGTERM) / interrupt: kill children, print the JSON
+    line with whatever completed, exit 0 so the artifact parses.
+
+    Forked children (multiprocessing.Pool workers inherit this handler and
+    receive SIGTERM at every pool teardown) must NOT print — main pid only."""
+    if os.getpid() != _MAIN_PID:
+        os._exit(0)
+    OUT["truncated"] = {
+        "signal": int(signum),
+        "elapsed_secs": round(time.time() - T_START, 1),
+    }
+    for p in list(_CHILDREN):
+        try:
+            p.kill()
+        except Exception:  # noqa: BLE001
+            pass
+    print_final()
+    os._exit(0)
+
+
+signal.signal(signal.SIGTERM, _on_signal)
+signal.signal(signal.SIGINT, _on_signal)
+
+
+def skip(section: str, est: float) -> None:
+    OUT["skipped_sections"].append(
+        {"section": section, "est_secs": est, "remaining_secs": round(remaining(), 1)}
+    )
+    emit_partial()
+
+
+def load_cursor() -> dict:
+    try:
+        with open(CURSOR_PATH) as f:
+            return json.load(f)
+    except Exception:  # noqa: BLE001
+        return {}
+
+
+def save_cursor(cur: dict) -> None:
+    tmp = CURSOR_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, CURSOR_PATH)
 
 
 def scratch_base() -> str:
@@ -132,14 +246,16 @@ def quick_probe(n: int = 8) -> float:
 
 
 def wait_for_quiet_host(
-    min_gbps: float = PROBE_MIN, max_wait: int = PROBE_WAIT, poll: int = 30
+    min_gbps: float = PROBE_MIN, max_wait: float = PROBE_WAIT, poll: int = 30
 ) -> dict:
-    """Block (bounded) until the membw probe clears ``min_gbps``; the round-1
-    finding is that this VM's bandwidth swings 0.5-30 GB/s with neighbor
-    load, and a scaling pair sampled in a trough measures the host, not the
-    engine. Returns the gate record either way (gated=False on timeout)."""
+    """Block (bounded by max_wait AND the global budget) until the membw
+    probe clears ``min_gbps``; this VM's bandwidth swings 0.5-30 GB/s with
+    neighbor load, and a scaling pair sampled in a trough measures the host,
+    not the engine. Returns the gate record either way (gated=False on
+    timeout)."""
     t0 = time.time()
     history = []
+    max_wait = min(max_wait, max(0.0, remaining() - 60))
     while True:
         g = quick_probe()
         history.append(g)
@@ -153,13 +269,40 @@ def wait_for_quiet_host(
         time.sleep(poll)
 
 
+def _run_child(cmd: list[str], timeout: float) -> str:
+    """Run a child process tracked for signal-time cleanup; returns stdout
+    ('' on timeout/kill)."""
+    p = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+    )
+    _CHILDREN.add(p)
+    try:
+        out, _err = p.communicate(timeout=timeout)
+        return out or ""
+    except subprocess.TimeoutExpired:
+        p.kill()
+        p.communicate()
+        return ""
+    finally:
+        _CHILDREN.discard(p)
+
+
+def _last_json(stdout: str, fallback: dict) -> dict:
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return fallback
+
+
 def cdc_subprocess(cores: int, events_dir: str, streaming: bool = False,
                    n_repeats: int | None = None, warmup: int = 1) -> dict:
     """Run the CDC apply in an isolated process: warmup + min of n_repeats."""
     n_repeats = N_REPEATS if n_repeats is None else n_repeats
     code = f"""
 import sys, time, tempfile, json, shutil, glob, os
-sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+sys.path.insert(0, {REPO!r})
 from openlogreplicator_spark.session import build_session
 from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 from openlogreplicator_spark.operators import merge as _merge
@@ -204,15 +347,9 @@ print(json.dumps({{"cores": {cores}, "streaming": {streaming!r},
                    "events_per_sec": round({N_EVENTS} / min(times), 1),
                    "final_rows": rows, "stages": stages}}))
 """
-    r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
-    )
-    for line in reversed(r.stdout.strip().splitlines()):
-        try:
-            return json.loads(line)
-        except json.JSONDecodeError:
-            continue
-    return {"cores": cores, "error": (r.stderr or "no output")[-400:]}
+    out = _run_child([sys.executable, "-c", code],
+                     timeout=max(120.0, remaining() + 60))
+    return _last_json(out, {"cores": cores, "error": "no output / timeout"})
 
 
 def cdc_tail_subprocess(cores: int, events_dir: str, merge_mode: str) -> dict:
@@ -225,7 +362,7 @@ def cdc_tail_subprocess(cores: int, events_dir: str, merge_mode: str) -> dict:
     per_epoch = 4
     code = f"""
 import sys, time, glob, os, shutil, tempfile, json
-sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+sys.path.insert(0, {REPO!r})
 from openlogreplicator_spark.session import build_session
 from openlogreplicator_spark.streaming.pipeline import CdcPipeline
 spark = build_session(app_name="olr-tail-{merge_mode}", cores={cores},
@@ -253,82 +390,254 @@ print(json.dumps({{"cores": {cores}, "merge_mode": {merge_mode!r},
                    "events_per_sec": round(n_tail / secs, 1),
                    "final_rows": rows}}))
 """
-    r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
-    )
-    for line in reversed(r.stdout.strip().splitlines()):
+    out = _run_child([sys.executable, "-c", code],
+                     timeout=max(120.0, remaining() + 60))
+    return _last_json(out, {"cores": cores, "merge_mode": merge_mode,
+                            "error": "no output / timeout"})
+
+
+def measure_pair_series(
+    lo_cores: int, hi_cores: int, n_pairs: int, events_dir: str,
+    est_pair: float, reserve: float, max_retries: int = 0,
+) -> dict:
+    """Interleaved scaling pairs: lo/hi alternate (hi,lo) × repeats so both
+    levels sample the SAME minutes of host contention — sequential blocks
+    let a contention spike hit one level only and skew the ratio either way.
+    hi runs FIRST within a pair: quiet windows on this VM last ~1-2 min and
+    the higher-core run is the bandwidth-hungry one; probes are recorded
+    before AND after each pair (contention arriving mid-pair slows the lo
+    run and would INFLATE eff — trust pairs whose both probes are sane).
+
+    Budget-aware: the first pair always runs (if the caller admitted the
+    section); later pairs/retries run only while the measured per-pair cost
+    fits in ``remaining() - reserve``."""
+    lo_times: list[float] = []
+    hi_times: list[float] = []
+    lo: dict = {}
+    hi: dict = {}
+    records: list[dict] = []
+    est = est_pair
+
+    def run_pair() -> None:
+        nonlocal est
+        t0 = time.time()
+        rec = {"probe_gbps": quick_probe()}
+        r_hi = cdc_subprocess(hi_cores, events_dir, n_repeats=1, warmup=1)
+        r_lo = cdc_subprocess(lo_cores, events_dir, n_repeats=1, warmup=1)
+        if "secs_min" in r_lo:
+            lo_times.append(r_lo["secs_min"])
+            lo.update(r_lo)
+            rec["lo_secs"] = r_lo["secs_min"]
+        if "secs_min" in r_hi:
+            hi_times.append(r_hi["secs_min"])
+            hi.update(r_hi)
+            rec["hi_secs"] = r_hi["secs_min"]
+        if "lo_secs" in rec and "hi_secs" in rec:
+            rec["eff"] = round(
+                (rec["lo_secs"] / rec["hi_secs"]) / (hi_cores / lo_cores), 3
+            )
+        rec["probe_after_gbps"] = quick_probe()
+        records.append(rec)
+        est = time.time() - t0  # refine the estimate from the measured pair
+
+    def current_eff():
+        if not (lo_times and hi_times):
+            return None
+        return round(
+            (min(lo_times) / min(hi_times)) / (hi_cores / lo_cores), 3
+        )
+
+    for i in range(n_pairs):
+        if i > 0 and remaining() - reserve < est * 1.1:
+            skip(f"pair_{lo_cores}_{hi_cores}_extra", est)
+            break
+        run_pair()
+        emit_partial()
+    retries = 0
+    while (
+        current_eff() is not None
+        and current_eff() < EFF_TARGET
+        and retries < max_retries
+        and remaining() - reserve > est * 1.1 + 30
+    ):
+        retries += 1
+        wait_for_quiet_host()
+        run_pair()
+        emit_partial()
+    if lo_times:
+        lo = {**lo, "secs_min": round(min(lo_times), 3),
+              "secs_all": [round(t, 2) for t in lo_times],
+              "events_per_sec": round(N_EVENTS / min(lo_times), 1)}
+    if hi_times:
+        hi = {**hi, "secs_min": round(min(hi_times), 3),
+              "secs_all": [round(t, 2) for t in hi_times],
+              "events_per_sec": round(N_EVENTS / min(hi_times), 1)}
+    return {"pair": [lo_cores, hi_cores], "lo": lo, "hi": hi,
+            "eff": current_eff(), "records": records, "retries": retries}
+
+
+def run_bounded(spark, fn, secs: float):
+    """Run fn() with a watchdog that cancels all Spark jobs at ``secs``;
+    raises TimeoutError if the watchdog fired."""
+    fired = threading.Event()
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(secs):
+            fired.set()
+            try:
+                spark.sparkContext.cancelAllJobs()
+            except Exception:  # noqa: BLE001
+                pass
+
+    th = threading.Thread(target=watchdog, daemon=True)
+    th.start()
+    try:
+        result = fn()
+    except Exception:
+        if fired.is_set():
+            raise TimeoutError(f"spark entry exceeded {secs}s") from None
+        raise
+    finally:
+        done.set()
+    if fired.is_set():
+        raise TimeoutError(f"spark entry exceeded {secs}s")
+    return result
+
+
+def oracle_subprocess(name: str, sf_dir: str, timeout: float):
+    """Run one catalog entry's DuckDB oracle in a subprocess with a hard
+    timeout (a runaway recursive-CTE oracle cannot eat the run); returns
+    the result pandas frame or raises TimeoutError/RuntimeError."""
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        out_path = f.name
+    code = f"""
+import pickle, sys
+sys.path.insert(0, {REPO!r})
+from openlogreplicator_spark.oracle_check import duckdb_connection
+from openlogreplicator_spark.queries import ORACLES
+con = duckdb_connection({sf_dir!r})
+df = con.execute(ORACLES[{name!r}]).df()
+with open({out_path!r}, "wb") as f:
+    pickle.dump(df, f)
+print("OK")
+"""
+    try:
+        out = _run_child([sys.executable, "-c", code], timeout=timeout)
+        if "OK" not in out:
+            raise TimeoutError(f"oracle for {name} timed out/failed ({timeout}s)")
+        with open(out_path, "rb") as f:
+            return pickle.load(f)
+    finally:
         try:
-            return json.loads(line)
-        except json.JSONDecodeError:
-            continue
-    return {"cores": cores, "merge_mode": merge_mode,
-            "error": (r.stderr or "no output")[-400:]}
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+
+def catalog_sweep(deadline: float) -> dict[str, float]:
+    """Time every catalog entry (noop sink) until ``deadline`` (absolute
+    time.time()); rotates the start index across runs via the persisted
+    cursor so successive budget-bounded runs cover different entries. A
+    full sweep happens whenever the budget allows (the common case)."""
+    from openlogreplicator_spark.queries import QUERIES
+    from openlogreplicator_spark.session import build_session
+
+    names = list(QUERIES)
+    cur = load_cursor()
+    start = int(cur.get("catalog", 0)) % len(names)
+    order = names[start:] + names[:start]
+    timings: dict[str, float] = {}
+    spark = build_session(
+        app_name="olr-bench", cores=CPUS, shuffle_partitions=4 * CPUS
+    )
+    n_done = 0
+    for name in order:
+        if time.time() > deadline:
+            break
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001
+            timings[name] = -1.0
+        n_done += 1
+        if n_done % 25 == 0:
+            OUT["queries"] = dict(timings)
+            emit_partial()
+    # stop streaming state-store maintenance before the JVM goes away
+    # (round-4 tail showed a post-stop maintenance-thread error)
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:  # noqa: BLE001
+        pass
+    spark.stop()
+    cur["catalog"] = (start + n_done) % len(names)
+    save_cursor(cur)
+    OUT["catalog_swept"] = {"n_measured": n_done, "n_total": len(names),
+                            "start_index": start, "full": n_done == len(names)}
+    return timings
 
 
 def sf1_spot(timings: dict[str, float]) -> dict | None:
-    """Scale-evidence rung: re-run the most expensive sf-table-backed
+    """Scale-evidence rung: re-run a rotating slice of the sf-table-backed
     catalog entries at 10× the bench scale (deterministically scaled facts,
     sf_scale.ensure_scaled_dir), each through the SAME strict DuckDB value
-    gate, and record per-entry Spark seconds + gate verdict. Any entry
-    whose sf0.1→sf1 scaling is super-linear is the round's plan-note
-    candidate. Budget-bounded (SPARK_GRAFT_SF1_BUDGET seconds, default
-    900); entries skipped for budget are LISTED, never silently dropped.
+    gate — the oracle in a hard-timeout subprocess, the Spark side under a
+    cancelAllJobs watchdog. The rotation cursor persists so successive
+    rounds accumulate full-catalog 10× coverage. Any entry whose
+    sf0.1→sf1 scaling is super-linear is the round's plan-note candidate.
     Disable with SPARK_GRAFT_SF1_SPOT=0."""
     if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") == "0":
         return None
     import inspect
 
-    from openlogreplicator_spark.oracle_check import (
-        check_query,
-        duckdb_connection,
-    )
-    from openlogreplicator_spark.queries import QUERIES
+    from openlogreplicator_spark.oracle_check import frames_equal, normalize
+    from openlogreplicator_spark.queries import ORACLES, QUERIES
     from openlogreplicator_spark.session import build_session
     from openlogreplicator_spark.sf_scale import ensure_scaled_dir
 
-    budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET", "900"))
-    gate_budget = float(os.environ.get("SPARK_GRAFT_SF1_GATE_BUDGET", "420"))
-    n_top = int(os.environ.get("SPARK_GRAFT_SF1_TOP", "25"))
     # sf-table-backed entries only: fixture-backed engine_*/replay entries
     # are sf-independent and would waste sweep slots
-    cand = [
-        n
-        for n, secs in sorted(timings.items(), key=lambda kv: -kv[1])
-        if secs > 0
-        and n in QUERIES
-        and "T(spark, sf_dir" in inspect.getsource(QUERIES[n])
-    ][:n_top]
+    sf_backed = [
+        n for n in QUERIES
+        if "T(spark, sf_dir" in inspect.getsource(QUERIES[n])
+    ]
+    cur = load_cursor()
+    start = int(cur.get("sf1", 0)) % len(sf_backed)
+    order = sf_backed[start:] + sf_backed[:start]
+    cand = order[:SF1_SLICE]
     scaled = ensure_scaled_dir(SF_DIR, 10)
     spark = build_session(
         app_name="olr-sf1-spot", cores=CPUS, shuffle_partitions=4 * CPUS
     )
-    con = duckdb_connection(scaled)
-    # phase 1 — Spark timing for EVERY candidate (the scale-ratio evidence;
-    # each runs in seconds). phase 2 — the strict DuckDB value gate under
-    # its own budget, heaviest-first (the unrolled-CTE oracles are the
-    # expensive side at 10×: round-4 finding — 4 gates ate a 900 s shared
-    # budget); ungated entries are listed, their sf0.01 gate (the driver's
-    # CORRECTNESS run) remains their correctness evidence.
     entries: dict[str, dict] = {}
     skipped: list[str] = []
-    t_start = time.time()
+    n_rotated = 0
     for name in cand:
-        if time.time() - t_start > budget:
+        if remaining() < 90:
             skipped.append(name)
             continue
+        n_rotated += 1
         t0 = time.time()
         try:
-            QUERIES[name](spark, scaled).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            got = run_bounded(
+                spark,
+                lambda n=name: QUERIES[n](spark, scaled).toPandas(),
+                min(SF1_ENTRY_TIMEOUT, max(30.0, remaining() - 45)),
+            )
+        except TimeoutError:
+            entries[name] = {"secs": round(time.time() - t0, 3),
+                             "ok": None, "err": "spark timeout"}
+            continue
         except Exception as e:  # noqa: BLE001 — recorded, not raised
-            entries[name] = {
-                "secs": round(time.time() - t0, 3), "ok": False,
-                "err": str(e)[:200],
-            }
+            entries[name] = {"secs": round(time.time() - t0, 3), "ok": False,
+                             "err": str(e)[:200]}
             continue
         spark_secs = round(time.time() - t0, 3)
-        entries[name] = {
+        rec = {
             "secs": spark_secs,
             "sf01_secs": timings.get(name),
             "scale_ratio": (
@@ -336,178 +645,157 @@ def sf1_spot(timings: dict[str, float]) -> dict | None:
                 if timings.get(name, 0) > 0 else None
             ),
         }
-    gated: list[str] = []
-    t_gate = time.time()
-    for name in cand:
-        if name not in entries or "err" in entries[name]:
-            continue
-        if time.time() - t_gate > gate_budget:
-            break
-        t1 = time.time()
-        try:
-            ok, _msg = check_query(spark, con, name, scaled)
-        except Exception as e:  # noqa: BLE001
-            ok = False
-            entries[name]["err"] = str(e)[:200]
-        entries[name]["ok"] = bool(ok)
-        entries[name]["gate_secs"] = round(time.time() - t1, 3)
-        gated.append(name)
+        if name in ORACLES and remaining() > 60:
+            t1 = time.time()
+            try:
+                want = oracle_subprocess(
+                    name, scaled,
+                    min(SF1_GATE_TIMEOUT, max(30.0, remaining() - 30)),
+                )
+                ok, _msg = frames_equal(normalize(got), normalize(want))
+                rec["ok"] = bool(ok)
+            except TimeoutError:
+                rec["ok"] = None
+                rec["err"] = "oracle timeout"
+            except Exception as e:  # noqa: BLE001
+                rec["ok"] = False
+                rec["err"] = str(e)[:200]
+            rec["gate_secs"] = round(time.time() - t1, 3)
+        entries[name] = rec
+        emit_partial()
+    try:
+        spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:  # noqa: BLE001
+        pass
     spark.stop()
-    con.close()
+    cur["sf1"] = (start + n_rotated) % len(sf_backed)
+    save_cursor(cur)
     return {
         "factor": 10,
         "src": SF_DIR,
-        "n_fail": sum(
-            1 for v in entries.values() if v.get("ok") is False
-        ),
-        "n_gated": len(gated),
+        "slice_start": start,
+        "n_sf_backed": len(sf_backed),
+        "n_fail": sum(1 for v in entries.values() if v.get("ok") is False),
+        "n_gated": sum(1 for v in entries.values() if v.get("ok") is True
+                       or v.get("ok") is False),
+        "n_timeout": sum(1 for v in entries.values() if v.get("ok") is None),
         "entries": entries,
-        "ungated_for_budget": [
-            n for n in entries if n not in gated and "err" not in entries[n]
-        ],
         "skipped_for_budget": skipped,
     }
 
 
 def main() -> None:
-    from openlogreplicator_spark.queries import QUERIES
-    from openlogreplicator_spark.session import build_session
-
+    cdc = OUT["cdc"]
+    t0 = time.time()
     events_dir = bench_events_dir()
-    timings: dict[str, float] = {}
+    cdc["fixture_secs"] = round(time.time() - t0, 1)
+    cdc["membw_ceiling"] = membw_probe()
+    emit_partial()
 
-    spark = build_session(app_name="olr-bench", cores=CPUS, shuffle_partitions=4 * CPUS)
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception:
-            timings[name] = -1.0
-    spark.stop()
-
-    # Interleaved scaling pairs: lo/hi alternate (hi,lo) × repeats so both
-    # levels sample the SAME minutes of host contention — sequential blocks
-    # let a contention spike hit one level only and skew the ratio either way.
-    # hi runs FIRST within a pair: quiet windows on this VM last ~1-2 min and
-    # the higher-core run is the bandwidth-hungry one; probes are recorded
-    # before AND after each pair (contention arriving mid-pair slows the lo
-    # run and would INFLATE eff — trust pairs whose both probes are sane).
-    def measure_pair_series(
-        lo_cores: int, hi_cores: int, n_pairs: int, max_retries: int = 0
-    ) -> dict:
-        lo_times: list[float] = []
-        hi_times: list[float] = []
-        lo: dict = {}
-        hi: dict = {}
-        records: list[dict] = []
-
-        def run_pair() -> None:
-            rec = {"probe_gbps": quick_probe()}
-            r_hi = cdc_subprocess(hi_cores, events_dir, n_repeats=1, warmup=1)
-            r_lo = cdc_subprocess(lo_cores, events_dir, n_repeats=1, warmup=1)
-            if "secs_min" in r_lo:
-                lo_times.append(r_lo["secs_min"])
-                lo.update(r_lo)
-                rec["lo_secs"] = r_lo["secs_min"]
-            if "secs_min" in r_hi:
-                hi_times.append(r_hi["secs_min"])
-                hi.update(r_hi)
-                rec["hi_secs"] = r_hi["secs_min"]
-            if "lo_secs" in rec and "hi_secs" in rec:
-                rec["eff"] = round(
-                    (rec["lo_secs"] / rec["hi_secs"]) / (hi_cores / lo_cores), 3
-                )
-            rec["probe_after_gbps"] = quick_probe()
-            records.append(rec)
-
-        def current_eff():
-            if not (lo_times and hi_times):
-                return None
-            return round(
-                (min(lo_times) / min(hi_times)) / (hi_cores / lo_cores), 3
-            )
-
-        for _ in range(n_pairs):
-            run_pair()
-        retries = 0
-        while (
-            current_eff() is not None
-            and current_eff() < EFF_TARGET
-            and retries < max_retries
-        ):
-            retries += 1
-            wait_for_quiet_host()
-            run_pair()
-        if lo_times:
-            lo = {**lo, "secs_min": round(min(lo_times), 3),
-                  "secs_all": [round(t, 2) for t in lo_times],
-                  "events_per_sec": round(N_EVENTS / min(lo_times), 1)}
-        if hi_times:
-            hi = {**hi, "secs_min": round(min(hi_times), 3),
-                  "secs_all": [round(t, 2) for t in hi_times],
-                  "events_per_sec": round(N_EVENTS / min(hi_times), 1)}
-        return {"pair": [lo_cores, hi_cores], "lo": lo, "hi": hi,
-                "eff": current_eff(), "records": records, "retries": retries}
-
-    gate = wait_for_quiet_host()
-    # Transparency pair (2→8) first — it is the contention-SENSITIVE series,
-    # so it gets the gate-verified window; continuity with rounds 1-2, and
-    # its hi run is the 8-core batch number that streaming/tail shapes
-    # compare against. No retry loop — the headline criterion lives below.
-    side = measure_pair_series(SCALE_LO, SCALE_HI, N_REPEATS)
-    # Headline pair (1→4): contention-immune, amortized — see EFF_LO note.
+    # ---- priority 1: headline 1→4 scaling pair (the north-rule number) ----
+    # contention-immune by construction; reserve enough budget for the
+    # 8-core apply section that follows.
     head = measure_pair_series(
-        EFF_LO, EFF_HI, max(2, N_REPEATS - 1), max_retries=EFF_RETRIES
+        EFF_LO, EFF_HI, max(2, N_REPEATS - 1), events_dir,
+        est_pair=420.0, reserve=200.0, max_retries=EFF_RETRIES,
     )
-    lo, hi = side["lo"], side["hi"]
-    peak = cdc_subprocess(CPUS, events_dir) if CPUS not in (SCALE_LO, SCALE_HI) else hi
-    # streaming gets the same JIT warmup the batch runs get (a cold first
-    # epoch otherwise charges JVM compile time to the streaming number)
-    stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True, n_repeats=1, warmup=1)
-    # steady-state shape: state >> epoch — MoR vs CoW on a small tail
-    tail_mor = cdc_tail_subprocess(min(CPUS, 8), events_dir, "mor")
-    tail_cow = cdc_tail_subprocess(min(CPUS, 8), events_dir, "cow")
+    cdc["scaling_pair"] = head["pair"]
+    cdc["scaling_efficiency"] = head["eff"]
+    cdc["scale_1_4"] = {"lo": head["lo"], "hi": head["hi"], "eff": head["eff"],
+                        "pairs": head["records"], "retries": head["retries"]}
+    emit_partial()
 
-    eff = head["eff"] if head["eff"] is not None else side["eff"]
-    spot = sf1_spot(timings)
-    timings["cdc_apply_batch"] = hi.get("secs_min", -1.0)
-    timings["cdc_apply_streaming"] = stream.get("secs_min", -1.0)
+    # ---- priority 2: 8-core batch apply + per-stage split ----
+    apply8 = {}
+    if remaining() > 150:
+        apply8 = cdc_subprocess(8, events_dir, n_repeats=1, warmup=1)
+        cdc["scale_hi"] = apply8
+        cdc["apply_stages"] = apply8.get("stages")
+        OUT["queries"]["cdc_apply_batch"] = apply8.get("secs_min", -1.0)
+    else:
+        skip("apply_8core", 150)
+    emit_partial()
 
-    out = {
-        "metric": "total_catalog_plus_cdc_sec",
-        "value": round(sum(v for v in timings.values() if v > 0), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_NAME,
-        "cdc": {
-            "n_events": N_EVENTS,
-            "scale_lo": lo,
-            "scale_hi": hi,
-            "peak": peak,
-            "streaming": stream,
-            "streaming_tail_mor": tail_mor,
-            "streaming_tail_cow": tail_cow,
-            "scaling_pair": head["pair"] if head["eff"] is not None else side["pair"],
-            "scaling_efficiency": eff,
-            "scale_1_4": {"lo": head["lo"], "hi": head["hi"],
-                          "eff": head["eff"], "pairs": head["records"],
-                          "retries": head["retries"]},
-            "scaling_efficiency_2_8": side["eff"],
-            # per-stage split of the fastest 8-core batch apply (round-3
-            # verdict: separates driver bookkeeping from the distributed job
-            # so a per-event regression can be attributed)
-            "apply_stages": hi.get("stages"),
-            "probe_gate": gate,
-            "scaling_pairs": side["records"],
-            "eff_retries": side["retries"],
-            "peak_events_per_sec": peak.get("events_per_sec"),
-            "membw_ceiling": membw_probe(),
-            "sf1_spot": spot,
-        },
-    }
-    print(json.dumps(out))
+    # ---- priority 3: streaming / peak / MoR-CoW tails ----
+    if remaining() > 140:
+        stream = cdc_subprocess(min(CPUS, 8), events_dir, streaming=True,
+                                n_repeats=1, warmup=1)
+        cdc["streaming"] = stream
+        OUT["queries"]["cdc_apply_streaming"] = stream.get("secs_min", -1.0)
+    else:
+        skip("streaming", 140)
+    if remaining() > 90:
+        cdc["peak"] = (
+            cdc_subprocess(CPUS, events_dir, n_repeats=1, warmup=1)
+            if CPUS != 8 or not apply8 else apply8
+        )
+        cdc["peak_events_per_sec"] = cdc["peak"].get("events_per_sec")
+    else:
+        skip("peak", 90)
+    emit_partial()
+    for mode, est in (("mor", 150), ("cow", 220)):
+        if remaining() > est + 60:
+            cdc[f"streaming_tail_{mode}"] = cdc_tail_subprocess(
+                min(CPUS, 8), events_dir, mode
+            )
+        else:
+            skip(f"tail_{mode}", est)
+    emit_partial()
+
+    # ---- priority 4: 2→8 transparency pair (contention-sensitive; gets a
+    # quiet-window gate, bounded) ----
+    if remaining() > 500:
+        cdc["probe_gate"] = wait_for_quiet_host()
+        side = measure_pair_series(
+            SCALE_LO, SCALE_HI, N_REPEATS, events_dir,
+            est_pair=260.0, reserve=220.0,
+        )
+        cdc["scaling_efficiency_2_8"] = side["eff"]
+        cdc["scaling_pairs"] = side["records"]
+        cdc["eff_retries"] = side["retries"]
+        if side["lo"]:
+            cdc["scale_lo"] = side["lo"]
+        # the 8-core batch number: best of the dedicated apply and the
+        # series' hi runs (same config, fresh JVMs)
+        if side["hi"] and (
+            not apply8
+            or side["hi"].get("secs_min", 9e9) < apply8.get("secs_min", 9e9)
+        ):
+            merged = dict(side["hi"])
+            if apply8.get("stages"):
+                merged["stages"] = apply8["stages"]
+            cdc["scale_hi"] = merged
+            OUT["queries"]["cdc_apply_batch"] = merged.get("secs_min", -1.0)
+        if head["eff"] is None:
+            cdc["scaling_pair"] = side["pair"]
+            cdc["scaling_efficiency"] = side["eff"]
+    else:
+        skip("pair_2_8", 500)
+    emit_partial()
+
+    # ---- priority 5: catalog sweep (budget-bounded sample, rotating) ----
+    sf1_reserve = 0.0 if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") == "0" else 240.0
+    if remaining() > 90:
+        timings = catalog_sweep(
+            deadline=T_START + BUDGET - min(sf1_reserve, remaining() * 0.3) - 30
+        )
+        OUT["queries"].update(timings)
+    else:
+        skip("catalog", 90)
+        timings = {}
+    emit_partial()
+
+    # ---- priority 6: sf1 spot (rotating slice, hard-timeout gates) ----
+    if remaining() > 120:
+        cdc["sf1_spot"] = sf1_spot(timings)
+    else:
+        skip("sf1_spot", 120)
+    emit_partial()
+    print_final()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        print_final()
