@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -10620,6 +10621,44 @@ def _replay_stream(spark, files_per_trigger: int = 1) -> DataFrame:
 
 from contextlib import contextmanager
 
+# Scratch dirs created by _stream_harness cannot be deleted in its finally
+# block (several gates return lazy DataFrames backed by files under them), so
+# they are registered here and removed at interpreter exit; stale dirs from
+# PRIOR interpreter runs (mtime before this process started) are pruned at
+# harness entry — /dev/shm is RAM-backed and accumulation on the
+# memory-sensitive bench VMs is real cost.
+_STREAM_SCRATCH_DIRS: list[str] = []
+_PROCESS_T0 = time.time()
+
+
+def _cleanup_stream_scratch() -> None:
+    import shutil as _shutil
+
+    for d in _STREAM_SCRATCH_DIRS:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def _prune_stale_stream_scratch(base: str) -> None:
+    import shutil as _shutil
+
+    try:
+        for name in os.listdir(base):
+            if not name.startswith("olr_stream_gate_"):
+                continue
+            p = os.path.join(base, name)
+            try:
+                if os.path.getmtime(p) < _PROCESS_T0:
+                    _shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
+
+
+import atexit
+
+atexit.register(_cleanup_stream_scratch)
+
 
 @contextmanager
 def _stream_harness(spark, n_partitions: int = 8):
@@ -10633,12 +10672,22 @@ def _stream_harness(spark, n_partitions: int = 8):
     restored on exit."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    _prune_stale_stream_scratch(base or tempfile.gettempdir())
     d = tempfile.mkdtemp(prefix="olr_stream_gate_", dir=base)
+    _STREAM_SCRATCH_DIRS.append(d)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:
         yield d
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        # unload state stores + stop their maintenance task NOW: a leftover
+        # maintenance thread otherwise logs "SparkEnv not active" into
+        # whatever runs after the session stops (round-4 bench tail) —
+        # the next streaming query restarts maintenance lazily on load
+        try:
+            spark._jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()  # noqa: SLF001
+        except Exception:  # noqa: BLE001 — hygiene only, never fail a gate
+            pass
 
 
 def _run_stream_to_memory(df: DataFrame, name: str) -> DataFrame:
@@ -18783,7 +18832,7 @@ _ensure_rewound_events()
       SELECT seq, url, warc_ts
       FROM read_parquet('{_REWOUND_EVENTS}/*.parquet')
       WHERE op IS NOT NULL AND op <> 'ddl' AND NOT rolled_back
-        AND url IS NOT NULL),
+        AND url IS NOT NULL AND warc_ts IS NOT NULL),
     conf AS (
       SELECT seq,
              CAST(count(*) AS BIGINT) AS n_rows,
@@ -18817,8 +18866,12 @@ def cdc_incarnation_conflicts(spark, sf_dir):
     ev = (
         spark.read.schema(EVENTS_DDL).parquet(_ensure_rewound_events())
         .filter(
+            # warc_ts NOT NULL on BOTH sides: Spark's concat_ws would count a
+            # null-ts binding as 'url|' while the SQL twin's || propagates
+            # NULL and drops it — keep the binding universe identical
             F.col("op").isNotNull() & (F.col("op") != "ddl")
             & ~F.col("rolled_back") & F.col("url").isNotNull()
+            & F.col("warc_ts").isNotNull()
         )
         .select("seq", "url", "warc_ts")
     )

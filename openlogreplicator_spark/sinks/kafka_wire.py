@@ -302,8 +302,18 @@ class KafkaConfirmSink:
         the watermark on the delivery reports. Returns True iff confirmed;
         an already-confirmed epoch is skipped idempotently."""
         epoch_id = int(epoch_id)
-        if epoch_id <= self.last_confirmed_epoch():
+        last = self.last_confirmed_epoch()
+        if epoch_id <= last:
             return True
+        # Sequential-epoch contract: the watermark is a single max-epoch
+        # integer, so skipping past an unconfirmed epoch would silently mark
+        # it confirmed forever. Callers must confirm epochs in order once a
+        # watermark exists (a fresh sink accepts any starting epoch).
+        if last >= 0 and epoch_id > last + 1:
+            raise ValueError(
+                f"non-sequential epoch {epoch_id} (last confirmed {last}): "
+                f"epoch {last + 1} was never confirmed and would be lost"
+            )
         host, port, topic, timeout = self.host, self.port, self.topic, self.timeout
         with KafkaWireProducer(host, port, timeout) as probe:
             n_parts = len(probe.metadata(topic)["partitions"])

@@ -160,8 +160,17 @@ class NetworkConfirmSink:
         binary). Returns True when the epoch was confirmed (watermark
         advanced); an already-confirmed epoch is skipped idempotently."""
         epoch_id = int(epoch_id)
-        if epoch_id <= self.last_confirmed_epoch():
+        last = self.last_confirmed_epoch()
+        if epoch_id <= last:
             return True  # re-delivery of a confirmed epoch: no-op
+        # sequential-epoch contract (same as KafkaConfirmSink): a max-epoch
+        # watermark cannot represent a hole — refuse to jump past an epoch
+        # that was never confirmed rather than silently losing it
+        if last >= 0 and epoch_id > last + 1:
+            raise ValueError(
+                f"non-sequential epoch {epoch_id} (last confirmed {last}): "
+                f"epoch {last + 1} was never confirmed and would be lost"
+            )
         host, port, timeout, framing = (
             self.host, self.port, self.timeout, self.framing
         )

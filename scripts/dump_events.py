@@ -69,8 +69,10 @@ def dump_lines(path: str):
                 f" ddl={r.get('action') or 'sql'}:{r.get('col_name') or '-'}"
                 f"->{r.get('new_name') or '-'}:{r.get('new_type') or '-'}"
             )
+        # null seq renders as -1, matching the sort key's null placement
+        s = r.get("seq")
         yield (
-            f"seq={r.get('seq', -1):010d}"
+            f"seq={(s if s is not None else -1):010d}"
             f" ts={ts.isoformat() if ts is not None else '-'}"
             f" op={r.get('op') or '-'}"
             f" ver={r.get('schema_ver') or 0}"

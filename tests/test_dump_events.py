@@ -37,3 +37,23 @@ def test_dump_line_shape_covers_ddl_and_payload_digests(tmp_path):
     # seq is the primary order
     seqs = [int(line[4:14]) for line in lines]
     assert seqs == sorted(seqs)
+
+
+def test_dump_renders_null_seq_without_error(tmp_path):
+    # a row with seq=NULL must format (as -1, matching the sort key's null
+    # placement) instead of raising TypeError in the :010d format
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "seq": pa.array([None, 7], pa.int64()),
+            "url": ["https://a/", "https://b/"],
+            "op": ["i", "i"],
+        }
+    )
+    pq.write_table(t, str(tmp_path / "ev.parquet"))
+    lines = list(dump_lines(str(tmp_path / "ev.parquet")))
+    assert len(lines) == 2
+    assert lines[0].startswith("seq=-000000001 ")  # null sorts first, renders -1
+    assert lines[1].startswith("seq=0000000007 ")

@@ -119,3 +119,15 @@ def test_partition_routing_is_stable(spark, tmp_path):
         assert all(len(v) > 0 for v in per_part.values())
     finally:
         srv.close()
+
+
+def test_send_epoch_refuses_watermark_gap(tmp_path):
+    # the watermark is a single max-epoch integer: jumping past an
+    # unconfirmed epoch would silently mark it confirmed forever, so a gap
+    # above an existing watermark must raise (checked before any connection)
+    wm = tmp_path / "confirmed"
+    wm.write_text("3")
+    sink = KafkaConfirmSink("127.0.0.1", 1, confirmed_path=str(wm))
+    assert sink.send_epoch(None, 2) is True  # at/below watermark: noop
+    with pytest.raises(ValueError, match="non-sequential"):
+        sink.send_epoch(None, 5)

@@ -120,3 +120,14 @@ def test_task_retry_does_not_duplicate_partition(tmp_path):
     assert srv.redo[5][0] == payloads  # one copy, not two
     assert srv.redo[5][1] == [b'{"k":9}']
     srv.close()
+
+
+def test_send_epoch_refuses_watermark_gap(tmp_path):
+    # same sequential-epoch contract as the Kafka sink: a max-epoch
+    # watermark cannot represent a hole
+    wm = tmp_path / "confirmed"
+    wm.write_text("3")
+    sink = NetworkConfirmSink("127.0.0.1", 1, confirmed_path=str(wm))
+    assert sink.send_epoch(None, 3) is True
+    with pytest.raises(ValueError, match="non-sequential"):
+        sink.send_epoch(None, 7)
