@@ -12494,27 +12494,38 @@ def events_user_gini(spark, sf_dir):
     G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over counts sorted ascending —
     every term is exact BIGINT until the one final division, and equal
     counts contribute the same Σ i·x_i under ANY tie order, so the value is
-    engine-independent by construction. Shape at 100 TB: the rank window
-    runs on the KEYS-sized count relation (not events), the one
-    single-partition window this catalog allows at users-scale — past that
-    the distributed prefix-sum (functions/packing.py) is the drop-in.
+    engine-independent by construction. Shape at 100 TB (round-5 verdict
+    task 3 — NO global rank window): group the keys-sized count relation by
+    DISTINCT count value v (cnt_v keys share it), distributed-prefix-sum
+    cnt over ascending v (functions/packing.ordered_prefix_sum — range
+    repartition + per-partition scan + a partitions-sized broadcast of
+    bases), and fold each value's contiguous rank block exactly:
+    Σ_(i=s_v+1..s_v+cnt_v) i = cnt_v·s_v + cnt_v(cnt_v+1)/2, so
+    Σ i·x_i = Σ_v v·(cnt_v·s_v + cnt_v(cnt_v+1)/2) — BIGINT throughout, no
+    single-task sort at any relation size. The SQL oracle keeps the plain
+    rank spelling (values identical by the tie-invariance above).
     Reference analogue: none — training-data pipeline extension."""
+    from .functions.packing import ordered_prefix_sum
+
     ev = T(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count("*").alias("x"))
-    r = c.select(
+    g = c.groupBy("x").agg(F.count("*").alias("cnt"))
+    ps = ordered_prefix_sum(g, "x", "cnt")  # offset = Σ cnt over smaller x
+    block = ps.select(
         "x",
-        F.row_number()
-        .over(Window.orderBy("x", "user_id"))
-        .cast("long")
-        .alias("i"),
+        "cnt",
+        (
+            F.col("x")
+            * (F.col("cnt") * F.col("offset")
+               + F.expr("cnt * (cnt + 1) div 2"))
+        ).alias("term"),
     )
-    n, sx = F.count("*"), F.sum("x")
-    return r.agg(
-        n.alias("n_users"),
-        sx.alias("total_events"),
+    n, sx = F.sum("cnt"), F.sum(F.col("x") * F.col("cnt"))
+    return block.agg(
+        n.cast("long").alias("n_users"),
+        sx.cast("long").alias("total_events"),
         F.round(
-            (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * sx)
-            / (n * sx),
+            (2.0 * F.sum("term") - (n + 1) * sx) / (n * sx),
             6,
         ).alias("gini"),
     )
@@ -17548,31 +17559,42 @@ def orders_pareto_share(spark, sf_dir):
     (2-decimal prices probed; per-row round·cast then BIGINT sums — order
     independent), the 20% cutoff is pure integer arithmetic ((n+4)//5 —
     never ceil of a float), and division happens once at the rounded
-    output. Shape at 100 TB: one customers-keyed partial agg; the rank
-    window and the rollup run on the customers-sized relation, never on
-    raw orders. Reference analogue: none — relational coverage (SURVEY
-    §2.6)."""
+    output. Shape at 100 TB (round-5 verdict task 3 — NO global rank
+    window): group the customers-sized relation by DISTINCT rev_cents
+    value (cnt customers share it), distributed-prefix-sum cnt over
+    DESCENDING revenue (ordered_prefix_sum on the negated value — range
+    repartition + per-partition scan, no single-task sort), so offset =
+    #customers strictly richer; the value's rank block
+    [offset+1, offset+cnt] contributes clamp(top_n − offset, 0, cnt)
+    customers to the top-20% cut — tie-exact vs the oracle's row_number
+    spelling because tied customers carry identical rev_cents. Reference
+    analogue: none — relational coverage (SURVEY §2.6)."""
+    from .functions.packing import ordered_prefix_sum
+
     o = T(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .alias("rev_cents")
     )
-    ranked = per_cust.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.orderBy(F.desc("rev_cents"), "o_custkey")
-        ),
+    g = per_cust.groupBy("rev_cents").agg(F.count("*").alias("cnt"))
+    ps = ordered_prefix_sum(
+        g.select((-F.col("rev_cents")).alias("neg_cents"), "cnt"),
+        "neg_cents",
+        "cnt",
     )
-    tot = per_cust.agg(
-        F.count("*").alias("n_customers"),
-        F.sum("rev_cents").cast("long").alias("total_cents"),
+    tot = g.agg(
+        F.sum("cnt").cast("long").alias("n_customers"),
+        F.sum(F.col("rev_cents") * F.col("cnt")).cast("long")
+        .alias("total_cents"),
     )
     top_n = F.expr("(n_customers + 4) div 5")
-    top_cents = F.sum(
-        F.when(F.col("rn") <= top_n, F.col("rev_cents")).otherwise(F.lit(0))
+    in_top = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cnt"), top_n - F.col("offset")),
     )
+    top_cents = F.sum(in_top * (-F.col("neg_cents")))
     return (
-        ranked.crossJoin(F.broadcast(tot))
+        ps.crossJoin(F.broadcast(tot))
         .groupBy("n_customers", "total_cents")
         .agg(top_cents.alias("_top_cents"))
         .select(
