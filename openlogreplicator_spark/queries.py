@@ -18919,3 +18919,94 @@ def cdc_incarnation_conflicts(spark, sf_dir):
         F.coalesce(F.min("seq"), F.lit(-1)).cast("long").alias("first_seq"),
         F.coalesce(F.max("seq"), F.lit(-1)).cast("long").alias("last_seq"),
     )
+
+
+# =========================================================================
+# Charset decode through the Spark data path (round 5; driver-visible
+# evidence for the F2 parity tables — reference src/locales/CharacterSet*
+# — which were previously pytest-only)
+# =========================================================================
+
+# (charset, hex) fixture spanning every table family the engine carries:
+# 2-byte rectangular planes (SJIS/KSC/GBK/BIG5/CGB), the EUC SS2/SS3
+# 1/3-byte planes, the ZHT32EUC 4-byte plane, vendor single-byte rules
+# (GBK 0x80 euro, SJIS half-width katakana), generated 8-bit tables
+# (ISO8859P5/PC866/PC852/TIS), documented stock-codec DIVERGENCES (WE8HP
+# typographic marks; MSWIN1252 undefined→C1 passthrough), and the JVM
+# builtin fast path (AL32UTF8). Expected text is hardcoded as literals in
+# BOTH engines below; the byte-for-byte authority for every cell is
+# tests/test_charset_parity.py's audit against the reference transcription.
+_CHARSET_FIXTURE = [
+    ("JA16SJIS", "82a0", "あ"),
+    ("JA16SJIS", "b1", "ｱ"),           # half-width katakana single byte
+    ("JA16SJIS", "8160", "〜"),     # wave dash
+    ("JA16SJIS", "93fa967b8cea", "日本語"),
+    ("JA16EUC", "a4a2", "あ"),
+    ("JA16EUC", "8ea1", "｡"),      # SS2: half-width ideographic stop
+    ("JA16EUC", "8fb0a1", "丂"),        # SS3 3-byte plane (JIS X 0212)
+    ("KO16KSC5601", "b0a1", "가"),
+    ("KO16MSWIN949", "b0a1", "가"),
+    ("ZHS16GBK", "c4e3", "你"),
+    ("ZHS16GBK", "80", "€"),            # GBK single-byte euro rule
+    ("ZHS16CGB231280", "d6d0", "中"),
+    ("ZHT16BIG5", "a440", "一"),
+    ("ZHT16MSWIN950", "a440", "一"),
+    ("ZHT32EUC", "8ea2c4ea", "犌"),     # 4-byte plane 2
+    ("WE8MSWIN1252", "80", "€"),
+    ("WE8MSWIN1252", "81", "\x81"),     # undefined position → C1 control
+    ("WE8ISO8859P15", "a4", "€"),
+    ("WE8HP", "5e", "‸"),          # Oracle WE8HP ≠ stock hp_roman8
+    ("WE8HP", "60", "‘"),
+    ("WE8HP", "7e", "∼"),
+    ("CL8ISO8859P5", "d0", "а"),
+    ("RU8PC866", "e0", "р"),
+    ("EE8PC852", "9b", "Ť"),
+    ("TH8TISASCII", "a1", "ก"),
+    ("AL32UTF8", "e38182", "あ"),
+]
+
+_CHARSET_SQL = "SELECT charset, hex, text FROM (VALUES " + ", ".join(
+    "('%s', '%s', %s)" % (
+        cs, hx,
+        "chr(129)" if txt == "\x81" else "'" + txt + "'",
+    )
+    for cs, hx, txt in _CHARSET_FIXTURE
+) + ") AS t(charset, hex, text)"
+
+
+@register("engine_charset_decode", _CHARSET_SQL)
+def engine_charset_decode(spark, sf_dir):
+    """F2 charset decode driven through the SPARK data path: every byte
+    string rides a DataFrame binary column (unhex) into
+    functions.decoders.charset_decode — the Arrow-batched pandas_udf
+    kernel over the reference-transcribed parity tables
+    (charset_tables.py / charset_tables_2b.py; reference
+    src/locales/CharacterSet8bit.cpp + CharacterSet16bit.cpp +
+    CharacterSetJA16EUC.cpp etc.) — and must reproduce the hardcoded
+    expected literals the DuckDB twin carries. The cells deliberately
+    include documented stock-codec divergences (WE8HP typographic marks,
+    MSWIN1252 C1 passthrough, the GBK 0x80 euro), so a silent fallback to
+    a stock Python codec FAILS this gate rather than passing quietly.
+    Byte-for-byte authority across all 124 sets remains
+    tests/test_charset_parity.py; this entry makes the Spark-side plumbing
+    (binary column → vectorized decode → string) driver-visible. Shape at
+    100 TB: one pandas_udf per charset partition-parallel over the rows —
+    the identical kernel the CDC text path uses. Reference analogue:
+    SURVEY §2.7 F2."""
+    from .functions.decoders import charset_decode
+
+    rows = [(cs, hx) for cs, hx, _ in _CHARSET_FIXTURE]
+    # one partition: a 26-row literal fixture must not fan 16 unions across
+    # default parallelism (at production scale the decode rides the CDC
+    # pipeline's existing partitioning, not this harness frame)
+    df = spark.createDataFrame(rows, "charset string, hex string").coalesce(1)
+    parts = []
+    for cs in sorted({cs for cs, _, _ in _CHARSET_FIXTURE}):
+        sub = df.filter(F.col("charset") == cs)
+        parts.append(
+            sub.withColumn("text", charset_decode(F.unhex("hex"), cs))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("charset", "hex", "text")
