@@ -120,6 +120,19 @@ class CdcPipeline:
         self._schema_gate_stats = {"footer": 0, "agg": 0}
         # source-side resetlogs/incarnation guard (see _incarnation_guard)
         self.incarnation_guard = incarnation_guard
+        # incarnation-guard accounting (the _schema_gate_stats twin): how
+        # each epoch met the resetlogs guard — "guarded" (footer seq bounds
+        # inspected), "unguarded" (file set unknown: direct DataFrame
+        # applies, jsonl — the guard is log-HEADER-based, like the
+        # reference), "disabled" (incarnation_guard=False). A nonzero
+        # unguarded share means rewind protection for those epochs is
+        # POST-HOC only (the cdc_incarnation_conflicts monitor); each
+        # metrics epoch carries its tag in the ``inc_guard`` column so the
+        # share is auditable from the lineage table alone.
+        self._incarnation_gate_stats = {
+            "guarded": 0, "unguarded": 0, "disabled": 0,
+        }
+        self._last_inc_guard = "unguarded"
         self.recompute_text = recompute_text
         self.filter_config_path = filter_config_path
         self.max_html_bytes = max_html_bytes
@@ -628,10 +641,16 @@ class CdcPipeline:
         unknown (direct DataFrame applies, jsonl) skip the guard — like
         the reference, the guard is log-HEADER-based. Disable with
         ``incarnation_guard=False``."""
-        if not self.incarnation_guard or footer_stats is None:
+        if not self.incarnation_guard:
+            self._last_inc_guard = "disabled"
+            self._incarnation_gate_stats["disabled"] += 1
             return None
-        if footer_stats.get("seq_max") is None:
+        if footer_stats is None or footer_stats.get("seq_max") is None:
+            self._last_inc_guard = "unguarded"
+            self._incarnation_gate_stats["unguarded"] += 1
             return None
+        self._last_inc_guard = "guarded"
+        self._incarnation_gate_stats["guarded"] += 1
         st = self._read_incarnation_state()
         if epoch_id <= int(st.get("epoch_id", -1)):
             # RE-delivery of an epoch this guard has already recorded — the
@@ -708,6 +727,7 @@ class CdcPipeline:
                 ),
             )
             .withColumn("wall_ms", F.lit(int(secs * 1000)).cast("long"))
+            .withColumn("inc_guard", F.lit(self._last_inc_guard))
             .withColumn("committed_at", F.current_timestamp())
         )
         # per-epoch overwrite dir (epoch_id = partition column): replaying an

@@ -118,3 +118,94 @@ def test_streaming_replay_with_guard_stays_green(spark, events_dir, tmp_path):
     s = sorted(map(tuple, ps.target_state().orderBy("url").collect()))
     b = sorted(map(tuple, pb.target_state().orderBy("url").collect()))
     assert s == b
+
+
+def test_guard_accounting_and_jsonl_rewind_detected_posthoc(
+    spark, events_dir, tmp_path
+):
+    """Round-5 verdict task 6: the guard records HOW each epoch was met
+    (guarded / unguarded / disabled — the _schema_gate_stats twin), tags
+    every metrics epoch with ``inc_guard``, and a JSONL-sourced rewind —
+    invisible to the header-based guard by design — is still detected
+    post-hoc by the seq-conflict monitor shape (cdc_incarnation_conflicts)."""
+    from pyspark.sql import functions as F
+
+    from openlogreplicator_spark.streaming.sources import (
+        jsonl_events,
+        write_events_jsonl,
+    )
+
+    files = _files(events_dir)
+    p = _pipeline(spark, events_dir, tmp_path, "acct")
+    _apply(spark, p, files[0], 0)
+    _apply(spark, p, files[1], 1)
+    assert p._incarnation_gate_stats == {
+        "guarded": 2, "unguarded": 0, "disabled": 0,
+    }
+
+    # opt-out is counted, not silent
+    pd_ = _pipeline(spark, events_dir, tmp_path, "dis", incarnation_guard=False)
+    _apply(spark, pd_, files[0], 0)
+    assert pd_._incarnation_gate_stats["disabled"] == 1
+
+    # jsonl source: no parquet log headers → the guard skips, loudly
+    # accounted, and the metrics epoch carries the tag
+    ev = spark.read.schema(EVENTS_DDL).parquet(str(events_dir))
+    jl = str(tmp_path / "jl")
+    write_events_jsonl(ev, jl)
+    pj = CdcPipeline(
+        spark, jl, str(tmp_path / "jt"), str(tmp_path / "jc"),
+        n_buckets=4, source_format="jsonl",
+        metrics_path=str(tmp_path / "jm"),
+    )
+    pj.run_batch_replay()
+    st = pj._incarnation_gate_stats
+    assert st["unguarded"] >= 1 and st["guarded"] == 0
+    tags = {
+        r["inc_guard"]
+        for r in spark.read.parquet(str(tmp_path / "jm"))
+        .select("inc_guard").distinct().collect()
+    }
+    assert tags == {"unguarded"}
+
+    # a rewound delivery through jsonl must NOT raise (header-based guard
+    # cannot see it) — but the post-hoc monitor provably fires on the data
+    lo_seq = ev.agg(F.min("seq")).collect()[0][0]
+    conflicted = (
+        ev.filter(F.col("seq") <= lo_seq + 50)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?branch=2")))
+        .withColumn(
+            "warc_ts",
+            F.col("warc_ts") + F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    jl2 = str(tmp_path / "jl2")
+    write_events_jsonl(ev.unionByName(conflicted), jl2)
+    p2 = CdcPipeline(
+        spark, jl2, str(tmp_path / "jt2"), str(tmp_path / "jc2"),
+        n_buckets=4, source_format="jsonl",
+    )
+    p2.run_batch_replay()  # no IncarnationError: jsonl epochs are unguarded
+    assert p2._incarnation_gate_stats["unguarded"] >= 1
+
+    # monitor shape over the SAME jsonl data: seqs carrying >1 distinct
+    # (url, warc_ts) binding — must fire on the branch rows
+    back = jsonl_events(spark, jl2).filter(
+        F.col("op").isNotNull() & (F.col("op") != "ddl")
+        & ~F.col("rolled_back") & F.col("url").isNotNull()
+        & F.col("warc_ts").isNotNull()
+    )
+    n_conf = (
+        back.groupBy("seq")
+        .agg(
+            F.countDistinct(
+                F.concat_ws(
+                    "|", F.col("url"),
+                    F.unix_micros(F.col("warc_ts")).cast("string"),
+                )
+            ).alias("nb")
+        )
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert n_conf > 0
