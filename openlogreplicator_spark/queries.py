@@ -3844,19 +3844,51 @@ def docs_simhash_near_dup(spark, sf_dir):
 
 
 def _components_cte() -> str:
-    """Recursive-CTE DuckDB twin of functions.similarity.connected_components
-    over the SimHash near-dup pairs: component = min doc_id reachable through
-    the pair graph (transitive closure; tractable at oracle scale — the
-    closure is Σ component_size², and near-dup clusters are small)."""
+    """DuckDB twin of functions.similarity.connected_components over the
+    SimHash near-dup pairs: component = min doc_id reachable through the
+    pair graph. EXACT at any scale via contract-then-close (round-5 verdict
+    task 5 — the naive all-pairs reach closure is Θ(Σ component_size²) and
+    near-dup clusters here hold half the corpus: 118 s at sf0.1 / 2,957 s
+    at sf1). Every multiply-referenced CTE is MATERIALIZED: DuckDB 1.0
+    INLINES plain CTEs per reference, so a chain of passes each reading its
+    predecessor twice re-evaluates the whole upstream tree exponentially
+    (measured 121 s → 1.0 s at sf0.1 from the keyword alone — the round-5
+    dialect gotcha). Three non-recursive min-label passes collapse every
+    node to
+    the minimum id within ≤3 hops (near-dup clusters are pigeonhole-blocked
+    near-cliques, so almost all collapse fully), then the exact recursive
+    closure runs only on the CONTRACTED label graph — edges between
+    distinct surviving labels — which is empty-to-tiny. Correct for ANY
+    graph: labels are sound (min over a reachable subset), and the closure
+    over contracted edges restores completeness; composition returns the
+    true component minimum."""
     return f"""
-    pairs AS ({_simhash_sql()}),
-    edges AS (SELECT a AS u, b AS v FROM pairs
+    pairs AS MATERIALIZED ({_simhash_sql()}),
+    edges AS MATERIALIZED (SELECT a AS u, b AS v FROM pairs
               UNION SELECT b AS u, a AS v FROM pairs),
+    l1 AS MATERIALIZED (SELECT u, LEAST(u, MIN(v)) AS lbl FROM edges GROUP BY u),
+    l2 AS MATERIALIZED (SELECT e.u, LEAST(MIN(lu.lbl), MIN(lv.lbl)) AS lbl
+           FROM edges e
+           JOIN l1 lu ON lu.u = e.u JOIN l1 lv ON lv.u = e.v
+           GROUP BY e.u),
+    l3 AS MATERIALIZED (SELECT e.u, LEAST(MIN(lu.lbl), MIN(lv.lbl)) AS lbl
+           FROM edges e
+           JOIN l2 lu ON lu.u = e.u JOIN l2 lv ON lv.u = e.v
+           GROUP BY e.u),
+    ce AS MATERIALIZED (SELECT DISTINCT LEAST(la.lbl, lb.lbl) AS u,
+                  GREATEST(la.lbl, lb.lbl) AS v
+           FROM edges e
+           JOIN l3 la ON la.u = e.u JOIN l3 lb ON lb.u = e.v
+           WHERE la.lbl <> lb.lbl),
+    cedges AS MATERIALIZED (SELECT u, v FROM ce UNION SELECT v AS u, u AS v FROM ce),
     reach(u, v) AS (
-      SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+      SELECT u, u FROM (SELECT DISTINCT u FROM cedges) n
       UNION
-      SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v),
-    comp AS (SELECT u AS doc_id, MIN(v) AS component FROM reach GROUP BY u)
+      SELECT e.u, r.v FROM cedges e JOIN reach r ON r.u = e.v),
+    supercomp AS (SELECT u AS lbl, MIN(v) AS component FROM reach GROUP BY u),
+    comp AS (SELECT l3.u AS doc_id,
+                    COALESCE(sc.component, l3.lbl) AS component
+             FROM l3 LEFT JOIN supercomp sc ON sc.lbl = l3.lbl)
     """
 
 
@@ -7440,18 +7472,18 @@ def ann_ivfpq_topk(spark, sf_dir):
 # Shared covariance CTE chain ending at `covu` (upper triangle, 6 dp) —
 # reused by emb_pca_power the same way _KMEANS_PREFIX is shared.
 _EMB_COV_CTES = """
-    x AS (
+    x AS MATERIALIZED (
       SELECT vec_id,
              unnest(generate_series(1, len(embedding))) AS i,
              unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
       FROM embeddings),
-    sums AS (SELECT i, sum(v) AS sx FROM x GROUP BY i),
+    sums AS MATERIALIZED (SELECT i, sum(v) AS sx FROM x GROUP BY i),
     n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-    prods AS (
+    prods AS MATERIALIZED (
       SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY a.i, b.i),
-    covu AS (
+    covu AS MATERIALIZED (
       SELECT p.i, p.j,
              round(p.sxy / n.n - (sa.sx / n.n) * (sb.sx / n.n), 6) AS cov
       FROM prods p
@@ -7740,20 +7772,20 @@ def docs_bpe_learn(spark, sf_dir):
 def _pca_iter_sql(prev: str, w: str, nxt: str, cov: str = "cov") -> str:
     """One unrolled power-iteration step: w = C·v, v' = round(w/||w||)."""
     return f"""
-    {w} AS (
+    {w} AS MATERIALIZED (
       SELECT c.i AS i, sum(c.cov * v.x) AS s
       FROM {cov} c JOIN {prev} v ON v.i = c.j GROUP BY c.i),
-    {nxt} AS (
+    {nxt} AS MATERIALIZED (
       SELECT i, round(s / sqrt(sum(s * s) OVER ()), 6) AS x FROM {w})"""
 
 
 _PCA_SQL = f"""
     WITH {_EMB_COV_CTES},
-    cov AS (
+    cov AS MATERIALIZED (
       SELECT i, j, cov FROM covu
       UNION ALL
       SELECT j AS i, i AS j, cov FROM covu WHERE i <> j),
-    v0 AS (
+    v0 AS MATERIALIZED (
       SELECT unnest(generate_series(1, {_EMB_DIM})) AS i,
              round(1.0 / sqrt(CAST({_EMB_DIM} AS DOUBLE)), 6) AS x),
     {_pca_iter_sql("v0", "w1", "v1")},
@@ -8358,28 +8390,28 @@ def _pca_comp_sql(c: int, cov: str) -> str:
     with CTE names prefixed c{c} and the matrix relation ``cov``."""
     p = f"c{c}"
     return f"""
-    {p}v0 AS (
+    {p}v0 AS MATERIALIZED (
       SELECT unnest(generate_series(1, {_EMB_DIM})) AS i,
              round(1.0 / sqrt(CAST({_EMB_DIM} AS DOUBLE)), 6) AS x),
     {_pca_iter_sql(f"{p}v0", f"{p}w1", f"{p}v1", cov)},
     {_pca_iter_sql(f"{p}v1", f"{p}w2", f"{p}v2", cov)},
     {_pca_iter_sql(f"{p}v2", f"{p}w3", f"{p}v3", cov)},
-    {p}w4 AS (
+    {p}w4 AS MATERIALIZED (
       SELECT m.i AS i, sum(m.cov * v.x) AS s
       FROM {cov} m JOIN {p}v3 v ON v.i = m.j GROUP BY m.i),
-    {p}lam AS (
+    {p}lam AS MATERIALIZED (
       SELECT round(sum(w.s * v.x) / sum(v.x * v.x), 6) AS eigval
       FROM {p}w4 w JOIN {p}v3 v USING (i))"""
 
 
 _PCA2_SQL = f"""
     WITH {_EMB_COV_CTES},
-    cov AS (
+    cov AS MATERIALIZED (
       SELECT i, j, cov FROM covu
       UNION ALL
       SELECT j AS i, i AS j, cov FROM covu WHERE i <> j),
     {_pca_comp_sql(1, "cov")},
-    defl1 AS (
+    defl1 AS MATERIALIZED (
       SELECT m.i, m.j, round(m.cov - l.eigval * a.x * b.x, 6) AS cov
       FROM cov m
       JOIN c1v3 a ON a.i = m.i
@@ -9105,22 +9137,25 @@ _JL_K = 16
 _JL_R = S.jl_sign_matrix(_JL_K, _EMB_DIM)
 
 
-def _jl_dot_sql(row: list[float]) -> str:
-    lit = "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
-    return (
-        f"list_reduce(list_transform(generate_series(1, {_EMB_DIM}), "
-        f"j -> ({lit})[j] * CAST(embedding[j] AS DOUBLE)), (a, b) -> a + b)"
-    )
+def _jl_lit_sql(row: list[float]) -> str:
+    return "[" + ", ".join(f"{v:.1f}" for v in row) + "]"
 
 
+# list_dot_product over a pre-cast MATERIALIZED vector column: the previous
+# spelling built the 64-element literal list per ELEMENT per projection
+# (generate_series + ([lit])[j] — 16×64 list constructions per row, 26 s at
+# sf0.1); this one is 0.03 s with identical output (same left-fold order).
 _JL_SQL = f"""
-    WITH proj AS (
+    WITH xd AS MATERIALIZED (
       SELECT label,
-             {", ".join(f"{_jl_dot_sql(r)} AS y{i}" for i, r in enumerate(_JL_R))},
-             list_reduce(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-               (a, b) -> a + b) AS nx2
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings),
+    proj AS (
+      SELECT label,
+             {", ".join(f"list_dot_product(e, {_jl_lit_sql(r)}) AS y{i}" for i, r in enumerate(_JL_R))},
+             list_reduce(list_transform(e, x -> x * x),
+               (a, b) -> a + b) AS nx2
+      FROM xd),
     ratios AS (
       SELECT label,
              round(({" + ".join(f"y{i} * y{i}" for i in range(_JL_K))})
@@ -11729,36 +11764,36 @@ def _hits_sql() -> str:
     prev = "h0"
     for i in range(1, _HITS_ITERS + 1):
         iters.append(f"""
-    acontrib{i} AS (
+    acontrib{i} AS MATERIALIZED (
       SELECT e.dst_host AS host, sum({prev}.hub) AS c
       FROM e JOIN {prev} ON e.src_host = {prev}.host
       GROUP BY e.dst_host),
-    araw{i} AS (
+    araw{i} AS MATERIALIZED (
       SELECT nodes.host,
              round(coalesce(acontrib{i}.c, CAST(0.0 AS DOUBLE)), 9) AS raw
       FROM nodes LEFT JOIN acontrib{i} ON nodes.host = acontrib{i}.host),
-    asum{i} AS (SELECT round(sum(raw), 9) AS s FROM araw{i}),
-    a{i} AS (SELECT araw{i}.host, round(raw / asum{i}.s, 6) AS auth
+    asum{i} AS MATERIALIZED (SELECT round(sum(raw), 9) AS s FROM araw{i}),
+    a{i} AS MATERIALIZED (SELECT araw{i}.host, round(raw / asum{i}.s, 6) AS auth
              FROM araw{i} CROSS JOIN asum{i}),
-    hcontrib{i} AS (
+    hcontrib{i} AS MATERIALIZED (
       SELECT e.src_host AS host, sum(a{i}.auth) AS c
       FROM e JOIN a{i} ON e.dst_host = a{i}.host
       GROUP BY e.src_host),
-    hraw{i} AS (
+    hraw{i} AS MATERIALIZED (
       SELECT nodes.host,
              round(coalesce(hcontrib{i}.c, CAST(0.0 AS DOUBLE)), 9) AS raw
       FROM nodes LEFT JOIN hcontrib{i} ON nodes.host = hcontrib{i}.host),
-    hsum{i} AS (SELECT round(sum(raw), 9) AS s FROM hraw{i}),
-    h{i} AS (SELECT hraw{i}.host, round(raw / hsum{i}.s, 6) AS hub
+    hsum{i} AS MATERIALIZED (SELECT round(sum(raw), 9) AS s FROM hraw{i}),
+    h{i} AS MATERIALIZED (SELECT hraw{i}.host, round(raw / hsum{i}.s, 6) AS hub
              FROM hraw{i} CROSS JOIN hsum{i})""")
         prev = f"h{i}"
     n = _HITS_ITERS
     return f"""
     WITH e0 AS ({_LINK_GRAPH_SQL}),
-    e AS (SELECT DISTINCT src_host, dst_host FROM e0),
-    nodes AS (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e),
+    e AS MATERIALIZED (SELECT DISTINCT src_host, dst_host FROM e0),
+    nodes AS MATERIALIZED (SELECT src_host AS host FROM e UNION SELECT dst_host FROM e),
     nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-    h0 AS (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS hub
+    h0 AS MATERIALIZED (SELECT host, CAST(1.0 AS DOUBLE) / nn.n AS hub
            FROM nodes CROSS JOIN nn),
     {",".join(iters)}
     SELECT host, hub, auth FROM h{n} JOIN a{n} USING (host)
