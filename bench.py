@@ -745,10 +745,14 @@ def main() -> None:
     # ---- priority 4: 2→8 transparency pair (contention-sensitive; gets a
     # quiet-window gate, bounded) ----
     if remaining() > 500:
-        cdc["probe_gate"] = wait_for_quiet_host()
+        # gate wait + extra pairs must not starve the catalog + sf1 tail:
+        # leave ~1100 s for them when the budget allows
+        cdc["probe_gate"] = wait_for_quiet_host(
+            max_wait=min(PROBE_WAIT, max(0.0, remaining() - 1100))
+        )
         side = measure_pair_series(
             SCALE_LO, SCALE_HI, N_REPEATS, events_dir,
-            est_pair=260.0, reserve=220.0,
+            est_pair=260.0, reserve=900.0,
         )
         cdc["scaling_efficiency_2_8"] = side["eff"]
         cdc["scaling_pairs"] = side["records"]
@@ -774,7 +778,7 @@ def main() -> None:
     emit_partial()
 
     # ---- priority 5: catalog sweep (budget-bounded sample, rotating) ----
-    sf1_reserve = 0.0 if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") == "0" else 240.0
+    sf1_reserve = 0.0 if os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") == "0" else 420.0
     if remaining() > 90:
         timings = catalog_sweep(
             deadline=T_START + BUDGET - min(sf1_reserve, remaining() * 0.3) - 30
