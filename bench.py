@@ -85,6 +85,11 @@ EFF_HI = int(os.environ.get("SPARK_GRAFT_EFF_HI", "4"))
 PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "8.0"))
 PROBE_WAIT = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT", "240"))
 EFF_TARGET = float(os.environ.get("SPARK_GRAFT_EFF_TARGET", "0.8"))
+# An efficiency ABOVE this is as suspect as one below target: contention
+# landing on the (4x-longer) 1-core run inflates the ratio past 1.0 — a
+# physically super-linear reading means the host, not the engine, was
+# measured, so the pair retries under the same quiet-window gate.
+EFF_SUSPECT = float(os.environ.get("SPARK_GRAFT_EFF_SUSPECT", "1.05"))
 EFF_RETRIES = int(os.environ.get("SPARK_GRAFT_EFF_RETRIES", "2"))
 # Total wall-clock budget (seconds). The round-3 driver run completed in
 # ~55 min; round 4 (which added the sf1 spot sweep) hit the driver's
@@ -456,7 +461,7 @@ def measure_pair_series(
     retries = 0
     while (
         current_eff() is not None
-        and current_eff() < EFF_TARGET
+        and (current_eff() < EFF_TARGET or current_eff() > EFF_SUSPECT)
         and retries < max_retries
         and remaining() - reserve > est * 1.1 + 30
     ):
