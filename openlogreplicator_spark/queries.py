@@ -16712,7 +16712,8 @@ def emb_hard_negatives(spark, sf_dir):
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
     SELECT CAST(s AS BIGINT) AS subspace, CAST(code AS BIGINT) AS code,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           round(CAST(count(*) AS DOUBLE) / max(n), 4) AS share
+           CAST((20000 * count(*) + max(n)) // (2 * max(n)) AS DOUBLE)
+             / 10000.0 AS share
     FROM codes CROSS JOIN tot
     GROUP BY s, code
     """,
@@ -16750,8 +16751,15 @@ def emb_pq_code_balance(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select(
             "subspace", "code", "n_vectors",
-            F.round(F.col("n_vectors").cast("double") / F.col("_n"), 4)
-            .alias("share"),
+            # exact integer half-up 4dp share: round(k/n, 4) on a DOUBLE
+            # diverges between engines when 10^4·k/n sits one ulp from a
+            # half boundary (hit at the sf1 sweep) — (2·10^4·k + n) div 2n
+            # is the same number with no FP anywhere before one exact
+            # small-decimal division
+            (
+                F.expr("(20000 * n_vectors + _n) div (2 * _n)")
+                .cast("double") / 10000.0
+            ).alias("share"),
         )
     )
 
@@ -18123,7 +18131,8 @@ def supplier_return_rates(spark, sf_dir):
       FROM events),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t)
     SELECT dow, hour, CAST(count(*) AS BIGINT) AS n_events,
-           round(CAST(count(*) AS DOUBLE) / n, 4) AS share
+           CAST((20000 * count(*) + n) // (2 * n) AS DOUBLE)
+             / 10000.0 AS share
     FROM t CROSS JOIN tot GROUP BY dow, hour, n
     """,
 )
@@ -18136,7 +18145,9 @@ def events_dow_hour_heatmap(spark, sf_dir):
     DuckDB's dayofweek is 0=Sunday while Spark's is 1=Sunday — instead of
     either builtin, the weekday is integer day-arithmetic from a pinned
     Monday epoch (2020-01-06), identical on both engines (0=Monday).
-    Exact BIGINT counts; one share division rounds last. Shape at
+    Exact BIGINT counts; the 4dp share is integer half-up arithmetic
+    ((2·10^4·k + n) div 2n — round(k/n, 4) on a double diverged between
+    engines one ulp from a half boundary at the sf1 sweep). Shape at
     100 TB: one partial agg over a 168-cell grid plus a one-row total.
     Reference analogue: none — training-data pipeline extension."""
     ev = T(spark, sf_dir, "events")
@@ -18156,8 +18167,10 @@ def events_dow_hour_heatmap(spark, sf_dir):
         .agg(F.count("*").alias("n_events"))
         .select(
             "dow", "hour", "n_events",
-            F.round(F.col("n_events").cast("double") / F.col("n"), 4)
-            .alias("share"),
+            (
+                F.expr("(20000 * n_events + n) div (2 * n)")
+                .cast("double") / 10000.0
+            ).alias("share"),
         )
     )
 
@@ -18627,8 +18640,9 @@ def cdc_schema_adoption(spark, sf_dir):
     """
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INT) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                - p_retailprice * 0.1 * l_quantity) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS sum_profit
     FROM lineitem
     JOIN part     ON p_partkey  = l_partkey
     JOIN supplier ON s_suppkey  = l_suppkey
@@ -18646,18 +18660,24 @@ def tpch_q9_variant_profit(spark, sf_dir):
     ``p_retailprice * 0.1 * l_quantity`` (same arithmetic shape as
     ps_supplycost * l_quantity). Plan shape at 100 TB: the p_name filter
     prunes part FIRST, then part/supplier/nation broadcast (dims), so the
-    only shuffle is lineitem⋈orders on orderkey; profit is a single
-    partial-aggregated pass, rounded post-agg. Reference analogue: none —
-    relational coverage (SURVEY §2.6)."""
+    only shuffle is lineitem⋈orders on orderkey; profit rides as per-row
+    EXACT integer cents summed as BIGINT (the q11/pareto rule — a
+    post-agg round(sum(double), 2) diverged between engines in the last
+    rounding digit at the sf1 sweep: FP summation order), one exact
+    division at output. Reference analogue: none — relational coverage
+    (SURVEY §2.6)."""
     li = T(spark, sf_dir, "lineitem")
     p = T(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     s = T(spark, sf_dir, "supplier")
     o = T(spark, sf_dir, "orders")
     n = T(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
-    )
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+        ) * 100,
+        0,
+    ).cast("long")
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
@@ -18667,7 +18687,9 @@ def tpch_q9_variant_profit(spark, sf_dir):
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(
+            (F.sum(profit_cents).cast("double") / 100.0).alias("sum_profit")
+        )
     )
 
 
